@@ -1,0 +1,89 @@
+"""Equirectangular square-grid cell index — the SQL-expressible tiling.
+
+The oracle-checkable complement to S2/hex (SURVEY §5(c)): the encode is pure
+integer arithmetic, so the exact same cell assignment can be computed by
+Spark SQL *and* DuckDB SQL (``__spark_entry__.oracle_sql``), making the
+tiling join / tile aggregate / kRing-kNN operators verifiable end-to-end.
+
+Layout: at resolution ``r`` the world [-180,180)×[-90,90) is split into
+``2^r × 2^r`` cells; ``cell_id = r·2^58 + ix·2^29 + iy`` (single BIGINT so
+range/hash partitioning and sort-merge joins apply natively — SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "grid_cell",
+    "grid_cell_sql",
+    "grid_decode",
+    "grid_kring",
+    "RES_SHIFT",
+    "X_SHIFT",
+]
+
+RES_SHIFT = 58
+X_SHIFT = 29
+
+
+def grid_cell(lon, lat, res: int):
+    """Vectorized lon/lat → grid cell id at resolution ``res`` (0–28)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    n = np.int64(1) << res
+    ix = np.clip(np.floor((lon + 180.0) / 360.0 * n).astype(np.int64), 0, n - 1)
+    iy = np.clip(np.floor((lat + 90.0) / 180.0 * n).astype(np.int64), 0, n - 1)
+    return (np.int64(res) << RES_SHIFT) | (ix << X_SHIFT) | iy
+
+
+def grid_cell_sql(lon_expr: str, lat_expr: str, res: int) -> str:
+    """The identical computation as ANSI SQL (runs in Spark SQL and DuckDB).
+
+    Uses LEAST/GREATEST clamping and floor; bit packing via multiplication
+    (portable — DuckDB and Spark agree on BIGINT semantics).
+    """
+    n = 1 << res
+    ix = (
+        f"LEAST({n - 1}, GREATEST(0, CAST(FLOOR((({lon_expr}) + 180.0) / 360.0 * {n}) AS BIGINT)))"
+    )
+    iy = (
+        f"LEAST({n - 1}, GREATEST(0, CAST(FLOOR((({lat_expr}) + 90.0) / 180.0 * {n}) AS BIGINT)))"
+    )
+    return (
+        f"(CAST({res} AS BIGINT) * {1 << RES_SHIFT} + {ix} * {1 << X_SHIFT} + {iy})"
+    )
+
+
+def grid_decode(cell_id):
+    """cell ids → (res, ix, iy)."""
+    cid = np.asarray(cell_id, dtype=np.int64)
+    res = cid >> RES_SHIFT
+    ix = (cid >> X_SHIFT) & ((np.int64(1) << X_SHIFT) - 1)
+    iy = cid & ((np.int64(1) << X_SHIFT) - 1)
+    return res, ix, iy
+
+
+def grid_kring(cell_id, k: int = 1, wrap_lon: bool = True):
+    """All cells within Chebyshev distance k → shape (n, (2k+1)^2) array.
+
+    Longitude wraps (antimeridian); latitude clamps (no polar wrap) — rows
+    whose neighbor falls off the pole repeat the clamped cell, and callers
+    dedupe via the equi-join itself.
+    """
+    cid = np.asarray(cell_id, dtype=np.int64)
+    res, ix, iy = grid_decode(cid)
+    n = np.int64(1) << res
+    out = np.empty((len(cid), (2 * k + 1) ** 2), dtype=np.int64)
+    col = 0
+    for dx in range(-k, k + 1):
+        for dy in range(-k, k + 1):
+            nx = ix + dx
+            if wrap_lon:
+                nx = np.mod(nx, n)
+            else:
+                nx = np.clip(nx, 0, n - 1)
+            ny = np.clip(iy + dy, 0, n - 1)
+            out[:, col] = (res << RES_SHIFT) | (nx << X_SHIFT) | ny
+            col += 1
+    return out

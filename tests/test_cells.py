@@ -1,0 +1,196 @@
+"""Cell-index layer tests: S2 self-consistency + grid/hex exactness."""
+
+import numpy as np
+import pytest
+
+from geokitten_spark.cells import (
+    s2,
+    grid_cell,
+    grid_decode,
+    grid_kring,
+    hex_cell,
+    hex_decode,
+    hex_kring,
+    hex_center,
+)
+
+
+RNG = np.random.default_rng(42)
+LATS = RNG.uniform(-85, 85, 500)
+LNGS = RNG.uniform(-180, 180, 500)
+
+
+# ---- S2 ------------------------------------------------------------------
+
+@pytest.mark.parametrize("level", [0, 3, 8, 12, 20, 30])
+def test_s2_roundtrip_center_stable(level):
+    """center(cell(p)) must re-encode to the same cell at every level."""
+    cells = s2.lat_lng_to_cell(LATS, LNGS, level)
+    clat, clng = s2.cell_to_lat_lng(cells)
+    cells2 = s2.lat_lng_to_cell(clat, clng, level)
+    np.testing.assert_array_equal(cells, cells2)
+
+
+def test_s2_level_decode():
+    for level in [0, 5, 10, 17, 30]:
+        cells = s2.lat_lng_to_cell(LATS[:50], LNGS[:50], level)
+        np.testing.assert_array_equal(s2.cell_level(cells), level)
+
+
+def test_s2_parent_contains_child():
+    child = s2.lat_lng_to_cell(LATS, LNGS, 12)
+    par = s2.parent(child, 8)
+    np.testing.assert_array_equal(s2.cell_level(par), 8)
+    lo, hi = s2.cell_range(par)
+    assert np.all((child >= lo) & (child <= hi))
+
+
+def test_s2_children_partition_parent():
+    cells = s2.lat_lng_to_cell(LATS[:20], LNGS[:20], 6)
+    kids = s2.children(cells)
+    assert kids.shape == (20, 4)
+    np.testing.assert_array_equal(s2.cell_level(kids.ravel()), 7)
+    for n in range(20):
+        plo, phi = s2.cell_range(cells[n : n + 1])
+        klo, khi = s2.cell_range(kids[n])
+        assert klo.min() == plo[0] and khi.max() == phi[0]
+        # children ranges are disjoint and ordered
+        order = np.argsort(klo)
+        assert np.all(khi[order][:-1] < klo[order][1:])
+
+
+def test_s2_distinct_faces_covered():
+    cells = s2.lat_lng_to_cell(LATS, LNGS, 30)
+    faces = cells.view(np.uint64) >> np.uint64(61)
+    assert set(faces.tolist()) == {0, 1, 2, 3, 4, 5}
+
+
+def test_s2_edge_neighbors_same_level_and_adjacent():
+    cells = s2.lat_lng_to_cell(LATS[:100], LNGS[:100], 10)
+    nb = s2.edge_neighbors(cells)
+    assert nb.shape == (100, 4)
+    np.testing.assert_array_equal(s2.cell_level(nb.ravel()), 10)
+    # neighbors differ from the cell and from each other
+    for n in range(100):
+        ids = set(nb[n].tolist())
+        assert len(ids) == 4
+        assert cells[n] not in ids
+    # adjacency: neighbor centers are ~one cell size away
+    clat, clng = s2.cell_to_lat_lng(cells)
+    nlat, nlng = s2.cell_to_lat_lng(nb[:, 1])
+    dist = np.hypot(nlat - clat, (nlng - clng + 180) % 360 - 180)
+    assert np.all(dist < 1.0)  # level 10 cell ≈ 0.09°
+
+
+def test_s2_kring_counts():
+    cells = s2.lat_lng_to_cell(np.array([6.2]), np.array([-75.5]), 9)
+    rings = s2.all_neighbors(cells, k=1)
+    assert len(rings) == 1
+    assert len(rings[0]) == 9  # 3×3 block interior case
+    assert cells[0] in rings[0]
+
+
+def test_s2_deterministic():
+    a = s2.lat_lng_to_cell(LATS, LNGS, 11)
+    b = s2.lat_lng_to_cell(LATS.copy(), LNGS.copy(), 11)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_s2_polygon_cover():
+    rings = [np.array([[-75.8, 6.0], [-75.8, 6.5], [-75.2, 6.5], [-75.2, 6.0], [-75.8, 6.0]])]
+    cover = s2.polygon_cover_cells(rings, level=9)
+    assert len(cover) > 4
+    # every covered cell center inside the (slightly padded) bbox
+    clat, clng = s2.cell_to_lat_lng(cover)
+    assert np.all((clng > -76.1) & (clng < -74.9) & (clat > 5.7) & (clat < 6.8))
+    # the polygon's own sample points all land in covered cells
+    pts_lat = np.array([6.1, 6.25, 6.45])
+    pts_lng = np.array([-75.7, -75.5, -75.3])
+    pcells = s2.lat_lng_to_cell(pts_lat, pts_lng, 9)
+    assert set(pcells.tolist()) <= set(cover.tolist())
+
+
+# ---- square grid ---------------------------------------------------------
+
+def test_grid_cell_exact():
+    cid = grid_cell(np.array([-180.0, 0.0, 179.99]), np.array([-90.0, 0.0, 89.99]), 4)
+    res, ix, iy = grid_decode(cid)
+    np.testing.assert_array_equal(res, 4)
+    np.testing.assert_array_equal(ix, [0, 8, 15])
+    np.testing.assert_array_equal(iy, [0, 8, 15])
+
+
+def test_grid_matches_sql_formula():
+    """numpy encode == the SQL string evaluated by DuckDB (the oracle path)."""
+    import duckdb
+
+    from geokitten_spark.cells import grid_cell_sql
+
+    lon = RNG.uniform(-180, 180, 1000)
+    lat = RNG.uniform(-90, 90, 1000)
+    expected = grid_cell(lon, lat, 7)
+    con = duckdb.connect()
+    con.register("pts", __import__("pandas").DataFrame({"lon": lon, "lat": lat}))
+    got = con.sql(f"select {grid_cell_sql('lon', 'lat', 7)} as c from pts").fetchnumpy()["c"]
+    np.testing.assert_array_equal(np.sort(expected), np.sort(got))
+
+
+def test_grid_kring_neighbors():
+    cid = grid_cell(np.array([0.5]), np.array([0.5]), 8)
+    ring = grid_kring(cid, k=1)
+    assert ring.shape == (1, 9)
+    assert len(set(ring[0].tolist())) == 9
+    res, ix, iy = grid_decode(ring[0])
+    assert ix.max() - ix.min() == 2 and iy.max() - iy.min() == 2
+
+
+def test_grid_kring_wraps_antimeridian():
+    cid = grid_cell(np.array([-179.9]), np.array([0.0]), 6)
+    ring = grid_kring(cid, k=1)
+    res, ix, iy = grid_decode(ring[0])
+    assert 0 in ix and (1 << 6) - 1 in ix  # wrapped across the dateline
+
+
+# ---- hex grid ------------------------------------------------------------
+
+def test_hex_roundtrip():
+    for res in [0, 3, 6, 10]:
+        cells = hex_cell(LNGS, LATS, res)
+        lon, lat = hex_center(cells)
+        cells2 = hex_cell(lon, lat, res)
+        np.testing.assert_array_equal(cells, cells2)
+
+
+def test_hex_kring_count():
+    cells = hex_cell(np.array([-75.5]), np.array([6.2]), 7)
+    for k in [1, 2, 3]:
+        ring = hex_kring(cells, k=k)
+        assert ring.shape == (1, 1 + 3 * k * (k + 1))
+        assert len(set(ring[0].tolist())) == 1 + 3 * k * (k + 1)
+
+
+def test_hex_kring_centers_within_distance():
+    cells = hex_cell(np.array([10.0]), np.array([20.0]), 6)
+    ring = hex_kring(cells, k=2)
+    lon0, lat0 = hex_center(cells)
+    lon, lat = hex_center(ring[0])
+    from geokitten_spark.cells.hexgrid import hex_resolution_size
+
+    size = hex_resolution_size(6)
+    d = np.hypot(lon - lon0[0], lat - lat0[0])
+    assert np.all(d <= 2 * 2 * size + 1e-9)  # within k hex diameters
+
+
+def test_hex_cells_partition_plane():
+    """Every point maps to exactly one hex whose center is the nearest
+    hex-center (cube rounding property)."""
+    pts_lon = RNG.uniform(-20, 20, 200)
+    pts_lat = RNG.uniform(-20, 20, 200)
+    cells = hex_cell(pts_lon, pts_lat, 5)
+    lon_c, lat_c = hex_center(cells)
+    # distance to own center < circumradius (pointy-top: max dist = size)
+    from geokitten_spark.cells.hexgrid import hex_resolution_size
+
+    size = hex_resolution_size(5)
+    d = np.hypot(pts_lon - lon_c, pts_lat - lat_c)
+    assert np.all(d <= size + 1e-9)
