@@ -1,0 +1,280 @@
+"""Deterministic synthetic fixtures (FIXTURES.md) — no external data.
+
+Two kinds:
+
+* ``web_documents``: the Common-Crawl-shaped view (url, warc_ts, html, text,
+  lang) derived 1:1 from the driver's ``documents.parquet`` by pure SQL
+  expressions — the SAME derivation exists in DuckDB SQL (``*_sql``
+  helpers) so every downstream operator is oracle-checkable.
+* driver-side generated pandas frames (admin polygons, geometry cases, KML
+  corpus): small boundary-style tables seeded with ``numpy`` seed 42,
+  created once per session and broadcast/parallelized.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.geocode import (
+    url_from_doc_id,
+    url_from_doc_id_sql,
+    geo_lon,
+    geo_lat,
+    geo_lon_sql,
+    geo_lat_sql,
+)
+
+__all__ = [
+    "web_documents",
+    "web_documents_sql",
+    "admin_polygons_pdf",
+    "admin_polygons",
+    "admin_rects_sql_parts",
+    "geometry_cases_pdf",
+    "kml_corpus",
+]
+
+
+# ---------------------------------------------------------------------------
+# web_documents view (Spark + DuckDB twin derivations)
+# ---------------------------------------------------------------------------
+
+_SECONDS_PER_YEAR = 31_536_000
+
+
+def web_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → input_hint-shaped table with geocode columns.
+
+    Columns: doc_id, url, warc_ts, html (binary), text (title+\\n+body),
+    lang, lon, lat. ``extract(html) == text`` holds byte-for-byte.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
+    page_text = F.concat(title, F.lit("\n"), F.col("text"))
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        title,
+        F.lit("</title></head><body><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    ).cast("binary")
+    url = url_from_doc_id(F.col("doc_id"), F.col("lang"))
+    return (
+        docs.select(
+            "doc_id",
+            url.alias("url"),
+            (
+                F.to_timestamp(F.lit("2025-01-01 00:00:00"))
+                + F.make_interval(secs=(F.col("doc_id") * 137) % _SECONDS_PER_YEAR)
+            ).alias("warc_ts"),
+            html.alias("html"),
+            page_text.alias("text"),
+            "lang",
+        )
+        .withColumn("lon", geo_lon(F.col("url")))
+        .withColumn("lat", geo_lat(F.col("url")))
+    )
+
+
+def web_documents_sql() -> str:
+    """DuckDB CTE body producing the identical table from view `documents`."""
+    url = url_from_doc_id_sql("doc_id", "lang")
+    return f"""
+        SELECT
+            doc_id,
+            {url} AS url,
+            TIMESTAMP '2025-01-01 00:00:00' + INTERVAL (CAST((doc_id * 137) % {_SECONDS_PER_YEAR} AS BIGINT)) SECOND AS warc_ts,
+            ('Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text) AS text,
+            lang,
+            {geo_lon_sql(url)} AS lon,
+            {geo_lat_sql(url)} AS lat
+        FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# admin_polygons (FIXTURES.md §3) — 200 jittered hexagons, seed 42
+# ---------------------------------------------------------------------------
+
+def _hex_ring(cx, cy, r, jit):
+    pts = []
+    for v in range(6):
+        a = v * math.pi / 3.0
+        rr = r * (1.0 + 0.15 * jit[v])
+        pts.append((cx + rr * math.cos(a), cy + rr * math.sin(a)))
+    pts.append(pts[0])
+    return pts
+
+
+def _ring_wkt(pts):
+    return "(" + ", ".join(f"{x:.6f} {y:.6f}" for x, y in pts) + ")"
+
+
+def admin_polygons_pdf(n_rows: int = 200) -> pd.DataFrame:
+    """Deterministic admin boundary set (seed 42, pure function of row idx).
+
+    Layout: 20×10 grid over lon∈[-171,171], lat∈[-53.5,63.5]; radius
+    0.05–0.5°; every 10th row MULTIPOLYGON (2 parts); every 7th row one
+    interior ring; rows (2k, 2k+1) k<10 overlap by construction."""
+    rng = np.random.default_rng(42)
+    jitters = rng.uniform(-1.0, 1.0, size=(n_rows, 12))
+    rows = []
+    centers = []
+    for i in range(n_rows):
+        cx = -180.0 + (i % 20) * 18.0 + 9.0
+        cy = -60.0 + (i // 20) * 13.0 + 6.5
+        centers.append((cx, cy))
+    # overlap pairs: odd member moves next to its even partner
+    radii = [0.05 + ((i * 7919) % 1000) / 1000.0 * 0.45 for i in range(n_rows)]
+    for k in range(10):
+        a, b = 2 * k, 2 * k + 1
+        ox = 0.5 * min(radii[a], radii[b])
+        centers[b] = (centers[a][0] + ox, centers[a][1] + 0.5 * ox)
+    for i in range(n_rows):
+        cx, cy = centers[i]
+        r = radii[i]
+        ext = _hex_ring(cx, cy, r, jitters[i, :6])
+        rings = [_ring_wkt(ext)]
+        if i % 7 == 0:
+            hole = _hex_ring(cx, cy, r * 0.3, jitters[i, 6:12])
+            rings.append(_ring_wkt(hole[::-1]))
+        poly = "POLYGON (" + ", ".join(rings) + ")"
+        if i % 10 == 0:
+            cx2, cy2 = cx + 1.5 * r, cy + 1.5 * r
+            part2 = _ring_wkt(_hex_ring(cx2, cy2, r * 0.4, jitters[i, 6:12]))
+            poly = (
+                "MULTIPOLYGON ((" + ", ".join(rings) + "), (" + part2 + "))"
+            )
+        rows.append(
+            {
+                "region_id": f"{5001000000 + i}",
+                "name": f"Region-{i:04d}",
+                "depto_id": i // 25,
+                "population": 1000 + (i * 7919) % 2_000_000,
+                "region": f"zone-{i % 8}",
+                "geometry_wkt": poly,
+                "crs": "EPSG:4326",
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def admin_polygons(spark: SparkSession, n_rows: int = 200) -> DataFrame:
+    return spark.createDataFrame(admin_polygons_pdf(n_rows))
+
+
+# ---------------------------------------------------------------------------
+# admin rectangles derived from `nation` — the SQL-oracle-able PIP fixture
+# ---------------------------------------------------------------------------
+
+# bounds carry a +5e-7 offset: geocoded lon/lat are rounded to 6 decimals,
+# so no point can ever lie exactly ON a rectangle edge — making ray-casting
+# PIP and the oracle's strict bbox predicates provably agree
+_RECT_EPS = 0.0000005
+
+
+def admin_rects_sql_parts() -> dict:
+    """Rectangle bounds as SQL expressions over nation(n_nationkey) — usable
+    verbatim in Spark SQL and DuckDB. 25 disjoint rectangles covering the
+    geocode lon/lat domain."""
+    return {
+        "lon0": f"(-170.0 + (n_nationkey % 5) * 70.0 + {_RECT_EPS})",
+        "lon1": f"(-170.0 + (n_nationkey % 5) * 70.0 + 50.0 + {_RECT_EPS})",
+        "lat0": f"(-55.0 + CAST(FLOOR(n_nationkey / 5) AS BIGINT) * 25.0 + {_RECT_EPS})",
+        "lat1": f"(-55.0 + CAST(FLOOR(n_nationkey / 5) AS BIGINT) * 25.0 + 18.0 + {_RECT_EPS})",
+    }
+
+
+def admin_rects_pdf() -> pd.DataFrame:
+    """The same 25 rectangles materialized as WKT polygons (drives the real
+    R-tree/ray-casting PIP machinery; results must equal the SQL bbox join)."""
+    rows = []
+    for key in range(25):
+        lon0 = -170.0 + (key % 5) * 70.0 + _RECT_EPS
+        lon1 = lon0 + 50.0
+        lat0 = -55.0 + (key // 5) * 25.0 + _RECT_EPS
+        lat1 = lat0 + 18.0
+        wkt = (
+            f"POLYGON (({lon0:.7f} {lat0:.7f}, {lon0:.7f} {lat1:.7f}, "
+            f"{lon1:.7f} {lat1:.7f}, {lon1:.7f} {lat0:.7f}, {lon0:.7f} {lat0:.7f}))"
+        )
+        rows.append({"n_nationkey": key, "geometry_wkt": wkt})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# geometry parity corpus (FIXTURES.md §4)
+# ---------------------------------------------------------------------------
+
+def geometry_cases_pdf() -> pd.DataFrame:
+    cases = [
+        ("unit_square", "POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"),
+        (
+            "square_with_hole",
+            "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (3 3, 3 7, 7 7, 7 3, 3 3))",
+        ),
+        (
+            "square_with_hole_z",
+            "POLYGON Z ((0 0 1, 0 10 1, 10 10 1, 10 0 1, 0 0 1), (3 3 1, 3 7 1, 7 7 1, 7 3 1, 3 3 1))",
+        ),
+        ("polygon_z", "POLYGON Z ((0 0 1, 0 1 1, 1 1 1, 1 0 1, 0 0 1))"),
+        (
+            "multipolygon_z",
+            "MULTIPOLYGON Z (((0 0 1, 0 1 1, 1 1 1, 1 0 1, 0 0 1)), ((2 2 1, 2 3 1, 3 3 1, 3 2 1, 2 2 1)))",
+        ),
+        ("bowtie_invalid", "POLYGON ((0 0, 1 1, 0 1, 1 0, 0 0))"),
+        ("bowtie_invalid_large", "POLYGON ((0 0, 10 10, 0 10, 10 0, 0 0))"),
+        ("empty_polygon", "POLYGON EMPTY"),
+        ("point_z", "POINT (0 0 1)"),
+        ("linear_ring", "LINEARRING (0 0, 0 1, 1 1, 1 0, 0 0)"),
+        (
+            "ring_collection",
+            "GEOMETRYCOLLECTION (LINEARRING (0 0, 0 1, 1 1, 1 0, 0 0), LINEARRING (2 2, 2 3, 3 3, 3 2, 2 2))",
+        ),
+        ("overlap_pair_target", "POLYGON ((0 0, 0 4, 4 4, 4 0, 0 0))"),
+        ("overlap_pair_sub", "POLYGON ((2 2, 2 6, 6 6, 6 2, 2 2))"),
+    ]
+    return pd.DataFrame(cases, columns=["case_id", "wkt"])
+
+
+# ---------------------------------------------------------------------------
+# KML corpus (FIXTURES.md §5) — OGC-namespace inputs from admin rows 0-5
+# ---------------------------------------------------------------------------
+
+def kml_corpus() -> pd.DataFrame:
+    """6 single-placemark OGC-ns KML files named like the reference fixtures
+    (tests/tests_files/inputs/gdf_kml_converter/)."""
+    from .geom import parse_wkt
+
+    admin = admin_polygons_pdf()
+    rows = []
+    for i in range(6):
+        g = parse_wkt(admin.loc[i, "geometry_wkt"])
+        ext = g.parts[0][0]
+        coords = " ".join(f"{x},{y}" for x, y in np.asarray(ext)[:, :2])
+        name = f"{5001010100 + i:011d}"
+        kml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<kml xmlns="http://www.opengis.net/kml/2.2">\n'
+            "  <Folder>\n"
+            f"    <name>{name}</name>\n"
+            "    <Placemark>\n"
+            f"      <name>{name}</name>\n"
+            "      <Polygon>\n"
+            "        <outerBoundaryIs>\n"
+            "          <LinearRing>\n"
+            f"            <coordinates>{coords}</coordinates>\n"
+            "          </LinearRing>\n"
+            "        </outerBoundaryIs>\n"
+            "      </Polygon>\n"
+            "    </Placemark>\n"
+            "  </Folder>\n"
+            "</kml>\n"
+        )
+        rows.append({"file_name": f"{name}.kml", "kml_bytes": kml.encode("utf-8")})
+    return pd.DataFrame(rows)

@@ -1,0 +1,109 @@
+"""Cell-encode pandas UDFs (F12/F13) + the pure-SQL grid encode column.
+
+S2/hex encodes are numpy-vectorized per Arrow batch (no per-row Python).
+The square-grid encode is a pure Spark SQL expression (``grid_cell_col``) so
+it stays inside whole-stage codegen AND matches the DuckDB oracle formula.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..cells import s2 as s2mod
+from ..cells.grid import RES_SHIFT, X_SHIFT
+from ..cells.hexgrid import hex_cell as _hex_cell, hex_kring as _hex_kring
+
+__all__ = [
+    "s2_cell",
+    "s2_parent",
+    "s2_kring",
+    "hex_cell_udf",
+    "hex_kring_udf",
+    "grid_cell_col",
+    "grid_kring_col",
+]
+
+
+def s2_cell(level: int):
+    """UDF factory: (lon, lat) → S2 cell id at ``level``."""
+
+    @pandas_udf(LongType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        cells = s2mod.lat_lng_to_cell(lat.to_numpy(np.float64), lon.to_numpy(np.float64), level)
+        return pd.Series(cells)
+
+    return _enc
+
+
+def s2_parent(level: int):
+    @pandas_udf(LongType())
+    def _par(cell: pd.Series) -> pd.Series:
+        return pd.Series(s2mod.parent(cell.to_numpy(np.int64), level))
+
+    return _par
+
+
+def s2_kring(k: int = 1):
+    """UDF factory: cell id → array of same-level neighbor ids (incl. self)."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _ring(cell: pd.Series) -> pd.Series:
+        rings = s2mod.all_neighbors(cell.to_numpy(np.int64), k=k)
+        return pd.Series([r.tolist() for r in rings])
+
+    return _ring
+
+
+def hex_cell_udf(res: int):
+    @pandas_udf(LongType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(_hex_cell(lon.to_numpy(np.float64), lat.to_numpy(np.float64), res))
+
+    return _enc
+
+
+def hex_kring_udf(k: int = 1):
+    @pandas_udf(ArrayType(LongType()))
+    def _ring(cell: pd.Series) -> pd.Series:
+        rings = _hex_kring(cell.to_numpy(np.int64), k=k)
+        return pd.Series([row.tolist() for row in rings])
+
+    return _ring
+
+
+def grid_cell_col(lon: Column, lat: Column, res: int) -> Column:
+    """Square-grid encode as a pure Spark SQL column (JVM-side; identical to
+    ``cells.grid.grid_cell`` and to ``grid_cell_sql`` for the oracle)."""
+    n = 1 << res
+    ix = F.least(
+        F.lit(n - 1),
+        F.greatest(F.lit(0), F.floor((lon + F.lit(180.0)) / 360.0 * n).cast("long")),
+    )
+    iy = F.least(
+        F.lit(n - 1),
+        F.greatest(F.lit(0), F.floor((lat + F.lit(90.0)) / 180.0 * n).cast("long")),
+    )
+    return (F.lit(res).cast("long") * F.lit(1 << RES_SHIFT)) + ix * F.lit(1 << X_SHIFT) + iy
+
+
+def grid_kring_col(cell: Column, res: int, k: int = 1) -> Column:
+    """kRing as a pure SQL array expression over the packed grid id
+    (lon wraps, lat clamps — same as ``cells.grid.grid_kring``)."""
+    n = 1 << res
+    ix = (cell.cast("long") % F.lit(1 << RES_SHIFT)) / F.lit(1 << X_SHIFT)
+    ix = F.floor(ix).cast("long")
+    iy = cell.cast("long") % F.lit(1 << X_SHIFT)
+    cells = []
+    for dx in range(-k, k + 1):
+        for dy in range(-k, k + 1):
+            nx = (ix + F.lit(dx) + F.lit(n)) % F.lit(n)
+            ny = F.least(F.lit(n - 1), F.greatest(F.lit(0), iy + F.lit(dy)))
+            cells.append(
+                F.lit(res).cast("long") * F.lit(1 << RES_SHIFT) + nx * F.lit(1 << X_SHIFT) + ny
+            )
+    return F.array_distinct(F.array(*cells))

@@ -1,0 +1,74 @@
+"""Deterministic URL geocoding — pure Spark SQL columns (no UDF).
+
+The north_star geocodes each document's URL to a point before the
+admin-boundary PIP join. Per FIXTURES.md §2, the geocode is a pure function
+of the url (md5-based), so it is (a) reproducible on resume/retry, (b)
+entirely JVM-side (whole-stage codegen, no Python), and (c) expressible in
+identical form in DuckDB for the correctness oracle.
+
+lon = round((int(md5(url)[0:8], 16)  / 0xFFFFFFFF) * 360 − 180, 6)
+lat = round((int(md5(url)[8:16], 16) / 0xFFFFFFFF) * 140 − 60, 6)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "url_from_doc_id",
+    "url_from_doc_id_sql",
+    "geo_lon",
+    "geo_lat",
+    "geo_lon_sql",
+    "geo_lat_sql",
+]
+
+_MAX32 = 4294967295.0  # 0xFFFFFFFF
+
+
+def url_from_doc_id(doc_id: Column, lang: Column) -> Column:
+    """Synthesize the Common-Crawl-style url for the sandbox `documents`
+    table (FIXTURES.md §1 shape) from (doc_id, lang) — deterministic."""
+    return F.concat(
+        F.lit("https://host"),
+        (doc_id % 97).cast("string"),
+        F.lit(".example/"),
+        lang,
+        F.lit("/page-"),
+        F.lpad(doc_id.cast("string"), 7, "0"),
+    )
+
+
+def url_from_doc_id_sql(doc_id: str = "doc_id", lang: str = "lang") -> str:
+    """Same synthesis as ANSI SQL for the DuckDB oracle."""
+    return (
+        f"concat('https://host', CAST(({doc_id}) % 97 AS VARCHAR), '.example/', "
+        f"{lang}, '/page-', lpad(CAST({doc_id} AS VARCHAR), 7, '0'))"
+    )
+
+
+def _hash_frac(url: Column, start: int) -> Column:
+    # conv(hex, 16, 10) returns a decimal string; values fit in a BIGINT
+    return F.conv(F.substring(F.md5(url), start, 8), 16, 10).cast("double") / F.lit(_MAX32)
+
+
+def geo_lon(url: Column) -> Column:
+    return F.round(_hash_frac(url, 1) * 360.0 - 180.0, 6)
+
+
+def geo_lat(url: Column) -> Column:
+    # 140°-span keeps points within S2/H3-friendly latitudes (FIXTURES §2)
+    return F.round(_hash_frac(url, 9) * 140.0 - 60.0, 6)
+
+
+def geo_lon_sql(url_expr: str) -> str:
+    return (
+        f"round((('0x' || substr(md5({url_expr}), 1, 8))::BIGINT / {_MAX32}) * 360.0 - 180.0, 6)"
+    )
+
+
+def geo_lat_sql(url_expr: str) -> str:
+    return (
+        f"round((('0x' || substr(md5({url_expr}), 9, 8))::BIGINT / {_MAX32}) * 140.0 - 60.0, 6)"
+    )

@@ -1,0 +1,249 @@
+"""Web-text functions: extraction, language-ID, quality, tokens, fingerprint.
+
+The training-data-pipeline function set over the `documents` table. Every
+function here has two faces kept in lockstep:
+
+* a Spark ``Column`` builder (pure ``pyspark.sql.functions`` — JVM-side,
+  whole-stage-codegen; the one pandas UDF is ``extract_text`` which needs
+  real HTML parsing);
+* an ANSI-SQL string builder for the DuckDB oracle
+  (``__spark_entry__.oracle_sql``).
+
+The extract invariant (BASELINE.json input_hint): for fixture pages built as
+``<html><head><title>T</title></head><body><p>B</p></body></html>`` wrapping
+``text = "T\\nB"``, ``extract_text(html)`` must equal ``text`` byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+__all__ = [
+    "extract_text",
+    "lang_markers",
+    "lang_id_col",
+    "lang_id_sql",
+    "token_count_ws",
+    "token_count_ws_sql",
+    "token_count_bpeish",
+    "token_count_bpeish_sql",
+    "quality_cols",
+    "quality_sql",
+    "fingerprint_col",
+    "fingerprint_sql",
+]
+
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction (vectorized pandas UDF; the one Python hot path)
+# ---------------------------------------------------------------------------
+
+_TITLE_RE = re.compile(rb"<title[^>]*>(.*?)</title>", re.S | re.I)
+_BODY_RE = re.compile(rb"<body[^>]*>(.*?)</body>", re.S | re.I)
+_TAG_RE = re.compile(rb"<[^>]+>")
+_SCRIPT_RE = re.compile(rb"<(script|style)[^>]*>.*?</\1>", re.S | re.I)
+
+
+def _extract_one(html: bytes) -> str:
+    """Deterministic extraction: title line + newline + tag-stripped body.
+
+    Inverts the fixture template byte-exactly; on arbitrary HTML it is a
+    best-effort deterministic tag-strip (no network, no entity expansion
+    beyond the 5 XML builtins)."""
+    if html is None:
+        return None
+    if isinstance(html, str):
+        html = html.encode("utf-8")
+    html = _SCRIPT_RE.sub(b"", html)
+    tm = _TITLE_RE.search(html)
+    title = tm.group(1) if tm else b""
+    bm = _BODY_RE.search(html)
+    body_html = bm.group(1) if bm else (b"" if tm else html)
+    body = _TAG_RE.sub(b"", body_html).strip()
+    for ent, ch in ((b"&lt;", b"<"), (b"&gt;", b">"), (b"&quot;", b'"'),
+                    (b"&apos;", b"'"), (b"&amp;", b"&")):
+        body = body.replace(ent, ch)
+        title = title.replace(ent, ch)
+    if title:
+        return (title + b"\n" + body).decode("utf-8", errors="replace")
+    return body.decode("utf-8", errors="replace")
+
+
+@pandas_udf(StringType())
+def extract_text(html: pd.Series) -> pd.Series:
+    """F11 (SURVEY §2.3): html BINARY → extracted text, Arrow-batched."""
+    return html.map(_extract_one)
+
+
+# ---------------------------------------------------------------------------
+# Language ID (marker-word n-gram heuristic — SQL-expressible)
+# ---------------------------------------------------------------------------
+
+# one high-frequency marker per language; counted as substring occurrences
+# in the space-padded text (deterministic, same in both engines)
+lang_markers = [
+    ("en", " the "),
+    ("es", " el "),
+    ("de", " der "),
+    ("fr", " le "),
+    ("pt", " uma "),
+]
+
+
+def _occurrences(padded: Column, marker: str) -> Column:
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(marker), F.lit(""))))
+        / len(marker)
+    ).cast("long")
+
+
+def lang_id_col(text: Column) -> Column:
+    """Predicted language: argmax marker count, first-listed wins ties,
+    'und' when all counts are zero."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    counts = [(lang, _occurrences(padded, m)) for lang, m in lang_markers]
+    best = None
+    for lang, c in counts:
+        cond = F.lit(True)
+        for lang2, c2 in counts:
+            if lang2 == lang:
+                continue
+            # earlier-listed language wins ties
+            earlier = [l for l, _ in lang_markers].index(lang2) < [l for l, _ in lang_markers].index(lang)
+            cond = cond & (c > c2 if earlier else c >= c2)
+        clause = F.when((c > 0) & cond, F.lit(lang))
+        best = clause if best is None else best.when((c > 0) & cond, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def lang_id_sql(text_expr: str) -> str:
+    padded = f"(' ' || {text_expr} || ' ')"
+    cnt = {
+        lang: f"CAST((length({padded}) - length(replace({padded}, '{m}', ''))) / {len(m)} AS BIGINT)"
+        for lang, m in lang_markers
+    }
+    langs = [l for l, _ in lang_markers]
+    whens = []
+    for idx, lang in enumerate(langs):
+        conds = [f"{cnt[lang]} > 0"]
+        for idx2, lang2 in enumerate(langs):
+            if idx2 == idx:
+                continue
+            op = ">" if idx2 < idx else ">="
+            conds.append(f"{cnt[lang]} {op} {cnt[lang2]}")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(whens) + " ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# Token counting
+# ---------------------------------------------------------------------------
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count (single-space-separated corpus semantics)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.length(trimmed) - F.length(F.replace(trimmed, F.lit(" "), F.lit(""))) + 1
+    ).cast("long")
+
+
+def token_count_ws_sql(text_expr: str) -> str:
+    t = f"trim({text_expr})"
+    return (
+        f"CAST(CASE WHEN length({t}) = 0 THEN 0 "
+        f"ELSE length({t}) - length(replace({t}, ' ', '')) + 1 END AS BIGINT)"
+    )
+
+
+_BPEISH_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def token_count_bpeish(text: Column) -> Column:
+    """BPE-ish regex token count: letter runs, digit runs, single symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit(_BPEISH_PATTERN), 0)).cast("long")
+
+
+def token_count_bpeish_sql(text_expr: str) -> str:
+    return f"CAST(length(regexp_extract_all({text_expr}, '{_BPEISH_PATTERN}')) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+def quality_cols(text: Column) -> dict:
+    """Length / punctuation / stopword-ratio quality signals (all JVM-side).
+
+    Returns dict of named Columns; ``quality_score`` is a deterministic
+    0-1 composite."""
+    n_chars = F.length(text).cast("long")
+    n_tokens = token_count_ws(text)
+    avg_word_len = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    n_punct = (
+        F.length(text) - F.length(F.regexp_replace(text, r"[\.,;:!\?]", ""))
+    ).cast("long")
+    punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    n_stop = sum(_occurrences(padded, f" {w} ") for w in ["the", "a", "and", "of", "to"])
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(punct_ratio * 20.0, F.lit(1.0))) * 0.3
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_word_len": F.round(avg_word_len, 4),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "stop_ratio": F.round(stop_ratio, 6),
+        "quality_score": F.round(score, 6),
+    }
+
+
+def quality_sql(text_expr: str) -> dict:
+    t = text_expr
+    n_chars = f"CAST(length({t}) AS BIGINT)"
+    n_tokens = token_count_ws_sql(t)
+    padded = f"(' ' || {t} || ' ')"
+    stop_terms = " + ".join(
+        f"CAST((length({padded}) - length(replace({padded}, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for w in ["the", "a", "and", "of", "to"]
+    )
+    n_punct = f"CAST(length({t}) - length(regexp_replace({t}, '[\\.,;:!\\?]', '', 'g')) AS BIGINT)"
+    avg_word_len = f"CASE WHEN {n_tokens} > 0 THEN CAST({n_chars} AS DOUBLE) / {n_tokens} ELSE 0.0 END"
+    punct_ratio = f"CASE WHEN {n_chars} > 0 THEN CAST({n_punct} AS DOUBLE) / {n_chars} ELSE 0.0 END"
+    stop_ratio = f"CASE WHEN {n_tokens} > 0 THEN CAST(({stop_terms}) AS DOUBLE) / {n_tokens} ELSE 0.0 END"
+    score = (
+        f"(LEAST(CAST({n_tokens} AS DOUBLE) / 100.0, 1.0) * 0.4"
+        f" + LEAST(({stop_ratio}) * 10.0, 1.0) * 0.3"
+        f" + (1.0 - LEAST(({punct_ratio}) * 20.0, 1.0)) * 0.3)"
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_word_len": f"round({avg_word_len}, 4)",
+        "punct_ratio": f"round({punct_ratio}, 6)",
+        "stop_ratio": f"round({stop_ratio}, 6)",
+        "quality_score": f"round({score}, 6)",
+    }
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint
+# ---------------------------------------------------------------------------
+
+def fingerprint_col(text: Column) -> Column:
+    """Canonical-form fingerprint: md5 of lowercased, whitespace-collapsed
+    text (the exact-dedup key; SQL-identical in DuckDB)."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "))
+
+
+def fingerprint_sql(text_expr: str) -> str:
+    return f"md5(regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g'))"

@@ -1,0 +1,74 @@
+"""J4 — kRing kNN join (SURVEY.md §2.4): cell-bucketed top-k neighbors.
+
+Plan shape (built from Spark primitives only):
+1. encode each point's grid cell (pure SQL, codegen);
+2. LEFT side explodes its kRing (array expression, still codegen) — the
+   candidate generator;
+3. sort-merge equi-join candidates on the BIGINT neighbor-cell key;
+4. per-point ``Window.orderBy(dist², id).row_number() <= k`` top-k refine.
+
+Correctness contract (oracle-able): "k nearest by squared planar lon/lat
+distance among points within Chebyshev cell distance ``ring_k``, ties by
+neighbor id" — the exact same predicate is expressible in DuckDB SQL via the
+grid arithmetic, so the driver's hash-compare validates the whole pipeline.
+
+Scale: candidates per point ≈ ring area × density; choose ``res`` so cells
+hold O(10-100) points. Dense cells (skew) → AQE skew-join splits the
+oversized partitions; optionally pre-salt via operators/skew.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.cells_udfs import grid_cell_col, grid_kring_col
+
+__all__ = ["knn_join"]
+
+
+def knn_join(
+    points: DataFrame,
+    *,
+    id_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    k: int = 5,
+    res: int = 6,
+    ring_k: int = 1,
+    include_self: bool = False,
+) -> DataFrame:
+    """Self-kNN: for every point, its k nearest neighbors within ring_k
+    cells. Output: (id, neighbor_id, dist2, rank)."""
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(lon_col).alias("lon"),
+        F.col(lat_col).alias("lat"),
+    ).withColumn("cell_id", grid_cell_col(F.col("lon"), F.col("lat"), res))
+
+    left = pts.select(
+        "id",
+        "lon",
+        "lat",
+        F.explode(grid_kring_col(F.col("cell_id"), res, ring_k)).alias("nb_cell"),
+    )
+    right = pts.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("lon").alias("nb_lon"),
+        F.col("lat").alias("nb_lat"),
+        F.col("cell_id").alias("nb_cell"),
+    )
+    cand = left.join(right, on="nb_cell", how="inner")
+    if not include_self:
+        cand = cand.filter(F.col("id") != F.col("neighbor_id"))
+    # explicit multiplies (not pow) so the FP result is bit-identical to the
+    # DuckDB oracle's (a-b)*(a-b) evaluation
+    dlon = F.col("lon") - F.col("nb_lon")
+    dlat = F.col("lat") - F.col("nb_lat")
+    cand = cand.withColumn("dist2", dlon * dlon + dlat * dlat)
+    w = Window.partitionBy("id").orderBy(F.col("dist2").asc(), F.col("neighbor_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "neighbor_id", "dist2", "rank")
+    )

@@ -1,0 +1,123 @@
+"""J3/A6 — cell-equi tiling join + tile aggregation (SURVEY.md §2.4/§2.5).
+
+Scale design:
+* tile aggregates are plain ``groupBy(cell_id)`` hash aggregates — Catalyst
+  plans partial (map-side) + final automatically, so the shuffle carries one
+  row per (partition, cell), not per doc;
+* multi-resolution rollups re-aggregate PARENT tiles from the finest tiles
+  (sums/counts compose), never re-scanning the docs table — the second and
+  later resolutions cost O(#tiles), not O(#docs);
+* the cell-equi join (docs × polygon cover cells) is a sort-merge join on a
+  BIGINT key; dense-cell skew is handled by salting (operators/skew.py) and
+  AQE skew-join as backstop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..cells.grid import RES_SHIFT, X_SHIFT
+from ..functions.cells_udfs import grid_cell_col
+
+__all__ = ["tile_aggregate", "tile_rollup", "grid_parent_col", "cell_cover_df", "cell_equi_join"]
+
+
+def tile_aggregate(
+    docs: DataFrame,
+    cell_col: str = "cell_id",
+    count_distinct_col: str | None = None,
+) -> DataFrame:
+    """Per-cell doc counts (+ optional approx distinct) — partial+final hash
+    aggregate; one shuffle of pre-aggregated rows."""
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if count_distinct_col:
+        aggs.append(F.approx_count_distinct(count_distinct_col).alias("n_distinct"))
+    return docs.groupBy(cell_col).agg(*aggs)
+
+
+def grid_parent_col(cell: Column, child_res: int, parent_res: int) -> Column:
+    """Arithmetic parent derivation for the packed grid id (no re-encode from
+    lon/lat needed — pure integer ops on the tile table)."""
+    shift = child_res - parent_res
+    ix = F.floor((cell.cast("long") % F.lit(1 << RES_SHIFT)) / F.lit(1 << X_SHIFT)).cast("long")
+    iy = cell.cast("long") % F.lit(1 << X_SHIFT)
+    nix = F.shiftright(ix, shift)
+    niy = F.shiftright(iy, shift)
+    return (
+        F.lit(parent_res).cast("long") * F.lit(1 << RES_SHIFT)
+        + nix * F.lit(1 << X_SHIFT)
+        + niy
+    )
+
+
+def tile_rollup(
+    docs: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    resolutions: list,
+) -> DataFrame:
+    """Multi-res tile counts: aggregate ONCE at the finest resolution, then
+    derive coarser tiles by re-aggregating parents (raster→vector rollup,
+    A6). Output: (res, cell_id, n_docs)."""
+    finest = max(resolutions)
+    base = (
+        docs.select(grid_cell_col(F.col(lon_col), F.col(lat_col), finest).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    outs = [base.select(F.lit(finest).alias("res"), "cell_id", "n_docs")]
+    for res in sorted((r for r in resolutions if r != finest), reverse=True):
+        rolled = (
+            base.select(
+                grid_parent_col(F.col("cell_id"), finest, res).alias("cell_id"), "n_docs"
+            )
+            .groupBy("cell_id")
+            .agg(F.sum("n_docs").alias("n_docs"))
+        )
+        outs.append(rolled.select(F.lit(res).alias("res"), "cell_id", "n_docs"))
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result
+
+
+def cell_cover_df(spark, boundaries_pdf: pd.DataFrame, id_col: str, wkt_col: str, level: int, use_s2: bool = True) -> DataFrame:
+    """Polygon → covering-cell table (id, cell_id): the small side of the
+    tiling join, computed driver-side (boundary sets are small) and usable
+    either broadcast or sort-merge."""
+    from ..cells import s2 as s2mod
+    from ..cells.grid import grid_cell
+    from ..geom import parse_wkt
+
+    rows = []
+    for _, row in boundaries_pdf.iterrows():
+        g = parse_wkt(row[wkt_col])
+        for rings in g.parts:
+            if use_s2:
+                cells = s2mod.polygon_cover_cells(rings, level)
+            else:
+                ext = np.asarray(rings[0])
+                step = 180.0 / (1 << level)
+                xs = np.arange(ext[:, 0].min(), ext[:, 0].max() + step, step / 2)
+                ys = np.arange(ext[:, 1].min(), ext[:, 1].max() + step, step / 2)
+                gx, gy = np.meshgrid(xs, ys)
+                cells = np.unique(grid_cell(gx.ravel(), gy.ravel(), level))
+            for c in cells:
+                rows.append((row[id_col], int(c)))
+    pdf = pd.DataFrame(rows, columns=[id_col, "cell_id"]).drop_duplicates()
+    return spark.createDataFrame(pdf)
+
+
+def cell_equi_join(
+    docs_with_cell: DataFrame,
+    cover: DataFrame,
+    cell_col: str = "cell_id",
+    broadcast_cover: bool = True,
+) -> DataFrame:
+    """The tiling join: docs × polygon cover cells on the BIGINT cell key.
+    Broadcast when the cover fits (usual); else sort-merge on cell_id."""
+    right = F.broadcast(cover) if broadcast_cover else cover.repartition(cell_col)
+    return docs_with_cell.join(right, on=cell_col, how="inner")
