@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Bench harness — runs the headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+The flagship metric mirrors BASELINE.json: spatial-join + tiling throughput
+in docs/sec over the Common-Crawl-shaped ``web_documents`` table. Because
+sf0.1 ``documents`` is only 5k rows, the bench deterministically replicates
+it (SPARK_GRAFT_REPLICATE, default 100 → 500k docs; pure function of
+(doc_id, replica) — no RNG) so per-task overhead doesn't drown the signal
+and the two-parallelism scaling measurement (local[8] vs local[32], see
+BENCH/BASELINE.md) has real work to parallelize.
+
+Usage:
+    SPARK_GRAFT_CPUS=32 python bench.py
+    python bench.py --scaling        # run at 8 and 32 cores, print both +
+                                     # efficiency (writes BENCH/BASELINE.md data)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "100"))
+
+
+def bench_documents(spark, sf_dir: str, replicate: int):
+    """web_documents × replicate, each replica re-geocoded from its own url —
+    deterministic (doc_id, replica) → row, so every parallelism level sees
+    byte-identical input."""
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.functions.geocode import url_from_doc_id, geo_lon, geo_lat
+
+    docs = web_documents(spark, sf_dir)
+    if replicate <= 1:
+        return docs
+    n_base = 1_000_000_000  # offset stride keeps replica ids disjoint
+    reps = spark.range(replicate).select(F.col("id").alias("replica"))
+    big_id = (F.col("doc_id") + F.col("replica") * n_base).alias("doc_id")
+    url = url_from_doc_id(F.col("doc_id"), F.col("lang"))
+    return (
+        docs.select("doc_id", "lang", "text", "html", "warc_ts")
+        .crossJoin(reps)
+        .select(big_id, "lang", "text", "html", "warc_ts")
+        .withColumn("url", url)
+        .withColumn("lon", geo_lon(F.col("url")))
+        .withColumn("lat", geo_lat(F.col("url")))
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")) * 2)
+    )
+
+
+def _materialize(df) -> int:
+    """Force full computation; return row count (noop sink keeps it honest)."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def run_queries(spark, sf_dir: str) -> tuple[dict, dict]:
+    from geokitten_spark.fixtures import admin_rects_pdf
+    from geokitten_spark.operators.pip_join import pip_join
+    from geokitten_spark.operators.knn import knn_join
+    from geokitten_spark.operators.tile import tile_rollup
+    from geokitten_spark.functions.cells_udfs import grid_cell_col, s2_cell
+    import __spark_entry__ as entrymod
+
+    docs = bench_documents(spark, sf_dir, REPLICATE).cache()
+    n_docs = docs.count()  # warm cache + input size for throughput
+
+    timings: dict[str, float] = {}
+    extra: dict = {"n_docs": n_docs, "replicate": REPLICATE}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # flagship: geocode → PIP join vs 25 admin rects → s2 + grid encode →
+    # per-(region, tile) aggregate
+    def flagship():
+        located = pip_join(
+            docs.select("doc_id", "url", "lang", "lon", "lat"),
+            admin_rects_pdf(),
+            id_col="n_nationkey",
+            wkt_col="geometry_wkt",
+        )
+        tiled = located.withColumn(
+            "cell_id", grid_cell_col(F.col("lon"), F.col("lat"), 7)
+        ).withColumn("s2_cell", s2_cell(9)(F.col("lon"), F.col("lat")))
+        agg = tiled.groupBy("n_nationkey", "cell_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.approx_count_distinct("s2_cell").alias("n_s2_cells"),
+        )
+        _materialize(agg)
+
+    timed("flagship_pip_tile", flagship)
+    extra["docs_per_sec"] = round(n_docs / timings["flagship_pip_tile"], 1)
+
+    timed(
+        "s2_tile_agg",
+        lambda: _materialize(
+            docs.select(s2_cell(9)(F.col("lon"), F.col("lat")).alias("c"))
+            .groupBy("c")
+            .count()
+        ),
+    )
+    timed(
+        "tile_rollup",
+        lambda: _materialize(tile_rollup(docs, "lon", "lat", [3, 5, 7])),
+    )
+    timed(
+        "knn",
+        lambda: _materialize(
+            knn_join(
+                docs.filter(F.col("lang") == "de"), id_col="doc_id", k=3, res=5, ring_k=1
+            )
+        ),
+    )
+
+    # the TPC-H-ish relational headliners on the driver tables
+    Q = entrymod.queries()
+    for name in ("tpch_q1", "tpch_q3_topk", "ann_cosine_topk", "token_stats",
+                 "dedup_exact", "events_hourly"):
+        timed(name, lambda n=name: _materialize(Q[n](spark, sf_dir)))
+
+    docs.unpersist()
+    return timings, extra
+
+
+def run_once(cpus: int) -> dict:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from geokitten_spark.session import get_spark
+
+    spark = get_spark(app_name=f"geokitten-bench-{cpus}", master=f"local[{cpus}]")
+    try:
+        timings, extra = run_queries(spark, SF_DIR)
+    finally:
+        spark.stop()
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    return {
+        "metric": "headline query suite wall time (flagship spatial-join+tiling throughput in docs_per_sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        **extra,
+    }
+
+
+def main():
+    if "--scaling" in sys.argv:
+        results = {}
+        for cpus in (8, 32):
+            r = run_once(cpus)
+            results[f"local[{cpus}]"] = r
+            print(json.dumps(r), file=sys.stderr)
+        t8 = results["local[8]"]["docs_per_sec"]
+        t32 = results["local[32]"]["docs_per_sec"]
+        eff = round(t32 / (4.0 * t8), 3)
+        out = {
+            "metric": "scaling efficiency docs_per_sec(local[32]) / (4 x docs_per_sec(local[8]))",
+            "value": eff,
+            "unit": "ratio",
+            "throughput_local8": t8,
+            "throughput_local32": t32,
+            "runs": results,
+        }
+        print(json.dumps(out))
+        return
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run_once(cpus)))
+
+
+if __name__ == "__main__":
+    main()
