@@ -252,7 +252,49 @@ def q_extract_invariant(spark, sf_dir):
     )
 
 
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash+LSH near-dup pairs over the injected-near-dup corpus
+    (word-3-gram shingles, 8 hashes, 4 bands, Jaccard >= 0.7 verify)."""
+    from geokitten_spark.fixtures import neardup_corpus
+    from geokitten_spark.operators.dedup import minhash_neardup
+
+    return minhash_neardup(neardup_corpus(spark, sf_dir))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (60-bit, 4-band pigeonhole, Hamming <= 3)."""
+    from geokitten_spark.fixtures import neardup_corpus
+    from geokitten_spark.operators.dedup import simhash_neardup
+
+    return simhash_neardup(neardup_corpus(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Char-4-gram Jaccard near-dup pairs, prefix-blocked."""
+    from geokitten_spark.fixtures import neardup_corpus
+    from geokitten_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(neardup_corpus(spark, sf_dir))
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (brute-force exact baseline)."""
+    from geokitten_spark.fixtures import embedding_neardup_corpus
+    from geokitten_spark.operators.dedup import embedding_neardup
+
+    return embedding_neardup(embedding_neardup_corpus(spark, sf_dir))
+
+
 # -- rows-only-checked queries (non-SQL-expressible kernels) ---------------
+
+
+def q_embed_neardup_lsh(spark, sf_dir):
+    """Sign-LSH bucketed embedding near-dup (scale path; approximate recall
+    — rows-only here, recall vs brute force covered in pytest)."""
+    from geokitten_spark.fixtures import embedding_neardup_corpus
+    from geokitten_spark.operators.dedup import embedding_neardup_lsh
+
+    return embedding_neardup_lsh(embedding_neardup_corpus(spark, sf_dir))
 
 def q_s2_tile_agg(spark, sf_dir):
     """F12/A6 on true S2 cells (level 8) — numpy kernel in pandas UDF;
@@ -313,6 +355,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": q_lang_quality,
         "token_stats": q_token_stats,
         "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "embed_neardup": q_embed_neardup,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "events_hourly": q_events_hourly,
         "extract_invariant": q_extract_invariant,
@@ -341,7 +388,16 @@ def oracle_sql() -> dict[str, str]:
         token_count_bpeish_sql,
         fingerprint_sql,
     )
-    from geokitten_spark.fixtures import admin_rects_sql_parts
+    from geokitten_spark.fixtures import (
+        admin_rects_sql_parts,
+        neardup_corpus_cte,
+        embedding_neardup_corpus_cte,
+    )
+    from geokitten_spark.operators.dedup import (
+        minhash_neardup_sql,
+        simhash_neardup_sql,
+        ngram_jaccard_sql,
+    )
 
     cte = _webdocs_cte()
     rect = admin_rects_sql_parts()
@@ -459,6 +515,19 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
             FROM documents
             GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "dedup_minhash": minhash_neardup_sql(neardup_corpus_cte()),
+        "dedup_simhash": simhash_neardup_sql(neardup_corpus_cte()),
+        "dedup_ngram_jaccard": ngram_jaccard_sql(neardup_corpus_cte()),
+        "embed_neardup": f"""
+            WITH {embedding_neardup_corpus_cte()}
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id
+            WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+                                          i -> a.embedding[i] * b.embedding[i]))
+                  / (sqrt(list_sum(list_transform(a.embedding, x -> x * x)))
+                     * sqrt(list_sum(list_transform(b.embedding, x -> x * x))))
+                  >= 0.99
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),

@@ -32,6 +32,10 @@ from .functions.geocode import (
 __all__ = [
     "web_documents",
     "web_documents_sql",
+    "neardup_corpus",
+    "neardup_corpus_cte",
+    "embedding_neardup_corpus",
+    "embedding_neardup_corpus_cte",
     "admin_polygons_pdf",
     "admin_polygons",
     "admin_rects_sql_parts",
@@ -95,6 +99,68 @@ def web_documents_sql() -> str:
             {geo_lat_sql(url)} AS lat
         FROM documents
     """
+
+
+# ---------------------------------------------------------------------------
+# near-dup corpora — documents/embeddings ∪ deterministically mutated copies
+# (the driver tables contain no near-duplicates; these twins inject known
+# positives so dedup operators have something to find, identically in both
+# engines)
+# ---------------------------------------------------------------------------
+
+_NEARDUP_TAIL = " near dup tail marker"
+_NEARDUP_STRIDE = 10
+_NEARDUP_ID_OFFSET = 1_000_000
+
+
+def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ suffix-mutated copies of every 10th doc (id + 1e6)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    mut = docs.filter(F.col("doc_id") % _NEARDUP_STRIDE == 0).select(
+        (F.col("doc_id") + _NEARDUP_ID_OFFSET).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_NEARDUP_TAIL)).alias("text"),
+    )
+    return docs.unionByName(mut)
+
+
+def neardup_corpus_cte() -> str:
+    """DuckDB CTE body `corpus AS (...)` producing the identical table."""
+    return f"""corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_NEARDUP_ID_OFFSET} AS doc_id,
+               text || '{_NEARDUP_TAIL}' AS text
+        FROM documents WHERE doc_id % {_NEARDUP_STRIDE} = 0
+    )"""
+
+
+def embedding_neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed copies of every 10th vector (first component
+    scaled 1.05 AFTER the float→double cast, so both engines see identical
+    doubles)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    mut = emb.filter(F.col("vec_id") % _NEARDUP_STRIDE == 0).select(
+        (F.col("vec_id") + _NEARDUP_ID_OFFSET).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x * 1.05).otherwise(x),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(mut)
+
+
+def embedding_neardup_corpus_cte() -> str:
+    return f"""ecorpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_NEARDUP_ID_OFFSET} AS vec_id,
+               list_transform(generate_series(1, len(v)),
+                              i -> CASE WHEN i = 1 THEN v[i] * 1.05 ELSE v[i] END) AS embedding
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        WHERE vec_id % {_NEARDUP_STRIDE} = 0
+    )"""
 
 
 # ---------------------------------------------------------------------------
@@ -204,6 +270,37 @@ def admin_rects_pdf() -> pd.DataFrame:
             f"{lon1:.7f} {lat1:.7f}, {lon1:.7f} {lat0:.7f}, {lon0:.7f} {lat0:.7f}))"
         )
         rows.append({"n_nationkey": key, "geometry_wkt": wkt})
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------------
+# bench boundaries — 200 world-covering jittered 24-gons (seed 42)
+# ---------------------------------------------------------------------------
+
+def bench_boundaries_pdf(n_cols: int = 20, n_rows: int = 10, n_vertices: int = 24) -> pd.DataFrame:
+    """Realistic admin-boundary proxy for the flagship bench: 200 large
+    overlapping 24-vertex polygons tiling the geocode domain, so nearly
+    every doc point hits 1-4 candidate polygons and each PIP test ray-casts
+    ~24 edges (the north_rule's 'admin-boundary polygon broadcast' shape)."""
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(n_cols * n_rows):
+        cx = -180.0 + (i % n_cols) * (360.0 / n_cols) + 180.0 / n_cols
+        cy = -60.0 + (i // n_cols) * (130.0 / n_rows) + 65.0 / n_rows
+        base_r = 1.3 * 180.0 / n_cols  # overlap neighbors
+        jit = rng.uniform(0.8, 1.2, size=n_vertices)
+        pts = []
+        for v in range(n_vertices):
+            a = 2.0 * math.pi * v / n_vertices
+            r = base_r * jit[v]
+            pts.append((cx + r * math.cos(a), cy + 0.72 * r * math.sin(a)))
+        pts.append(pts[0])
+        rows.append(
+            {
+                "region_key": i,
+                "geometry_wkt": "POLYGON (" + _ring_wkt(pts) + ")",
+            }
+        )
     return pd.DataFrame(rows)
 
 

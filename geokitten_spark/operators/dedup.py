@@ -1,0 +1,537 @@
+"""Deduplication operators for the web-text pipeline.
+
+Four dedup families, each Spark-first and (where the math is
+SQL-expressible) oracle-checkable against DuckDB with the *identical*
+algorithm — same hash function, same shingling, same banding:
+
+* exact dedup — hash-groupBy on a canonical-form fingerprint
+  (``functions.text.fingerprint_col``; query `dedup_exact`);
+* MinHash + LSH near-dup — word-shingle minhash signatures, banded bucket
+  join for candidates, exact Jaccard verify (``minhash_neardup``);
+* SimHash near-dup — 60-bit simhash, pigeonhole band blocking, Hamming
+  verify (``simhash_neardup``);
+* embedding-cosine near-dup — brute-force baseline (``embedding_neardup``)
+  plus a sign-LSH bucketed scale path (``embedding_neardup_lsh``).
+
+Shared 60-bit hash: ``H(x) = int(md5(x)[:15 hex], 16)`` — Spark
+``conv(substring(md5(x),1,15),16,10)`` == DuckDB
+``CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)``: positive, fits BIGINT,
+byte-identical across engines, so every candidate set and verdict matches
+the oracle exactly (no RNG anywhere).
+
+Scale notes (10^12 rows): everything here is shuffle-on-bigint-keys.
+Minhash signatures are computed per-row from array expressions (codegen,
+no explode of shingles through a shuffle); only the banded bucket join
+shuffles, keyed by (band, h1, h2) — high-cardinality and uniform by
+construction (md5), so no skew. Jaccard verify happens per candidate pair
+with both shingle arrays already co-located (array_intersect — no second
+shuffle). Self-joins prune a<b to halve the pair space.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hash60",
+    "hash60_sql",
+    "word_shingles",
+    "word_shingles_sql",
+    "minhash_signature",
+    "minhash_signature_sql",
+    "minhash_neardup",
+    "minhash_neardup_sql",
+    "simhash_col",
+    "simhash_sql",
+    "simhash_neardup",
+    "simhash_neardup_sql",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_sql",
+    "embedding_neardup",
+    "embedding_neardup_lsh",
+]
+
+SIM_BITS = 60  # md5-prefix hash width (fits signed BIGINT in both engines)
+
+
+# ---------------------------------------------------------------------------
+# shared hash
+# ---------------------------------------------------------------------------
+
+def hash60(c: Column) -> Column:
+    """60-bit positive BIGINT hash of a string column, engine-portable."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}),1,15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of lowercased whitespace-split text.
+
+    Pure array expressions (codegen) — the shingle array stays inside the
+    row; no explode, no shuffle.
+    """
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
+    )
+    # sequence(0, k-1) DESCENDS when k<=0 (Spark semantics) — guard to empty
+    return F.when(k > 0, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_shingles_sql(words_alias: str = "w", n: int = 3) -> str:
+    """DuckDB twin of word_shingles as an expression over a pre-split word
+    list aliased ``words_alias`` (1-based indexing; generate_series(1,0)
+    is empty in DuckDB, so no guard needed)."""
+    w = words_alias
+    parts = " || ' ' || ".join(f"{w}[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(list_transform(generate_series(1, len({w}) - {n - 1}), "
+        f"i -> {parts}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles: Column, n_hashes: int = 8) -> list[Column]:
+    """n_hashes minhash values: min over shingles of H60(seed ':' shingle).
+
+    Array-expression form — per-row, no shuffle; empty shingle set → null.
+    """
+    return [
+        F.array_min(
+            F.transform(shingles, lambda s: hash60(F.concat(F.lit(f"{seed}:"), s)))
+        ).alias(f"mh{seed}")
+        for seed in range(n_hashes)
+    ]
+
+
+def minhash_signature_sql(shingles_expr: str, n_hashes: int = 8) -> list[str]:
+    out = []
+    for seed in range(n_hashes):
+        h = hash60_sql(f"'{seed}:' || s")
+        out.append(f"list_min(list_transform({shingles_expr}, s -> {h}))")
+    return out
+
+
+def minhash_neardup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
+
+    Returns (doc_a, doc_b, jaccard-passed pairs with doc_a < doc_b).
+    Candidates: pairs agreeing on ALL rows of at least one band.
+    Verify: exact Jaccard of the distinct shingle sets >= threshold.
+    """
+    rows_per_band = n_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("sh"),
+    ).select("doc_id", "sh", *minhash_signature(F.col("sh"), n_hashes))
+
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                "sh",
+                F.lit(b).alias("band"),
+                F.concat_ws(",", *[c.cast("string") for c in cols]).alias("bkey"),
+            )
+        )
+    banded = band_rows[0]
+    for br in band_rows[1:]:
+        banded = banded.unionByName(br)
+
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "bkey"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, on=["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
+def minhash_neardup_sql(
+    corpus_cte: str,
+    *,
+    shingle_n: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> str:
+    """DuckDB twin of minhash_neardup over a CTE named `corpus`
+    (doc_id, text)."""
+    rows_per_band = n_hashes // bands
+    sh = word_shingles_sql("w", shingle_n)
+    mh = minhash_signature_sql("sh", n_hashes)
+    mh_cols = ", ".join(f"{e} AS mh{i}" for i, e in enumerate(mh))
+    band_selects = []
+    for b in range(bands):
+        key = " || ',' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, sh, {b} AS band, {key} AS bkey FROM sig"
+        )
+    return f"""
+        WITH {corpus_cte},
+        shingled AS (
+            SELECT doc_id, {sh} AS sh
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                  FROM corpus)
+        ),
+        sig AS (SELECT doc_id, sh, {mh_cols} FROM shingled),
+        banded AS ({' UNION ALL '.join(band_selects)}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sh AS sh_a, b.sh AS sh_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b FROM cand
+        WHERE CASE WHEN len(list_distinct(sh_a || sh_b)) > 0
+                   THEN CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE)
+                        / len(list_distinct(sh_a || sh_b))
+                   ELSE 0.0 END >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_col(text: Column, bits: int = SIM_BITS) -> Column:
+    """60-bit SimHash over whitespace tokens (per-occurrence weighting).
+
+    bit b of the fingerprint = majority sign of bit b across token hashes.
+    Built from array expressions: tokens → hashes (array), then per-bit
+    popcount via aggregate() — all codegen, no explode/shuffle.
+    """
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    hashes = F.transform(words, lambda w: hash60(w))
+    n = F.size(hashes)
+
+    def bit_ones(b: int) -> Column:
+        # NB: pyspark inspects lambda arity — keep exactly (acc, elem)
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda s, h: s + F.shiftright(h, b).bitwiseAND(F.lit(1)),
+        )
+
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        ones = bit_ones(b)
+        # bit set iff ones > zeros  <=>  2*ones > n
+        acc = acc + F.when(ones * 2 > n, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return acc
+
+
+def simhash_sql(hashes_alias: str = "hs", bits: int = SIM_BITS) -> str:
+    """DuckDB simhash expression over a token-hash list aliased
+    ``hashes_alias`` (build it with list_transform + hash60_sql)."""
+    hs = hashes_alias
+    terms = []
+    for b in range(bits):
+        ones = f"list_sum(list_transform({hs}, h -> (h >> {b}) & 1))"
+        terms.append(f"(CASE WHEN {ones} * 2 > len({hs}) THEN {1 << b}::BIGINT ELSE 0 END)")
+    total = " + ".join(terms)
+    return f"CAST({total} AS BIGINT)"
+
+
+def simhash_neardup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole blocking: split the fingerprint into ``bands`` contiguous
+    bit-slices; any pair within Hamming<=bands-1 must agree exactly on at
+    least one slice, so the candidate join is an equi-join on
+    (band, slice-value) — a uniform bigint shuffle key.
+    """
+    assert max_hamming < bands, "pigeonhole requires bands > max_hamming"
+    width = SIM_BITS // bands
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("sim")
+    )
+    slices = []
+    for b in range(bands):
+        mask = (1 << width) - 1
+        slices.append(
+            sh.select(
+                "doc_id",
+                "sim",
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("sim"), b * width).bitwiseAND(F.lit(mask)).alias("bkey"),
+            )
+        )
+    banded = slices[0]
+    for s in slices[1:]:
+        banded = banded.unionByName(s)
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "band", "bkey")
+    b2 = banded.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "band", "bkey")
+    cand = (
+        a.join(b2, on=["band", "bkey"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_neardup_sql(
+    corpus_cte: str, *, max_hamming: int = 3, bands: int = 4
+) -> str:
+    width = SIM_BITS // bands
+    mask = (1 << width) - 1
+    hashes = (
+        f"list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"w -> {hash60_sql('w')})"
+    )
+    sim = simhash_sql("hs")
+    band_selects = [
+        f"SELECT doc_id, sim, {b} AS band, (sim >> {b * width}) & {mask} AS bkey FROM sh"
+        for b in range(bands)
+    ]
+    return f"""
+        WITH {corpus_cte},
+        hashed AS (SELECT doc_id, {hashes} AS hs FROM corpus),
+        sh AS (SELECT doc_id, {sim} AS sim FROM hashed),
+        banded AS ({' UNION ALL '.join(band_selects)}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.sim AS sim_a, b.sim AS sim_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+    """
+
+
+# ---------------------------------------------------------------------------
+# char n-gram Jaccard (prefix-blocked)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+    prefix_len: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Char n-gram Jaccard near-dup pairs, blocked on the text's
+    ``prefix_len``-char canonical prefix (cheap high-recall blocking for
+    suffix-mutation near-dups; compose with minhash for general recall).
+
+    Entirely SQL-expressible → oracle-checked.
+    """
+    t = f"lower(trim({text_col}))"
+    # guard: sequence(1, k) DESCENDS for k<1 in Spark — emit empty instead
+    grams = (
+        f"CASE WHEN length({t}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, length({t}) - {n - 1}), "
+        f"i -> substring({t}, i, {n}))) ELSE array() END"
+    )
+    g = docs.selectExpr(
+        f"{id_col} AS doc_id",
+        f"substring({t}, 1, {prefix_len}) AS blk",
+        f"{grams} AS ng",
+    )
+    a = g.select(F.col("doc_id").alias("doc_a"), F.col("ng").alias("ng_a"), "blk")
+    b = g.select(F.col("doc_id").alias("doc_b"), F.col("ng").alias("ng_b"), "blk")
+    cand = a.join(b, on="blk").filter(F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("ng_a", "ng_b")).cast("double")
+    union = F.size(F.array_union("ng_a", "ng_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    # floor, not cast: Spark's double→long cast truncates but DuckDB's rounds
+    return (
+        cand.withColumn("jacc_pm", F.floor(jac * 1000).cast("long"))
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", "jacc_pm")
+    )
+
+
+def ngram_jaccard_sql(
+    corpus_cte: str, *, n: int = 4, prefix_len: int = 16, threshold: float = 0.8
+) -> str:
+    t = "lower(trim(text))"
+    grams = (
+        f"list_distinct(list_transform(generate_series(1, greatest(length({t}) - {n - 1}, 0)), "
+        f"i -> substr({t}, i, {n})))"
+    )
+    return f"""
+        WITH {corpus_cte},
+        g AS (SELECT doc_id, substr({t}, 1, {prefix_len}) AS blk, {grams} AS ng FROM corpus),
+        cand AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ng AS ng_a, b.ng AS ng_b
+            FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+            SELECT doc_a, doc_b,
+                   CASE WHEN len(list_distinct(ng_a || ng_b)) > 0
+                        THEN CAST(len(list_intersect(ng_a, ng_b)) AS DOUBLE)
+                             / len(list_distinct(ng_a || ng_b))
+                        ELSE 0.0 END AS jac
+            FROM cand
+        )
+        SELECT doc_a, doc_b, CAST(FLOOR(jac * 1000) AS BIGINT) AS jacc_pm
+        FROM scored WHERE jac >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def embedding_neardup(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Brute-force cosine near-dup pairs (the exact baseline).
+
+    O(n²) — correct at any scale but quadratic; use the LSH variant as the
+    scale path and this as its recall oracle on samples.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    a = v.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return pairs.filter(sim >= threshold).select("vec_a", "vec_b")
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Sign-LSH bucketed near-dup: deterministic random-hyperplane signature
+    (md5-derived plane components — no RNG), banded candidate join, exact
+    cosine verify. Approximate recall (<1); rows-only checked, with the
+    brute-force operator as the sample oracle in tests."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    rows_per_band = n_planes // bands
+
+    def _planes(dim: int) -> "np.ndarray":
+        out = np.empty((n_planes, dim), dtype=np.float64)
+        for p in range(n_planes):
+            for d in range(dim):
+                h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+                out[p, d] = (h % 2001 - 1000) / 1000.0
+        return out
+
+    @pandas_udf(LongType())
+    def signature(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype="int64")
+        planes = _planes(mat.shape[1])
+        signs = (mat @ planes.T) > 0  # (n, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs * weights).sum(axis=1).astype(np.int64))
+
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("sig", signature(F.col("v")))
+
+    mask = (1 << rows_per_band) - 1
+    slices = []
+    for bnd in range(bands):
+        slices.append(
+            v.select(
+                "vid",
+                "v",
+                F.lit(bnd).alias("band"),
+                F.shiftright(F.col("sig"), bnd * rows_per_band)
+                .bitwiseAND(F.lit(mask))
+                .alias("bkey"),
+            )
+        )
+    banded = slices[0]
+    for s in slices[1:]:
+        banded = banded.unionByName(s)
+    a = banded.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), "band", "bkey")
+    b = banded.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), "band", "bkey")
+    cand = (
+        a.join(b, on=["band", "bkey"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return cand.filter(sim >= threshold).select("vec_a", "vec_b")

@@ -93,23 +93,34 @@ def pip_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     how: str = "inner",
+    s2_cells: dict | None = None,
 ) -> DataFrame:
     """Join docs (lon/lat) to boundary polygons via broadcast R-tree + exact
     ray-casting PIP. Returns docs columns + the boundary id column.
 
     ``how``: 'inner' drops unmatched docs; 'left' keeps them with null id.
+    ``s2_cells``: optional ``{out_col: s2_level}`` — S2 cell ids computed in
+    the SAME Python pass (one Arrow exchange instead of two; at 10^12 rows
+    every extra executor↔Python round trip is a full-table serialization).
     """
     spark = docs.sparkSession
     index = BoundaryIndex(boundaries_pdf[id_col].tolist(), boundaries_pdf[wkt_col].tolist())
     bc = spark.sparkContext.broadcast(index)
     id_type = StringType() if boundaries_pdf[id_col].dtype == object else LongType()
-    out_schema = StructType(docs.schema.fields + [StructField(id_col, id_type, True)])
+    extra_fields = [StructField(c, LongType(), True) for c in (s2_cells or {})]
+    out_schema = StructType(
+        docs.schema.fields + [StructField(id_col, id_type, True)] + extra_fields
+    )
 
     left = how == "left"
+    s2_spec = dict(s2_cells or {})
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx: BoundaryIndex = bc.value
         ids = np.asarray(idx.ids, dtype=object)
+        if s2_spec:
+            from ..cells.s2 import lat_lng_to_cell
+
         for pdf in batches:
             lons = pdf[lon_col].to_numpy(np.float64)
             lats = pdf[lat_col].to_numpy(np.float64)
@@ -122,6 +133,14 @@ def pip_join(
                 rest = pdf.loc[unmatched_mask].copy()
                 rest[id_col] = None
                 matched = pd.concat([matched, rest], ignore_index=True)
+            for out_col, level in s2_spec.items():
+                matched[out_col] = np.asarray(
+                    lat_lng_to_cell(
+                        matched[lat_col].to_numpy(np.float64),
+                        matched[lon_col].to_numpy(np.float64),
+                        level,
+                    )
+                ).astype("int64")
             yield matched
 
     return docs.mapInPandas(run, schema=out_schema)

@@ -20,7 +20,7 @@ DEFAULT_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow-batched Python exchange for all pandas UDFs.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "32768",
     # Boundary tables (≤ a few hundred MB of polygons at planet scale per
     # admin level) broadcast; docs-side never does.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),

@@ -1,0 +1,116 @@
+"""Dedup operator unit + property tests (oracle parity itself is covered by
+test_oracle_queries via the driver-contract queries)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geokitten_spark.operators.dedup import (
+    hash60,
+    hash60_sql,
+    word_shingles,
+    minhash_neardup,
+    simhash_col,
+    simhash_neardup,
+    ngram_jaccard_pairs,
+    embedding_neardup,
+    embedding_neardup_lsh,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_hash60_matches_python_and_duckdb(spark):
+    import duckdb
+
+    vals = ["", "a", "hello world", "Ünïcødé", "0:the quick brown"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = [r[0] for r in df.select(hash60(F.col("s"))).collect()]
+    assert got == [_py_hash60(v) for v in vals]
+    duck = [
+        duckdb.sql(f"SELECT {hash60_sql('?')}".replace("?", f"'{v}'")).fetchone()[0]
+        for v in vals
+    ]
+    assert got == duck
+
+
+def test_word_shingles_short_text(spark):
+    df = spark.createDataFrame(
+        [("one two three four",), ("one two",), ("",), ("solo",)], ["text"]
+    )
+    rows = df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()
+    assert rows[0].sh == ["one two three", "two three four"]
+    assert rows[1].sh == []  # fewer words than n -> empty, NOT descending seq
+    assert rows[2].sh == []
+    assert rows[3].sh == []
+
+
+def test_minhash_finds_planted_pair(spark):
+    base = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra tail tokens here"),
+            (3, " ".join(f"z{i}" for i in range(50))),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_neardup(df).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_stability_and_locality(spark):
+    base = " ".join(f"w{i}" for i in range(100))
+    near = base + " tail"
+    far = " ".join(f"z{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.s for r in df.select("doc_id", simhash_col(F.col("text")).alias("s")).collect()}
+    assert got[1] == got[2]  # deterministic
+    ham_near = bin(got[1] ^ got[3]).count("1")
+    ham_far = bin(got[1] ^ got[4]).count("1")
+    assert ham_near < ham_far
+    assert 0 <= got[1] < (1 << 60)
+
+
+def test_simhash_neardup_planted(spark):
+    base = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " x"), (3, " ".join(f"z{i}" for i in range(100)))],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_neardup(df).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] <= 3
+
+
+def test_ngram_jaccard_planted(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs away fast"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " tail"), (3, "completely different content here")],
+        ["doc_id", "text"],
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(df).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_embedding_lsh_recall_vs_bruteforce(spark):
+    """Sign-LSH candidates must recover every brute-force pair on the
+    injected corpus (perturbation is tiny -> signatures agree on >=1 band)."""
+    from geokitten_spark.fixtures import embedding_neardup_corpus
+
+    emb = embedding_neardup_corpus(spark, SF_SMOKE)
+    exact = {tuple(r) for r in embedding_neardup(emb).collect()}
+    lsh = {tuple(r) for r in embedding_neardup_lsh(emb).collect()}
+    assert lsh <= exact or exact <= lsh  # lsh ⊆ exact by construction
+    assert len(exact) > 0
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9
