@@ -107,7 +107,28 @@ def run_queries(spark, sf_dir: str, flagship_only: bool = False) -> tuple[dict, 
 
     flagship()  # warmup: Python worker pool spawn + codegen, excluded
     timed("flagship_pip_tile", flagship, reps=3)
-    extra["docs_per_sec"] = round(n_docs / timings["flagship_pip_tile"], 1)
+
+    # cover-refine variant: interior-cell docs match in pure JVM; only
+    # boundary-cell docs cross the Arrow exchange (the 10^12-row design)
+    from geokitten_spark.operators.pip_join import PolygonCover
+    from geokitten_spark.fixtures import bench_boundaries_pdf
+
+    cover = PolygonCover(
+        spark, bench_boundaries_pdf(), id_col="region_key", wkt_col="geometry_wkt",
+        res=10,
+    )
+
+    def flagship_cover():
+        located = cover.join(docs.select("lon", "lat"))
+        tiled = located.withColumn(
+            "cell_id", grid_cell_col(F.col("lon"), F.col("lat"), 7)
+        )
+        _materialize(
+            tiled.groupBy("region_key", "cell_id").agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    timed("flagship_cover_refine", flagship_cover, reps=3)
+    extra["docs_per_sec"] = round(n_docs / timings["flagship_cover_refine"], 1)
 
     if flagship_only:  # --scaling measures only the BASELINE.json metric
         docs.unpersist()
@@ -171,27 +192,105 @@ def run_once(cpus: int, flagship_only: bool = False) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# --scaling: N vs 4N cores on the flagship cover-refine join (BASELINE.json
+# two-cluster-size criterion, sandbox form). Protocol (see BENCH/BASELINE.md):
+# 200M-doc parquet snapshot generated once; legs interleaved across two
+# passes (the host VM shows CPU-steal bursts — interleaving keeps one noisy
+# window from poisoning a leg); best-of reported per leg with steal%.
+# local[2] vs local[8] keeps JVM threads + Python workers under the 32-vCPU
+# budget at BOTH sizes (local[16]/local[32] oversubscribe: each task holds a
+# JVM thread AND a Python worker).
+# ---------------------------------------------------------------------------
+
+SCALING_SNAPSHOT = "/tmp/geokitten_bench_docs_200m.parquet"
+SCALING_LEGS = (2, 8)
+
+
+def _steal_sample():
+    return list(map(int, open("/proc/stat").readline().split()[1:9]))
+
+
+def _ensure_snapshot() -> int:
+    import os as _os
+
+    replicate = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "40000"))
+    n_rows = 5000 * replicate
+    if not _os.path.exists(SCALING_SNAPSHOT):
+        os.environ["SPARK_GRAFT_CPUS"] = "16"
+        from geokitten_spark.session import get_spark
+
+        spark = get_spark(app_name="bench-snapshot", master="local[16]")
+        bench_documents(spark, SF_DIR, replicate).select("lon", "lat").write.mode(
+            "overwrite"
+        ).parquet(SCALING_SNAPSHOT)
+        spark.stop()
+    return n_rows
+
+
+def _scaling_leg(cpus: int, n_rows: int, reps: int) -> list[dict]:
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from geokitten_spark.session import get_spark
+    from geokitten_spark.fixtures import bench_boundaries_pdf
+    from geokitten_spark.operators.pip_join import PolygonCover
+    from geokitten_spark.functions.cells_udfs import grid_cell_col
+
+    spark = get_spark(app_name=f"scaling-{cpus}", master=f"local[{cpus}]")
+    out = []
+    try:
+        docs = spark.read.parquet(SCALING_SNAPSHOT)
+        cover = PolygonCover(
+            spark, bench_boundaries_pdf(), id_col="region_key",
+            wkt_col="geometry_wkt", res=10,
+        )
+
+        def run():
+            located = cover.join(docs)
+            _materialize(
+                located.withColumn(
+                    "cell_id", grid_cell_col(F.col("lon"), F.col("lat"), 7)
+                )
+                .groupBy("region_key", "cell_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+
+        for _ in range(reps):
+            a = _steal_sample()
+            t0 = time.monotonic()
+            run()
+            dt = time.monotonic() - t0
+            b = _steal_sample()
+            d = [y - x for x, y in zip(a, b)]
+            steal = round(100 * d[7] / max(1, sum(d)), 1)
+            out.append(
+                {"sec": round(dt, 2), "docs_per_sec": round(n_rows / dt, 1), "steal_pct": steal}
+            )
+    finally:
+        spark.stop()
+    return out
+
+
 def main():
     if "--scaling" in sys.argv:
-        # scaling evidence needs enough work per task that compute dominates
-        # scheduling/exchange overhead — 4x the default input
-        global REPLICATE
-        REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALING_REPLICATE", "400"))
-        results = {}
-        for cpus in (8, 32):
-            r = run_once(cpus, flagship_only=True)
-            results[f"local[{cpus}]"] = r
-            print(json.dumps(r), file=sys.stderr)
-        t8 = results["local[8]"]["docs_per_sec"]
-        t32 = results["local[32]"]["docs_per_sec"]
-        eff = round(t32 / (4.0 * t8), 3)
+        n_rows = _ensure_snapshot()
+        runs: dict[str, list] = {f"local[{c}]": [] for c in SCALING_LEGS}
+        for _pass in range(2):  # interleave legs across passes
+            for cpus in SCALING_LEGS:
+                runs[f"local[{cpus}]"].extend(_scaling_leg(cpus, n_rows, reps=2))
+        best = {
+            leg: max(r["docs_per_sec"] for r in reps) for leg, reps in runs.items()
+        }
+        lo, hi = (f"local[{SCALING_LEGS[0]}]", f"local[{SCALING_LEGS[1]}]")
+        ratio = SCALING_LEGS[1] / SCALING_LEGS[0]
+        eff = round(best[hi] / (ratio * best[lo]), 3)
         out = {
-            "metric": "scaling efficiency docs_per_sec(local[32]) / (4 x docs_per_sec(local[8]))",
+            "metric": f"scaling efficiency docs_per_sec({hi}) / ({ratio:.0f} x docs_per_sec({lo}))",
             "value": eff,
             "unit": "ratio",
-            "throughput_local8": t8,
-            "throughput_local32": t32,
-            "runs": results,
+            "throughput_n": best[lo],
+            "throughput_4n": best[hi],
+            "n_docs": n_rows,
+            "runs": runs,
         }
         print(json.dumps(out))
         return

@@ -29,7 +29,7 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from ..geom import parse_wkt, points_in_rings
 from ..geom.rtree import STRtree
 
-__all__ = ["BoundaryIndex", "pip_join"]
+__all__ = ["BoundaryIndex", "PolygonCover", "pip_join", "cover_refine_pip_join"]
 
 
 class BoundaryIndex:
@@ -144,3 +144,279 @@ def pip_join(
             yield matched
 
     return docs.mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# J2b — cover-refine PIP join (the 10^12-row fast path)
+# ---------------------------------------------------------------------------
+
+def _cover_cells(geoms: list, ids: list, res: int):
+    """Driver-side cell cover: classify every grid cell in each polygon's
+    bbox as fully-INSIDE (every point of the cell is inside the part) or
+    BOUNDARY (some polygon edge's bbox overlaps the cell — conservative).
+
+    Returns two (cell_id, position) column sets as numpy arrays:
+    ``inside``  — docs in these cells match with NO exact test;
+    ``border`` — docs in these cells need the exact ray-cast refine.
+    Conservativeness only moves cells from the fast path to the refine
+    path, never the reverse, so results are exact.
+    """
+    from ..cells.grid import grid_cell, RES_SHIFT, X_SHIFT
+    from ..geom import points_in_rings
+
+    n = np.int64(1) << res
+    cell_w = 360.0 / float(n)
+    cell_h = 180.0 / float(n)
+
+    in_cells, in_pos = [], []
+    bd_cells, bd_pos = [], []
+
+    for pos, g in enumerate(geoms):
+        seen_inside: set = set()
+        seen_border: set = set()
+        for rings in g.parts:
+            ext = np.asarray(rings[0], dtype=np.float64)[:, :2]
+            xmin, ymin = ext.min(axis=0)
+            xmax, ymax = ext.max(axis=0)
+            ix0 = max(0, int(np.floor((xmin + 180.0) / 360.0 * n)))
+            ix1 = min(int(n) - 1, int(np.floor((xmax + 180.0) / 360.0 * n)))
+            iy0 = max(0, int(np.floor((ymin + 90.0) / 180.0 * n)))
+            iy1 = min(int(n) - 1, int(np.floor((ymax + 90.0) / 180.0 * n)))
+            if ix1 < ix0 or iy1 < iy0:
+                continue
+            nx = ix1 - ix0 + 1
+            ny = iy1 - iy0 + 1
+            # all edges of all rings, SUBDIVIDED to sub-cell length so each
+            # sub-edge bbox marks only cells the edge actually crosses (a
+            # whole diagonal edge's bbox would mark O(len²) spurious cells)
+            exs, eys, exe, eye = [], [], [], []
+            step = 0.5 * min(cell_w, cell_h)
+            for ring in rings:
+                r = np.asarray(ring, dtype=np.float64)[:, :2]
+                ax, ay = r[:-1, 0], r[:-1, 1]
+                bx, by = r[1:, 0], r[1:, 1]
+                seg_len = np.maximum(np.abs(bx - ax), np.abs(by - ay))
+                n_sub = np.maximum(1, np.ceil(seg_len / step).astype(np.int64))
+                idx = np.repeat(np.arange(len(ax)), n_sub)
+                # fraction along each edge for every sub-segment start/end
+                starts = np.concatenate([np.arange(k) for k in n_sub]) / n_sub[idx]
+                ends = np.concatenate([np.arange(1, k + 1) for k in n_sub]) / n_sub[idx]
+                sx0 = ax[idx] + (bx[idx] - ax[idx]) * starts
+                sx1 = ax[idx] + (bx[idx] - ax[idx]) * ends
+                sy0 = ay[idx] + (by[idx] - ay[idx]) * starts
+                sy1 = ay[idx] + (by[idx] - ay[idx]) * ends
+                exs.append(np.minimum(sx0, sx1))
+                exe.append(np.maximum(sx0, sx1))
+                eys.append(np.minimum(sy0, sy1))
+                eye.append(np.maximum(sy0, sy1))
+            e_x0 = np.concatenate(exs); e_x1 = np.concatenate(exe)
+            e_y0 = np.concatenate(eys); e_y1 = np.concatenate(eye)
+            # map each edge bbox to the cell range it touches
+            touched = np.zeros((nx, ny), dtype=bool)
+            c_x0 = np.clip(np.floor((e_x0 + 180.0) / 360.0 * n).astype(np.int64), ix0, ix1) - ix0
+            c_x1 = np.clip(np.floor((e_x1 + 180.0) / 360.0 * n).astype(np.int64), ix0, ix1) - ix0
+            c_y0 = np.clip(np.floor((e_y0 + 90.0) / 180.0 * n).astype(np.int64), iy0, iy1) - iy0
+            c_y1 = np.clip(np.floor((e_y1 + 90.0) / 180.0 * n).astype(np.int64), iy0, iy1) - iy0
+            for a0, a1, b0, b1 in zip(c_x0, c_x1, c_y0, c_y1):
+                touched[a0 : a1 + 1, b0 : b1 + 1] = True
+            # untouched cells are uniformly inside or outside: test centers
+            ux, uy = np.nonzero(~touched)
+            if len(ux):
+                cx = -180.0 + (ux + ix0 + 0.5) * cell_w
+                cy = -90.0 + (uy + iy0 + 0.5) * cell_h
+                inside = points_in_rings(cx, cy, [np.asarray(r, dtype=np.float64)[:, :2] for r in rings])
+                for k in np.nonzero(inside)[0]:
+                    seen_inside.add((int(ux[k] + ix0), int(uy[k] + iy0)))
+            tx, ty = np.nonzero(touched)
+            for a, b in zip(tx, ty):
+                seen_border.add((int(a + ix0), int(b + iy0)))
+        # a cell inside one part but on the border of another (overlapping
+        # parts) must refine — border wins
+        seen_inside -= seen_border
+        for ixv, iyv in seen_inside:
+            in_cells.append((np.int64(res) << RES_SHIFT) | (np.int64(ixv) << X_SHIFT) | np.int64(iyv))
+            in_pos.append(pos)
+        for ixv, iyv in seen_border:
+            bd_cells.append((np.int64(res) << RES_SHIFT) | (np.int64(ixv) << X_SHIFT) | np.int64(iyv))
+            bd_pos.append(pos)
+
+    return (
+        np.asarray(in_cells, dtype=np.int64),
+        np.asarray(in_pos, dtype=np.int64),
+        np.asarray(bd_cells, dtype=np.int64),
+        np.asarray(bd_pos, dtype=np.int64),
+    )
+
+
+def cover_refine_pip_join(
+    docs: DataFrame,
+    boundaries_pdf: pd.DataFrame,
+    *,
+    id_col: str,
+    wkt_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int = 10,
+    cover: "PolygonCover | None" = None,
+) -> DataFrame:
+    """Exact PIP join via cell-cover prefilter + boundary-cell refine.
+
+    Scale design (SURVEY §4, north_rule): the driver classifies every grid
+    cell covering each polygon as fully-inside or boundary. Docs in
+    fully-inside cells match through a pure-JVM broadcast hash join — no
+    Python, no shuffle of the docs side. Only docs in boundary cells (the
+    polygon-perimeter fraction, ~O(perimeter·cell/area) of rows) cross the
+    Arrow exchange for the exact ray-cast refine — the same kernel
+    ``pip_join`` uses, so results are identical. At 10^12 rows this turns
+    the Python exchange from O(N) to O(N·ε).
+
+    Pass a prebuilt ``PolygonCover`` to amortize the driver-side cover
+    construction + broadcast across many joins (one boundary set serves the
+    whole pipeline).
+
+    Semantics match ``pip_join(how='inner')``: one output row per
+    (doc, polygon) containment pair.
+    """
+    if cover is None:
+        cover = PolygonCover(
+            docs.sparkSession, boundaries_pdf, id_col=id_col, wkt_col=wkt_col, res=res
+        )
+    return cover.join(docs, lon_col=lon_col, lat_col=lat_col)
+
+
+def _promote_cover(in_cells: np.ndarray, in_pos: np.ndarray, res: int, min_res: int):
+    """Quadtree promotion (S2-RegionCoverer-style): wherever all 4 children
+    of a parent cell are fully inside for the same polygon, replace them by
+    the parent — repeatedly, down to ``min_res``. Shrinks the broadcast
+    table ~5-10x (fits in L3, builds in ~0.1s) with identical semantics."""
+    from ..cells.grid import RES_SHIFT, X_SHIFT
+
+    out_cells, out_pos = [], []
+    ix = (in_cells >> X_SHIFT) & ((np.int64(1) << X_SHIFT) - 1)
+    iy = in_cells & ((np.int64(1) << X_SHIFT) - 1)
+    pos = in_pos
+    for r in range(res, min_res, -1):
+        pix_all, piy_all = ix >> 1, iy >> 1
+        # group by (pos, parent-ix, parent-iy) without bit-packing (packing
+        # pos into the high bits overflows int64 for pos >= 32)
+        order = np.lexsort((piy_all, pix_all, pos))
+        p_s, x_s, y_s = pos[order], pix_all[order], piy_all[order]
+        new_grp = np.empty(len(order), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (
+            (p_s[1:] != p_s[:-1]) | (x_s[1:] != x_s[:-1]) | (y_s[1:] != y_s[:-1])
+        )
+        grp_id = np.cumsum(new_grp) - 1
+        counts = np.bincount(grp_id)
+        full = counts == 4
+        promoted_mask = np.zeros(len(order), dtype=bool)
+        promoted_mask[order] = full[grp_id]
+        keep = ~promoted_mask
+        out_cells.append(
+            (np.int64(r) << RES_SHIFT) | (ix[keep] << X_SHIFT) | iy[keep]
+        )
+        out_pos.append(pos[keep])
+        # next level: one cell per full parent
+        starts = np.flatnonzero(new_grp)[full]
+        ix, iy, pos = x_s[starts], y_s[starts], p_s[starts]
+        if len(ix) == 0:
+            break
+    if len(ix):
+        out_cells.append((np.int64(min_res) << RES_SHIFT) | (ix << X_SHIFT) | iy)
+        out_pos.append(pos)
+    return np.concatenate(out_cells), np.concatenate(out_pos)
+
+
+class PolygonCover:
+    """Reusable cell-cover index over a boundary set: driver-side cover
+    classification (multi-resolution quadtree), the two broadcast-able
+    cover tables, and the refine kernel broadcast — built once, used by
+    every ``join``."""
+
+    def __init__(self, spark, boundaries_pdf: pd.DataFrame, *, id_col: str,
+                 wkt_col: str, res: int = 10, min_res: int = 6):
+        self.id_col = id_col
+        self.res = res
+        self.min_res = min_res
+        ids = boundaries_pdf[id_col].tolist()
+        geoms = [parse_wkt(w) for w in boundaries_pdf[wkt_col].tolist()]
+        in_cells, in_pos, bd_cells, bd_pos = _cover_cells(geoms, ids, res)
+        if len(in_cells) and min_res < res:
+            in_cells, in_pos = _promote_cover(in_cells, in_pos, res, min_res)
+        self.n_inside_cells = len(in_cells)
+        self.n_border_cells = len(bd_cells)
+
+        self.id_type = (
+            StringType() if boundaries_pdf[id_col].dtype == object else LongType()
+        )
+        cover_schema = StructType(
+            [StructField("__cell", LongType()), StructField(id_col, self.id_type)]
+        )
+        self.inside_df = spark.createDataFrame(
+            pd.DataFrame({"__cell": in_cells, id_col: [ids[p] for p in in_pos]}),
+            schema=cover_schema,
+        )
+        self.border_df = spark.createDataFrame(
+            pd.DataFrame({"__cell": bd_cells, "__pos": bd_pos}),
+            schema=StructType(
+                [StructField("__cell", LongType()), StructField("__pos", LongType())]
+            ),
+        )
+        parts_by_pos = [
+            [[np.asarray(r, dtype=np.float64)[:, :2] for r in rings] for rings in g.parts]
+            for g in geoms
+        ]
+        self._bc = spark.sparkContext.broadcast((parts_by_pos, ids))
+
+    def join(self, docs: DataFrame, *, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+        from ..functions.cells_udfs import grid_cell_col
+
+        id_col = self.id_col
+        tagged = docs.withColumn(
+            "__cell", grid_cell_col(F.col(lon_col), F.col(lat_col), self.res)
+        )
+
+        # fast path: pure-JVM broadcast hash join against the multi-res
+        # cover — each doc probes with its ancestor cell at every cover
+        # level (explode is codegen; a doc matches a region at <=1 level
+        # because the quadtree cover is disjoint per region)
+        ancestors = F.array(
+            *[
+                grid_cell_col(F.col(lon_col), F.col(lat_col), r)
+                for r in range(self.min_res, self.res + 1)
+            ]
+        )
+        probe = docs.withColumn("__cell", F.explode(ancestors))
+        fast = probe.join(F.broadcast(self.inside_df), on="__cell").drop("__cell")
+
+        # refine path: only boundary-cell docs reach the Arrow exchange
+        cand = tagged.join(F.broadcast(self.border_df), on="__cell").drop("__cell")
+        bc = self._bc
+        refine_schema = StructType(
+            [f for f in docs.schema.fields] + [StructField(id_col, self.id_type, True)]
+        )
+
+        def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            parts_all, ids_local = bc.value
+            ids_arr = np.asarray(ids_local, dtype=object)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                lons = pdf[lon_col].to_numpy(np.float64)
+                lats = pdf[lat_col].to_numpy(np.float64)
+                pos = pdf["__pos"].to_numpy(np.int64)
+                keep = np.zeros(len(pdf), dtype=bool)
+                order = np.argsort(pos, kind="stable")
+                bounds = np.flatnonzero(np.diff(pos[order])) + 1
+                for chunk in np.split(order, bounds):
+                    p = int(pos[chunk[0]])
+                    inside = np.zeros(len(chunk), dtype=bool)
+                    for rings in parts_all[p]:
+                        inside |= points_in_rings(lons[chunk], lats[chunk], rings)
+                    keep[chunk[inside]] = True
+                out = pdf.loc[keep].copy()
+                out[id_col] = ids_arr[out["__pos"].to_numpy(np.int64)]
+                yield out.drop(columns=["__pos"])
+
+        refined = cand.mapInPandas(refine, schema=refine_schema)
+        return fast.unionByName(refined)

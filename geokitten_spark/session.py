@@ -28,6 +28,10 @@ DEFAULT_CONFS = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # multi-executor (local-cluster / standalone) runs need the package on
+    # the executor Python path — the sandbox equivalent of shipping it via
+    # ``spark-submit --py-files``
+    "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 }
 
 

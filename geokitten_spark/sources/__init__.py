@@ -1,0 +1,15 @@
+"""Sources/sinks: KML directory scan + consolidation + byte-exact KML sink.
+
+SURVEY.md §2.1 (S2-S5): the reference's conversion surface re-expressed as
+one distributed ``binaryFile`` scan + ``mapInPandas`` parse and a
+deterministic render kernel.
+"""
+
+from .kml import (  # noqa: F401
+    read_kml_dir,
+    consolidate_kml_dir,
+    render_kml,
+    kml_strings,
+    write_kml_dir,
+    kml_to_kml_proper,
+)
