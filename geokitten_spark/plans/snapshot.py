@@ -1,0 +1,160 @@
+"""Stage snapshot / lineage / resume (north_rule: "each stage checkpoints
+to Iceberg snapshots with per-partition lineage and row-count/byte metrics
+so any stage is resumable").
+
+Sandbox implementation: partitioned parquet + a JSON manifest per stage
+implementing the same snapshot contract (SURVEY §2.1 S8 — when an Iceberg
+runtime jar is on the classpath the same API can write
+``df.writeTo(...).using('iceberg')``; nothing else changes).
+
+Design:
+* A stage's **snapshot id** is a content hash of (stage name, input
+  snapshot ids, config, code version) — pure function, so re-running the
+  same pipeline finds committed stages and SKIPS them (resume), while any
+  upstream change produces new ids downstream (lineage correctness).
+* Per-partition metrics come from the written parquet footers (row count
+  + byte size per file) — no second pass over the data.
+* Commit protocol: data first, manifest last via atomic rename; a crash
+  mid-write leaves no manifest → the stage re-runs cleanly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["SnapshotStore", "StageResult"]
+
+_CODE_VERSION = "1"  # bump to invalidate all snapshots on semantic change
+
+
+def _stable_hash(obj) -> str:
+    return hashlib.md5(json.dumps(obj, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+
+@dataclass
+class StageResult:
+    stage: str
+    snapshot_id: str
+    path: str
+    manifest: dict
+    df: DataFrame
+    resumed: bool
+
+
+@dataclass
+class SnapshotStore:
+    """A directory of stage snapshots: ``root/<stage>/snap-<id>/``."""
+
+    root: str
+    lineage: list = field(default_factory=list)
+
+    def _snap_dir(self, stage: str, snapshot_id: str) -> str:
+        return os.path.join(self.root, stage, f"snap-{snapshot_id}")
+
+    def snapshot_id(self, stage: str, input_ids: list[str], config: dict) -> str:
+        return _stable_hash(
+            {"stage": stage, "inputs": list(input_ids), "config": config,
+             "code": _CODE_VERSION}
+        )
+
+    def manifest_path(self, stage: str, snapshot_id: str) -> str:
+        return os.path.join(self._snap_dir(stage, snapshot_id), "_manifest.json")
+
+    def is_committed(self, stage: str, snapshot_id: str) -> bool:
+        return os.path.exists(self.manifest_path(stage, snapshot_id))
+
+    def read(self, spark: SparkSession, stage: str, snapshot_id: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._snap_dir(stage, snapshot_id), "data"))
+
+    # -- the core API --------------------------------------------------
+
+    def run_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        build,  # (spark) -> DataFrame
+        *,
+        inputs: list["StageResult"] | None = None,
+        config: dict | None = None,
+        partition_by: list[str] | None = None,
+        resume: bool = True,
+    ) -> StageResult:
+        """Run (or resume) one pipeline stage.
+
+        ``build(spark)`` produces the stage's DataFrame (it may read the
+        input StageResults' ``df``). The result is snapshotted; a committed
+        snapshot with the same id short-circuits ``build`` entirely.
+        """
+        inputs = inputs or []
+        config = config or {}
+        sid = self.snapshot_id(stage, [i.snapshot_id for i in inputs], config)
+        snap_dir = self._snap_dir(stage, sid)
+        data_dir = os.path.join(snap_dir, "data")
+
+        if resume and self.is_committed(stage, sid):
+            manifest = json.load(open(self.manifest_path(stage, sid)))
+            df = spark.read.parquet(data_dir)
+            res = StageResult(stage, sid, data_dir, manifest, df, resumed=True)
+            self.lineage.append(manifest)
+            return res
+
+        t0 = time.time()
+        df = build(spark)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        wall = time.time() - t0
+
+        partitions = self._parquet_file_metrics(data_dir)
+        manifest = {
+            "stage": stage,
+            "snapshot_id": sid,
+            "inputs": [
+                {"stage": i.stage, "snapshot_id": i.snapshot_id} for i in inputs
+            ],
+            "config": config,
+            "schema": df.schema.jsonValue(),
+            "row_count": int(sum(p["rows"] for p in partitions)),
+            "byte_count": int(sum(p["bytes"] for p in partitions)),
+            "n_partitions": len(partitions),
+            "partitions": partitions,
+            "wall_seconds": round(wall, 3),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        tmp = self.manifest_path(stage, sid) + ".tmp"
+        os.makedirs(snap_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self.manifest_path(stage, sid))  # commit point
+        self.lineage.append(manifest)
+        return StageResult(
+            stage, sid, data_dir, manifest, spark.read.parquet(data_dir), resumed=False
+        )
+
+    @staticmethod
+    def _parquet_file_metrics(data_dir: str) -> list[dict]:
+        """Per-partition lineage metrics from parquet footers (no data pass)."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for dirpath, _dirnames, filenames in os.walk(data_dir):
+            for fn in sorted(filenames):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                md = pq.ParquetFile(full).metadata
+                out.append(
+                    {
+                        "file": os.path.relpath(full, data_dir),
+                        "rows": md.num_rows,
+                        "bytes": os.path.getsize(full),
+                    }
+                )
+        return out

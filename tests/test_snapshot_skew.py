@@ -1,0 +1,81 @@
+"""Snapshot/lineage/resume layer + skew salting tests (SURVEY §4, §7)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from geokitten_spark.plans import SnapshotStore
+from geokitten_spark.operators.skew import (
+    cell_histogram,
+    choose_salt_factor,
+    salted_join,
+)
+
+
+def test_snapshot_run_resume_invalidate(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "snaps"))
+    calls = {"n": 0}
+
+    def build(spark):
+        calls["n"] += 1
+        return spark.range(100).withColumn("v", F.col("id") * 2)
+
+    r1 = store.run_stage(spark, "s1", build, config={"a": 1})
+    assert not r1.resumed and calls["n"] == 1
+    assert r1.manifest["row_count"] == 100
+    assert r1.manifest["n_partitions"] >= 1
+    assert all("rows" in p and "bytes" in p for p in r1.manifest["partitions"])
+
+    r2 = store.run_stage(spark, "s1", build, config={"a": 1})
+    assert r2.resumed and calls["n"] == 1  # build skipped
+    assert r2.snapshot_id == r1.snapshot_id
+    assert r2.df.count() == 100
+
+    r3 = store.run_stage(spark, "s1", build, config={"a": 2})  # config change
+    assert not r3.resumed and calls["n"] == 2
+    assert r3.snapshot_id != r1.snapshot_id
+
+    # downstream lineage: stage with r1 as input resumes only while the
+    # upstream snapshot id is unchanged
+    def build2(spark):
+        return r1.df.groupBy((F.col("id") % 10).alias("k")).count()
+
+    d1 = store.run_stage(spark, "s2", build2, inputs=[r1])
+    d2 = store.run_stage(spark, "s2", build2, inputs=[r1])
+    d3 = store.run_stage(spark, "s2", build2, inputs=[r3])
+    assert not d1.resumed and d2.resumed and not d3.resumed
+
+    # manifest committed atomically and readable
+    m = json.load(open(store.manifest_path("s1", r1.snapshot_id)))
+    assert m["row_count"] == 100 and m["stage"] == "s1"
+
+
+def test_salted_join_matches_plain_join(spark):
+    big = spark.range(10000).select(
+        (F.col("id") % 7).alias("cell"), F.col("id").alias("tag")
+    )
+    small = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(7)], ["cell", "region"]
+    )
+    plain = {(r.cell, r.tag, r.region) for r in big.join(small, on="cell").collect()}
+    for salt in (1, 4, 16):
+        salted = {
+            (r.cell, r.tag, r.region)
+            for r in salted_join(big, small, "cell", salt=salt, big_tag_col="tag").collect()
+        }
+        assert salted == plain, f"salt={salt}"
+
+
+def test_histogram_and_salt_factor(spark):
+    # one hot cell (id 0: 9000 rows), others cold
+    df = spark.range(10000).select(
+        F.when(F.col("id") < 9000, 0).otherwise(F.col("id")).alias("cell_id")
+    )
+    hist = cell_histogram(df)
+    top = hist.first()
+    assert top["cell_id"] == 0 and top["count"] == 9000
+    assert choose_salt_factor(hist, target_rows_per_task=1000) == 9
+    assert choose_salt_factor(hist, target_rows_per_task=100, max_salt=16) == 16
+    empty = cell_histogram(df.filter("cell_id < 0"))
+    assert choose_salt_factor(empty) == 1
