@@ -285,6 +285,92 @@ def q_embed_neardup(spark, sf_dir):
     return embedding_neardup(embedding_neardup_corpus(spark, sf_dir))
 
 
+def q_asof_join(spark, sf_dir):
+    """J5 as-of join: each click gets the user's most recent view at/before
+    its ts (single-shuffle union+window plan; DuckDB oracle: ASOF JOIN)."""
+    from geokitten_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))  # dedupe equal-ts views
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(clicks, views, on="user_id", ts_col="ts", right_cols=["view_id"])
+    return out.select(
+        "event_id", F.col("asof_view_id").alias("view_id")
+    )
+
+
+def q_range_join_bands(spark, sf_dir):
+    """Range join: events binned into value bands via a broadcast
+    interval-dim join (lo <= value < hi)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bands = spark.createDataFrame(
+        [(i, float(5 * i), float(5 * (i + 1))) for i in range(8)],
+        ["band_id", "lo", "hi"],
+    )
+    j = ev.join(
+        F.broadcast(bands),
+        (ev.value >= bands.lo) & (ev.value < bands.hi),
+        "inner",
+    )
+    return j.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Session windows (30-min gap) per user over the events stream table
+    (batch twin of Structured Streaming session_window)."""
+    from geokitten_spark.operators.temporal import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
+    s = sessionize(ev, key_col="user_id", ts_col="ts", gap_minutes=30)
+    return s.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.min("session_start").alias("first_start"),
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """O4/window: top-2 users by total value within each event_type
+    (dense ranking over a grouped aggregate)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("event_type", "user_id", "total_value", "rnk")
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """U2 set ops: high-value clickers EXCEPT high-value errorers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clickers = (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > 150))
+        .select("user_id").distinct()
+    )
+    errorers = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 150))
+        .select("user_id").distinct()
+    )
+    return clickers.exceptAll(errorers).orderBy("user_id")
+
+
 # -- rows-only-checked queries (non-SQL-expressible kernels) ---------------
 
 
@@ -359,6 +445,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "embed_neardup": q_embed_neardup,
+        "asof_join": q_asof_join,
+        "range_join_bands": q_range_join_bands,
+        "sessionize": q_sessionize,
+        "topk_per_group": q_topk_per_group,
+        "set_ops": q_set_ops,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "ann_cosine_topk": q_ann_cosine_topk,
         "events_hourly": q_events_hourly,
@@ -546,6 +637,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS n_events, round(SUM(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        "asof_join": """
+            WITH views AS (
+                SELECT user_id, ts, MAX(event_id) AS view_id
+                FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            ),
+            clicks AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            )
+            SELECT c.event_id AS event_id, v.view_id AS view_id
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "range_join_bands": """
+            WITH bands AS (
+                SELECT i AS band_id, CAST(5 * i AS DOUBLE) AS lo,
+                       CAST(5 * (i + 1) AS DOUBLE) AS hi
+                FROM generate_series(0, 7) t(i)
+            )
+            SELECT band_id, COUNT(*) AS n_events,
+                   round(SUM(value), 2) AS total_value
+            FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+            GROUP BY band_id
+        """,
+        "sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                            WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                            ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                FROM marked
+            ),
+            per_session AS (
+                SELECT user_id, sid, MIN(ts) AS session_start,
+                       COUNT(*) AS n_events
+                FROM sess GROUP BY user_id, sid
+            )
+            SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+                   MIN(session_start) AS first_start
+            FROM per_session GROUP BY user_id
+        """,
+        "topk_per_group": """
+            WITH per_user AS (
+                SELECT event_type, user_id, round(SUM(value), 2) AS total_value
+                FROM events GROUP BY event_type, user_id
+            )
+            SELECT event_type, user_id, total_value, CAST(rnk AS INT) AS rnk
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY event_type
+                    ORDER BY total_value DESC, user_id ASC) AS rnk
+                FROM per_user
+            ) WHERE rnk <= 2
+        """,
+        "set_ops": """
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'click' AND value > 150
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            WHERE event_type = 'error' AND value > 150
+            ORDER BY user_id
         """,
         "extract_invariant": """
             SELECT COUNT(*) AS n_total, CAST(0 AS BIGINT) AS n_violations

@@ -1,0 +1,9 @@
+"""Structured Streaming surface (SURVEY §2.9; task brief "Structured
+Streaming for streams")."""
+
+from .windowed import (  # noqa: F401
+    read_events_stream,
+    hourly_counts_stream,
+    stateful_user_counts,
+    run_to_memory,
+)

@@ -1,0 +1,128 @@
+"""Streaming operators over the events stream table.
+
+Batch/stream duality is the design rule: every streaming aggregate here has
+a batch twin in ``__spark_entry__`` (events_hourly, sessionize) and the
+tests assert the stream's ``availableNow`` result equals the batch result —
+the property that makes snapshot-resume + incremental ingestion coherent.
+
+* ``hourly_counts_stream`` — tumbling window + watermark (late data beyond
+  1 hour dropped);
+* ``stateful_user_counts`` — custom stateful operator via
+  ``applyInPandasWithState`` (running per-user event count + last ts),
+  the pattern for arbitrary per-key state at 10^12-row scale (state store
+  partitioned by key, checkpointed).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_events_stream",
+    "hourly_counts_stream",
+    "stateful_user_counts",
+    "run_to_memory",
+]
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files (one
+    microbatch per maxFilesPerTrigger; new files picked up incrementally)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour window counts with watermark — the streaming twin of
+    the batch `events_hourly` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n_events", "total_value")
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("last_ts", TimestampType())]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count + last seen
+    ts, via applyInPandasWithState (GroupState keyed by user_id)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n = 0
+        last = None
+        if state.exists:
+            n, last = state.get
+        for pdf in pdfs:
+            n += len(pdf)
+            mx = pdf["ts"].max()
+            last = mx if last is None or mx > last else last
+        state.update((n, last))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "last_ts": [last]}
+        )
+
+    return (
+        events.select("user_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, checkpoint_dir: str,
+                  output_mode: str = "complete"):
+    """Drain the stream with availableNow into an in-memory table; returns
+    the finished query (caller reads ``spark.table(name)``)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
