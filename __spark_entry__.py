@@ -429,6 +429,81 @@ def q_admin_standardize(spark, sf_dir):
     )
 
 
+def q_subtract_overlap(spark, sf_dir):
+    """J1 overlap subtraction on the admin-polygon fixture's constructed
+    overlap pairs — rows-only (geometric parity covered in pytest against
+    the reference's real 124-row fixture)."""
+    from geokitten_spark.fixtures import admin_polygons
+    from geokitten_spark.operators.subtract import subtract_overlapping
+    from geokitten_spark.functions.geometry_udfs import area_km2
+
+    adm = admin_polygons(spark).select("region_id", "geometry_wkt")
+    out = subtract_overlapping(
+        adm, "region_id", {"5001000002": ["5001000003"], "5001000004": ["5001000005"]}
+    )
+    return out.select(
+        "region_id", F.round(area_km2(F.col("geometry_wkt")), 4).alias("area_km2")
+    )
+
+
+def q_kml_roundtrip(spark, sf_dir):
+    """S2→S3→F8 KML surface: consolidate the fixture corpus (written to a
+    temp dir) and return ids + rendered KML lengths — rows-only."""
+    import os
+    import tempfile
+
+    from geokitten_spark.fixtures import kml_corpus
+    from geokitten_spark.sources.kml import consolidate_kml_dir, kml_strings
+
+    d = os.path.join(tempfile.gettempdir(), "geokitten_kml_fixture")
+    os.makedirs(d, exist_ok=True)
+    for _, row in kml_corpus().iterrows():
+        with open(os.path.join(d, row["file_name"]), "wb") as f:
+            f.write(row["kml_bytes"])
+    cons = consolidate_kml_dir(spark, d, id_column_name="Name")
+    return kml_strings(cons, id_col="Name").select(
+        "file_name", F.length("kml").alias("kml_chars")
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal: image-feature extraction over the media table (decode
+    stubbed deterministically; Spark plumbing real) — rows-only."""
+    from geokitten_spark.functions.multimodal import synthetic_media, image_features
+
+    media = synthetic_media(spark, sf_dir, n_rows=100)
+    feats = image_features(media)
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.element_at("embedding", 1)), 6).alias("avg_dim0"),
+    )
+
+
+def q_sessionize_stream_twin(spark, sf_dir):
+    """Streaming face (rows-only): watermark + tumbling window aggregate
+    driven through Structured Streaming availableNow on the events table,
+    equal to the batch events_hourly by construction (tested in pytest)."""
+    import tempfile, os, uuid
+
+    from geokitten_spark.streaming import (
+        read_events_stream, hourly_counts_stream, run_to_memory,
+    )
+
+    src = os.path.join(tempfile.gettempdir(), f"gk_stream_{uuid.uuid4().hex[:8]}")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    name = f"q_stream_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        hourly_counts_stream(read_events_stream(spark, src)),
+        name,
+        os.path.join(src, "_ckpt"),
+        output_mode="complete",
+    )
+    return spark.table(name)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1": q_tpch_q1,
@@ -457,6 +532,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_tile_agg": q_s2_tile_agg,
         "hex_tile_agg": q_hex_tile_agg,
         "admin_standardize": q_admin_standardize,
+        "subtract_overlap": q_subtract_overlap,
+        "kml_roundtrip": q_kml_roundtrip,
+        "media_features": q_media_features,
+        "stream_hourly": q_sessionize_stream_twin,
     }
 
 

@@ -1,0 +1,133 @@
+"""Multimodal plumbing + visualization terminal tests (SURVEY §2.10;
+training-data-pipeline media columns)."""
+
+import numpy as np
+import pytest
+
+from geokitten_spark.functions.multimodal import (
+    synthetic_media,
+    image_features,
+    frame_sample_features,
+    resize_meta,
+    _decode,
+)
+from geokitten_spark.viz import (
+    TAB20,
+    categorical_color_dict,
+    ContinuousColormap,
+    categorical_legend_html,
+    render_categorical_choropleth,
+    render_continuous_choropleth,
+)
+from tests.conftest import SF_SMOKE
+
+
+# -- multimodal -------------------------------------------------------------
+
+def test_media_schema_and_features(spark):
+    media = synthetic_media(spark, SF_SMOKE, n_rows=30)
+    assert [f.name for f in media.schema.fields] == ["media_id", "kind", "payload", "meta"]
+    feats = image_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        v = np.asarray(r.embedding, dtype=np.float64)
+        assert v.shape == (64,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+    # determinism: second run identical
+    feats2 = image_features(media).collect()
+    assert {r.media_id: tuple(r.embedding) for r in feats} == {
+        r.media_id: tuple(r.embedding) for r in feats2
+    }
+
+
+def test_real_decode_raises_without_codec():
+    with pytest.raises(NotImplementedError):
+        _decode(b"xx", 4, 4, fake=False)
+
+
+def test_frame_sampling_rowcount(spark):
+    media = synthetic_media(spark, SF_SMOKE, n_rows=30)
+    vids = media.filter("kind = 'video'").select("media_id", "meta.n_frames").collect()
+    expect = sum((r.n_frames + 4) // 5 for r in vids)
+    frames = frame_sample_features(media, every_k=5)
+    assert frames.count() == expect
+
+
+def test_resize_meta_sql_only(spark):
+    media = synthetic_media(spark, SF_SMOKE, n_rows=10)
+    out = resize_meta(media, max_side=20).select("meta.*", "resized_meta.*").collect()
+    for r in out:
+        w2, h2 = r[4], r[5]
+        assert max(w2, h2) <= 20
+        assert w2 >= 1 and h2 >= 1
+    # no Python stage in the plan
+    plan = resize_meta(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan or "ArrowEval" not in plan
+
+
+# -- viz ---------------------------------------------------------------------
+
+def test_categorical_palette_semantics():
+    # numeric sorted
+    d = categorical_color_dict([3, 1, 2])
+    assert list(d.keys()) == [1, 2, 3]
+    assert list(d.values()) == TAB20[:3]
+    # string first-seen order
+    d = categorical_color_dict(["b", "a"])
+    assert list(d.keys()) == ["b", "a"]
+    # single custom broadcasts
+    d = categorical_color_dict(["a", "b"], "custom", ["#ff0000"])
+    assert set(d.values()) == {"#ff0000"}
+    # short custom cycles
+    d = categorical_color_dict(["a", "b", "c"], "custom", ["#ff0000", "#00ff00"])
+    assert list(d.values()) == ["#ff0000", "#00ff00", "#ff0000"]
+    # >20 values extend deterministically with distinct colors
+    d1 = categorical_color_dict(list(range(30)))
+    d2 = categorical_color_dict(list(range(30)))
+    assert d1 == d2
+    assert len(set(d1.values())) == 30
+
+
+def test_continuous_colormap_bounds():
+    cm = ContinuousColormap(0.0, 100.0)
+    assert cm(0.0) == cm.colors[0]
+    assert cm(100.0) == cm.colors[255]
+    assert cm(-5) == cm.colors[0] and cm(200) == cm.colors[255]
+    assert len(set(cm.colors)) > 100
+
+
+def test_choropleth_html_end_to_end(spark):
+    """Distributed tile aggregate → driver render (the V1/V2 lifecycle)."""
+    from geokitten_spark.fixtures import admin_polygons
+    from pyspark.sql import functions as F
+
+    adm = admin_polygons(spark, 24).select(
+        "region_id", "region", "population", "geometry_wkt"
+    )
+    pdf = adm.toPandas()
+    html = render_categorical_choropleth(
+        pdf, "region", tooltip_columns=["region_id", "region", "population"],
+        title="zones",
+    )
+    assert "<svg" in html and "polygon" in html and "zones" in html
+    assert "#1f77b4" in html  # tab20[0] used
+    html2 = render_continuous_choropleth(pdf, "population")
+    assert "<svg" in html2 and "population" in html2
+    # missing-key default
+    leg = categorical_legend_html({"x": "#123456"}, "col")
+    assert "#123456" in leg and "col" in leg
+
+
+def test_tooltip_cap_warning(capsys):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "geometry_wkt": ["POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"],
+            **{f"c{i}": [i] for i in range(10)},
+            "k": ["a"],
+        }
+    )
+    render_categorical_choropleth(pdf, "k", tooltip_columns=[f"c{i}" for i in range(10)])
+    assert "only the first 8" in capsys.readouterr().out
