@@ -504,6 +504,16 @@ def q_sessionize_stream_twin(spark, sf_dir):
     return spark.table(name)
 
 
+def q_geo_aggregates(spark, sf_dir):
+    """A3/A4: union centroid + total bounds over the admin polygons —
+    rows-only (pure-geometry aggregates; pytest covers exactness)."""
+    from geokitten_spark.fixtures import admin_polygons
+    from geokitten_spark.operators.tile import geo_aggregates
+
+    out = geo_aggregates(admin_polygons(spark))
+    return out.select(*[F.round(F.col(c), 6).alias(c) for c in out.columns])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1": q_tpch_q1,
@@ -536,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kml_roundtrip": q_kml_roundtrip,
         "media_features": q_media_features,
         "stream_hourly": q_sessionize_stream_twin,
+        "geo_aggregates": q_geo_aggregates,
     }
 
 

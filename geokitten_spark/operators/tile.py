@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..cells.grid import RES_SHIFT, X_SHIFT
 from ..functions.cells_udfs import grid_cell_col
 
-__all__ = ["tile_aggregate", "tile_rollup", "grid_parent_col", "cell_cover_df", "cell_equi_join"]
+__all__ = ["tile_aggregate", "tile_rollup", "grid_parent_col", "cell_cover_df", "cell_equi_join", "geo_aggregates"]
 
 
 def tile_aggregate(
@@ -121,3 +121,52 @@ def cell_equi_join(
     Broadcast when the cover fits (usual); else sort-merge on cell_id."""
     right = F.broadcast(cover) if broadcast_cover else cover.repartition(cell_col)
     return docs_with_cell.join(right, on=cell_col, how="inner")
+
+
+# ---------------------------------------------------------------------------
+# A3/A4 — geometry aggregates: union centroid + total bounds
+# ---------------------------------------------------------------------------
+
+def geo_aggregates(df: DataFrame, wkt_col: str = "geometry_wkt") -> DataFrame:
+    """One-row frame with the distributed geometry aggregates the map
+    terminal needs (SURVEY §2.5 A3/A4):
+
+    * ``center_x/center_y`` — area-weighted union centroid: per-row
+      (area, cx·area, cy·area) then sum ratios — exact for disjoint
+      standardized polygons (the choropleth case, mirroring
+      ``html_generator.py:133-154``);
+    * ``xmin/ymin/xmax/ymax`` — total bounds (``:169-182``).
+
+    All per-row work in one Arrow pass; the aggregate is a partial+final
+    sum — one tiny shuffle row per partition.
+    """
+    from ..functions.geometry_udfs import bbox_struct
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    @pandas_udf(StructType([StructField(n, DoubleType()) for n in ("a", "cxa", "cya")]))
+    def _weighted(wkt: pd.Series) -> pd.DataFrame:
+        from ..geom import parse_wkt, geometry_area, centroid
+
+        rows = []
+        for w in wkt:
+            try:
+                g = parse_wkt(w)
+                a = geometry_area(g)
+                cx, cy = centroid(g)
+                rows.append((a, cx * a, cy * a))
+            except Exception:
+                rows.append((0.0, 0.0, 0.0))
+        return pd.DataFrame(rows, columns=["a", "cxa", "cya"])
+
+    enriched = df.select(
+        _weighted(F.col(wkt_col)).alias("w"), bbox_struct(F.col(wkt_col)).alias("b")
+    )
+    return enriched.agg(
+        (F.sum("w.cxa") / F.sum("w.a")).alias("center_x"),
+        (F.sum("w.cya") / F.sum("w.a")).alias("center_y"),
+        F.min("b.xmin").alias("xmin"),
+        F.min("b.ymin").alias("ymin"),
+        F.max("b.xmax").alias("xmax"),
+        F.max("b.ymax").alias("ymax"),
+    )

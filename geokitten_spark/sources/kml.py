@@ -45,6 +45,7 @@ __all__ = [
     "kml_strings",
     "write_kml_dir",
     "kml_to_kml_proper",
+    "read_shapefile_dir",
 ]
 
 
@@ -297,3 +298,51 @@ def kml_to_kml_proper(
         std(F.col("geometry_wkt")).alias("geometry_wkt"),
     )
     return write_kml_dir(kml_strings(scan, id_col="Name"), output_dir)
+
+
+# ---------------------------------------------------------------------------
+# S1 — distributed shapefile directory scan
+# ---------------------------------------------------------------------------
+
+def read_shapefile_dir(spark: SparkSession, shp_dir: str) -> DataFrame:
+    """Distributed scan of every ``*.shp`` (+sidecar .dbf/.prj) under
+    ``shp_dir``: driver lists the files, executors parse them with the
+    pure-numpy reader (one task per file — shapefiles are a multi-file
+    unit, so a binaryFile scan can't see the sidecars together).
+
+    Output: (file_name, crs, geometry_wkt, attrs as JSON string) — schema
+    is dynamic in the reference (fiona), so attributes travel as JSON and
+    callers project with ``F.get_json_object``/``from_json``.
+    """
+    import glob as _glob
+    import json as _json
+
+    shp_files = sorted(_glob.glob(os.path.join(shp_dir, "*.shp")))
+    paths = spark.createDataFrame([(p,) for p in shp_files], ["path"])
+
+    schema = StructType(
+        [
+            StructField("file_name", StringType()),
+            StructField("crs", StringType()),
+            StructField("geometry_wkt", StringType()),
+            StructField("attrs", StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..geom.shapefile import read_shapefile
+
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                try:
+                    attrs, geoms, crs = read_shapefile(path)
+                except Exception:
+                    continue  # skip unreadable files (reference semantics)
+                fname = os.path.basename(path)
+                recs = attrs.to_dict("records")
+                for rec, g in zip(recs, geoms):
+                    rows.append((fname, crs, to_wkt(g), _json.dumps(rec, default=str)))
+            yield pd.DataFrame(rows, columns=["file_name", "crs", "geometry_wkt", "attrs"])
+
+    return paths.repartition(max(1, len(shp_files))).mapInPandas(run, schema=schema)
