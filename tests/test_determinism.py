@@ -1,0 +1,73 @@
+"""North-rule correctness gate: identical join output rows and tile
+assignments across partitionings (BASELINE.json), plus the
+extract(html) == text per-url byte invariant.
+
+Parallelism-independence is exercised by varying the input partitioning
+and spark.sql.shuffle.partitions inside the session (the quantities that
+change between cluster sizes); bench.py --scaling additionally runs the
+flagship at local[2] and local[8] in separate processes and the driver's
+oracle check runs everything at its own parallelism — three independent
+partitionings of the same plans.
+"""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _flagship_rows(spark, n_parts: int, shuffle_parts: int):
+    from geokitten_spark.fixtures import web_documents, admin_rects_pdf, bench_boundaries_pdf
+    from geokitten_spark.operators.pip_join import pip_join, PolygonCover
+    from geokitten_spark.functions.cells_udfs import grid_cell_col, s2_cell
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_parts))
+    try:
+        docs = (
+            web_documents(spark, SF_SMOKE)
+            .select("doc_id", "lon", "lat")
+            .repartition(n_parts)
+        )
+        located = pip_join(
+            docs, admin_rects_pdf(), id_col="n_nationkey", wkt_col="geometry_wkt"
+        ).withColumn("cell_id", grid_cell_col(F.col("lon"), F.col("lat"), 7)) \
+         .withColumn("s2_cell", s2_cell(9)(F.col("lon"), F.col("lat")))
+        join_rows = frozenset(
+            (r.doc_id, r.n_nationkey, r.cell_id, r.s2_cell) for r in located.collect()
+        )
+        cover = PolygonCover(
+            spark, bench_boundaries_pdf(), id_col="region_key",
+            wkt_col="geometry_wkt", res=9,
+        )
+        cover_rows = frozenset(
+            (r.doc_id, r.region_key) for r in cover.join(docs).collect()
+        )
+        return join_rows, cover_rows
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_identical_results_across_partitionings(spark):
+    """2-partition/4-shuffle vs 16-partition/32-shuffle: identical join
+    rows and tile assignments from both PIP operators."""
+    a_join, a_cover = _flagship_rows(spark, n_parts=2, shuffle_parts=4)
+    b_join, b_cover = _flagship_rows(spark, n_parts=16, shuffle_parts=32)
+    assert a_join == b_join and len(a_join) > 0
+    assert a_cover == b_cover and len(a_cover) > 0
+
+
+def test_repeat_run_identical(spark):
+    a = _flagship_rows(spark, n_parts=8, shuffle_parts=8)
+    b = _flagship_rows(spark, n_parts=8, shuffle_parts=8)
+    assert a == b
+
+
+def test_extract_invariant_per_url(spark):
+    """input_hint gate: extract(html) == text, byte-identical per url."""
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.functions.text import extract_text
+
+    docs = web_documents(spark, SF_SMOKE)
+    bad = docs.filter(extract_text(F.col("html")) != F.col("text"))
+    assert bad.count() == 0
+    assert docs.count() > 0
