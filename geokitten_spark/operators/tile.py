@@ -59,29 +59,39 @@ def tile_rollup(
     lat_col: str,
     resolutions: list,
 ) -> DataFrame:
-    """Multi-res tile counts: aggregate ONCE at the finest resolution, then
-    derive coarser tiles by re-aggregating parents (raster→vector rollup,
-    A6). Output: (res, cell_id, n_docs)."""
+    """Multi-res tile counts in ONE pass: aggregate at the finest
+    resolution (map-side partial, one shuffle of #tiles rows), then derive
+    every coarser level from the finest TILES via the arithmetic parent —
+    an explode over the tiny tile table, not the docs table. Output:
+    (res, cell_id, n_docs).
+
+    (A union of per-res group-bys would rescan/re-aggregate the docs once
+    per resolution — 3x the work at 3 levels; this shape costs
+    O(docs) + O(#tiles x levels).)"""
     finest = max(resolutions)
     base = (
         docs.select(grid_cell_col(F.col(lon_col), F.col(lat_col), finest).alias("cell_id"))
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    outs = [base.select(F.lit(finest).alias("res"), "cell_id", "n_docs")]
-    for res in sorted((r for r in resolutions if r != finest), reverse=True):
-        rolled = (
-            base.select(
-                grid_parent_col(F.col("cell_id"), finest, res).alias("cell_id"), "n_docs"
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("res"),
+                (
+                    F.col("cell_id")
+                    if r == finest
+                    else grid_parent_col(F.col("cell_id"), finest, r)
+                ).alias("cell_id"),
             )
-            .groupBy("cell_id")
-            .agg(F.sum("n_docs").alias("n_docs"))
-        )
-        outs.append(rolled.select(F.lit(res).alias("res"), "cell_id", "n_docs"))
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.unionByName(o)
-    return result
+            for r in sorted(resolutions, reverse=True)
+        ]
+    )
+    return (
+        base.select(F.explode(levels).alias("lv"), "n_docs")
+        .groupBy(F.col("lv.res").alias("res"), F.col("lv.cell_id").alias("cell_id"))
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
 
 
 def cell_cover_df(spark, boundaries_pdf: pd.DataFrame, id_col: str, wkt_col: str, level: int, use_s2: bool = True) -> DataFrame:
