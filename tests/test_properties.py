@@ -1,0 +1,126 @@
+"""Hypothesis property tests for the pure-numpy kernels (no Spark session —
+fast, generative coverage beyond the reference's literal fixtures)."""
+
+import math
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from geokitten_spark.geom import (
+    parse_wkt,
+    to_wkt,
+    standardize_geometry,
+    remove_holes,
+    geometry_area,
+    interior_point,
+    point_in_polygon,
+)
+from geokitten_spark.geom.model import polygon
+from geokitten_spark.geom.mercator import (
+    lonlat_to_webmercator,
+    webmercator_to_lonlat,
+    lonlat_to_worldmercator,
+    worldmercator_to_lonlat,
+)
+from geokitten_spark.cells.grid import grid_cell, grid_decode, grid_kring
+from geokitten_spark.cells import s2
+
+
+# star-convex polygon: always simple/valid
+@st.composite
+def star_polygons(draw):
+    n = draw(st.integers(min_value=3, max_value=12))
+    cx = draw(st.floats(-170, 170))
+    cy = draw(st.floats(-80, 80))
+    radii = [draw(st.floats(0.01, 5.0)) for _ in range(n)]
+    pts = [
+        (cx + r * math.cos(2 * math.pi * i / n), cy + r * math.sin(2 * math.pi * i / n))
+        for i, r in enumerate(radii)
+    ]
+    pts.append(pts[0])
+    return polygon(np.array(pts))
+
+
+@settings(max_examples=60, deadline=None)
+@given(star_polygons())
+def test_wkt_roundtrip_random(g):
+    assert to_wkt(parse_wkt(to_wkt(g))) == to_wkt(g)
+
+
+@settings(max_examples=60, deadline=None)
+@given(star_polygons())
+def test_standardize_idempotent(g):
+    s1 = standardize_geometry(g)
+    s2_ = standardize_geometry(s1)
+    assert to_wkt(s1) == to_wkt(s2_)
+
+
+@settings(max_examples=40, deadline=None)
+@given(star_polygons(), st.floats(0.1, 0.4))
+def test_hole_removal_preserves_net_area(g, scale):
+    """Cutting a hole into the exterior keeps net area: area(after) ==
+    area(ext) - area(hole) (the cut path has zero width)."""
+    ext = g.parts[0][0]
+    cx, cy = ext[:-1, 0].mean(), ext[:-1, 1].mean()
+    # hole in the SAME stored orientation as the exterior — the reference's
+    # cut traverses the hole in reverse (gdf_standardization.py:295-304),
+    # which subtracts its area exactly for same-orientation input rings
+    # (matching the 10x10/3-7 fixture layout)
+    hole = np.array(
+        [(cx + scale * (x - cx), cy + scale * (y - cy)) for x, y in ext]
+    )
+    with_hole = parse_wkt(to_wkt(g))
+    with_hole.parts[0].append(hole)
+    a_ext = geometry_area(g)
+    a_hole = abs(
+        0.5
+        * np.sum(
+            hole[:-1, 0] * hole[1:, 1] - hole[1:, 0] * hole[:-1, 1]
+        )
+    )
+    cut = remove_holes(with_hole)
+    assert len(cut.parts[0]) == 1  # hole is gone
+    assert abs(geometry_area(cut) - (a_ext - a_hole)) < 1e-6 * max(a_ext, 1.0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(-179.9, 179.9), st.floats(-85.0, 85.0))
+def test_mercator_roundtrips(lon, lat):
+    x, y = lonlat_to_webmercator(lon, lat)
+    lon2, lat2 = webmercator_to_lonlat(x, y)
+    assert abs(lon2 - lon) < 1e-9 and abs(lat2 - lat) < 1e-9
+    x, y = lonlat_to_worldmercator(lon, lat)
+    lon3, lat3 = worldmercator_to_lonlat(x, y)
+    assert abs(lon3 - lon) < 1e-9 and abs(lat3 - lat) < 1e-7
+
+
+@settings(max_examples=60, deadline=None)
+@given(star_polygons())
+def test_interior_point_is_inside(g):
+    p = interior_point(g)
+    x, y = float(p.coords[0][0]), float(p.coords[0][1])
+    assert point_in_polygon(x, y, g)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(-179.999, 179.999), st.floats(-89.999, 89.999),
+       st.integers(1, 12))
+def test_grid_roundtrip_and_kring(lon, lat, res):
+    c = int(grid_cell(np.array([lon]), np.array([lat]), res)[0])
+    r, ix, iy = grid_decode(np.array([c]))
+    assert int(r[0]) == res
+    n = 1 << res
+    assert 0 <= int(ix[0]) < n and 0 <= int(iy[0]) < n
+    ring = grid_kring(np.array([c]), k=1)[0]
+    assert c in set(int(v) for v in ring)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.floats(-179.0, 179.0), st.floats(-85.0, 85.0), st.integers(1, 20))
+def test_s2_parent_child_consistency(lon, lat, level):
+    c = int(np.asarray(s2.lat_lng_to_cell(np.array([lat]), np.array([lon]), level))[0])
+    assert int(np.asarray(s2.cell_level(np.array([c])))[0]) == level
+    if level > 1:
+        p = int(np.asarray(s2.parent(np.array([c]), level - 1))[0])
+        lo, hi = s2.cell_range(np.array([p]))
+        assert int(lo[0]) <= c <= int(hi[0])
