@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["hex_cell", "hex_decode", "hex_kring", "hex_center", "hex_resolution_size"]
+__all__ = ["hex_cell", "hex_decode", "hex_kring", "hex_center", "hex_resolution_size", "hex_parent", "hex_children"]
 
 _BASE_SIZE = 8.0  # circumradius in degrees at res 0
 _Q_SHIFT = 28
@@ -93,4 +93,32 @@ def hex_kring(cell_id, k: int = 1):
             | ((q + dq + _OFFSET) << _Q_SHIFT)
             | (r + dr + _OFFSET)
         )
+    return out
+
+
+def hex_parent(cell_id, parent_res: int):
+    """Hierarchy: the parent hex CONTAINING each cell's center at
+    ``parent_res`` (H3-style approximate containment — hexagons do not
+    nest exactly, so like H3's aperture-7 hierarchy, a child belongs to
+    exactly one parent and parents cover children's centers, not their
+    full footprints)."""
+    lon, lat = hex_center(cell_id)
+    return hex_cell(lon, lat, parent_res)
+
+
+def hex_children(cell_id, child_res: int):
+    """Candidate children: child-res cells within the kRing that covers the
+    parent footprint, filtered to those whose parent is this cell. Exact
+    inverse of ``hex_parent`` (used for rollups/covering)."""
+    cid = np.asarray(cell_id, dtype=np.int64)
+    res, _q, _r = hex_decode(cid)
+    out = []
+    for c in cid.ravel():
+        r0 = int(np.asarray(hex_decode(np.array([c]))[0])[0])
+        lon, lat = hex_center(np.array([c]))
+        base = hex_cell(lon, lat, child_res)
+        k = 2 ** (child_res - r0) + 1
+        cand = hex_kring(base, k=k)[0]
+        par = hex_parent(cand, r0)
+        out.append(np.unique(cand[par == c]))
     return out

@@ -194,3 +194,32 @@ def test_hex_cells_partition_plane():
     size = hex_resolution_size(5)
     d = np.hypot(pts_lon - lon_c, pts_lat - lat_c)
     assert np.all(d <= size + 1e-9)
+
+
+def test_hex_parent_child_hierarchy():
+    """H3-style hierarchy on the axial grid: every cell has exactly one
+    parent; the parent contains the child's center; children() inverts
+    parent()."""
+    import numpy as np
+    from geokitten_spark.cells.hexgrid import (
+        hex_cell, hex_parent, hex_children, hex_center,
+    )
+
+    rng = np.random.default_rng(7)
+    lon = rng.uniform(-170, 170, 50)
+    lat = rng.uniform(-80, 80, 50)
+    child = hex_cell(lon, lat, 8)
+    parent = hex_parent(child, 6)
+    # parent's re-encode of the child center must equal parent
+    clon, clat = hex_center(child)
+    assert np.array_equal(hex_cell(clon, clat, 6), parent)
+    # determinism
+    assert np.array_equal(hex_parent(child, 6), parent)
+    # children inverts parent for a few cells
+    for p in np.unique(parent)[:3]:
+        kids = hex_children(np.array([p]), 8)[0]
+        assert len(kids) > 0
+        assert np.all(hex_parent(kids, 6) == p)
+        # every original child of this parent is found
+        mine = child[parent == p]
+        assert set(mine.tolist()) <= set(kids.tolist())
