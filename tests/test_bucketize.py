@@ -1,0 +1,40 @@
+"""Bucketed co-located join: same-bucketing equi-join plans NO exchange."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from geokitten_spark.operators.bucketize import write_bucketed, read_table
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.functions.cells_udfs import grid_cell_col
+    from tests.conftest import SF_SMOKE
+
+    docs = web_documents(spark, SF_SMOKE).select("doc_id", "lon", "lat").withColumn(
+        "cell_id", grid_cell_col(F.col("lon"), F.col("lat"), 5)
+    )
+    tiles = docs.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_docs"))
+
+    spark.sql("DROP TABLE IF EXISTS bt_docs")
+    spark.sql("DROP TABLE IF EXISTS bt_tiles")
+    write_bucketed(docs, "bt_docs", bucket_col="cell_id", n_buckets=8)
+    write_bucketed(tiles, "bt_tiles", bucket_col="cell_id", n_buckets=8)
+    try:
+        a = read_table(spark, "bt_docs")
+        b = read_table(spark, "bt_tiles")
+        # disable auto-broadcast so the join would otherwise shuffle both sides
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = a.join(b, on="cell_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: no shuffle at all
+            # and it's correct
+            assert joined.count() == docs.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bt_docs")
+        spark.sql("DROP TABLE IF EXISTS bt_tiles")
