@@ -96,6 +96,59 @@ def q_tpch_q3_topk(spark, sf_dir):
     )
 
 
+def q_tpch_q5_joins(spark, sf_dir):
+    """Six-table join (region→nation→customer/supplier→orders→lineitem):
+    revenue per nation for one region — the join-reordering/broadcast
+    showcase."""
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q_tpch_q6_filter(spark, sf_dir):
+    """Filter-heavy single-table aggregate (pushdown showcase)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_cube_docs(spark, sf_dir):
+    """CUBE grouping sets over (lang, source): multi-dimensional tile-style
+    rollup on the documents table."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+    )
+
+
 def q_agg_minmax_distinct(spark, sf_dir):
     """A1/A2: distinct + min/max over a join (palette-domain aggregates)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -518,6 +571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tpch_q1": q_tpch_q1,
         "tpch_q3_topk": q_tpch_q3_topk,
+        "tpch_q5_joins": q_tpch_q5_joins,
+        "tpch_q6_filter": q_tpch_q6_filter,
+        "cube_docs": q_cube_docs,
         "agg_minmax_distinct": q_agg_minmax_distinct,
         "web_tile_agg": q_web_tile_agg,
         "web_tile_rollup": q_web_tile_rollup,
@@ -643,6 +699,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_orderkey
             ORDER BY revenue DESC, l_orderkey ASC
             LIMIT 10
+        """,
+        "tpch_q5_joins": """
+            SELECT n_name,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+        """,
+        "tpch_q6_filter": """
+            SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "cube_docs": """
+            SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+            FROM documents GROUP BY CUBE (lang, source)
         """,
         "agg_minmax_distinct": """
             SELECT o_orderpriority,
