@@ -271,11 +271,13 @@ def q_ann_cosine_topk(spark, sf_dir):
         .crossJoin(F.broadcast(qrow))
         .select("vec_id", sim.alias("sim"))
     )
+    # distributed top-k: orderBy+limit plans TakeOrderedAndProject (per-
+    # partition top-k + merge), NOT a single-partition global window; the
+    # rank column is then derived on the k surviving rows only
+    topk = scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
     w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("vec_id", "rank")
+        topk.withColumn("rank", F.row_number().over(w)).select("vec_id", "rank")
     )
 
 
@@ -557,6 +559,17 @@ def q_sessionize_stream_twin(spark, sf_dir):
     return spark.table(name)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path: top-10 via 3-probe inverted lists — rows-only
+    (recall/monotonicity vs brute force covered in pytest)."""
+    from geokitten_spark.operators.ann import IVFIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    idx = IVFIndex(emb.filter("vec_id <> 0"))
+    return idx.search(qv, k=10, n_probe=3).select("vec_id")
+
+
 def q_geo_aggregates(spark, sf_dir):
     """A3/A4: union centroid + total bounds over the admin polygons —
     rows-only (pure-geometry aggregates; pytest covers exactness)."""
@@ -603,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "stream_hourly": q_sessionize_stream_twin,
         "geo_aggregates": q_geo_aggregates,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 

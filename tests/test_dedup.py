@@ -114,3 +114,27 @@ def test_embedding_lsh_recall_vs_bruteforce(spark):
     assert len(exact) > 0
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.9
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    """IVF recall grows monotonically with n_probe and reaches 1.0 at a
+    full probe (== brute force). The fixture's label clusters are diffuse
+    w.r.t. cosine (no pairs >0.8), so partial-probe recall is inherently
+    moderate — the properties that matter are monotonicity and exactness
+    at full probe."""
+    from geokitten_spark.operators.ann import brute_topk, IVFIndex
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    rest = emb.filter("vec_id <> 0")
+    exact = [r.vec_id for r in brute_topk(rest, qv, k=10).collect()]
+    idx = IVFIndex(rest)
+    recalls = []
+    for p in (2, 5, len(idx.centroids)):
+        a = [r.vec_id for r in idx.search(qv, k=10, n_probe=p).collect()]
+        recalls.append(len(set(a) & set(exact)) / 10)
+    assert recalls == sorted(recalls), recalls  # monotone in n_probe
+    assert recalls[0] >= 0.2
+    # full probe == exact (same order, same ids)
+    full = [r.vec_id for r in idx.search(qv, k=10, n_probe=len(idx.centroids)).collect()]
+    assert full == exact
