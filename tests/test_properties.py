@@ -124,3 +124,57 @@ def test_s2_parent_child_consistency(lon, lat, level):
         p = int(np.asarray(s2.parent(np.array([c]), level - 1))[0])
         lo, hi = s2.cell_range(np.array([p]))
         assert int(lo[0]) <= c <= int(hi[0])
+
+
+@st.composite
+def overlapping_pairs(draw):
+    """Two star-convex polygons with overlapping bboxes."""
+    a = draw(star_polygons())
+    ext = a.parts[0][0]
+    cx, cy = ext[:-1, 0].mean(), ext[:-1, 1].mean()
+    dx = draw(st.floats(-1.0, 1.0))
+    dy = draw(st.floats(-1.0, 1.0))
+    scale = draw(st.floats(0.4, 1.2))
+    b_pts = np.column_stack([cx + dx + scale * (ext[:, 0] - cx),
+                             cy + dy + scale * (ext[:, 1] - cy)])
+    return a, polygon(b_pts)
+
+
+@settings(max_examples=40, deadline=None)
+@given(overlapping_pairs(), st.integers(0, 10**6))
+def test_difference_pointwise_semantics(pair, seed):
+    """p ∈ (t − s) ⟺ p ∈ t ∧ p ∉ s, for sample points away from any
+    boundary (ray-casting is undefined ON boundaries)."""
+    from geokitten_spark.geom import difference
+
+    t, s = pair
+    d = difference(t, s)
+    xmin, ymin, xmax, ymax = t.bbox()
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform([xmin - 0.5, ymin - 0.5], [xmax + 0.5, ymax + 0.5], (120, 2))
+
+    def dist_to_boundary(g, x, y):
+        best = np.inf
+        for rings in g.parts:
+            for ring in rings:
+                r = np.asarray(ring)[:, :2]
+                ax, ay = r[:-1, 0], r[:-1, 1]
+                bx, by = r[1:, 0], r[1:, 1]
+                px, py = x - ax, y - ay
+                ex, ey = bx - ax, by - ay
+                tt = np.clip((px * ex + py * ey) / (ex * ex + ey * ey + 1e-300), 0, 1)
+                dd = np.hypot(px - tt * ex, py - tt * ey)
+                best = min(best, dd.min()) if len(dd) else best
+        return best
+
+    eps = 1e-3
+    checked = 0
+    for x, y in pts:
+        if (dist_to_boundary(t, x, y) < eps or dist_to_boundary(s, x, y) < eps
+                or (not d.is_empty and dist_to_boundary(d, x, y) < eps)):
+            continue
+        want = point_in_polygon(x, y, t) and not point_in_polygon(x, y, s)
+        got = (not d.is_empty) and point_in_polygon(x, y, d)
+        assert got == want, (x, y, want, got)
+        checked += 1
+    assert checked > 30  # enough informative samples
