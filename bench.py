@@ -168,8 +168,9 @@ def run_queries(spark, sf_dir: str, flagship_only: bool = False) -> tuple[dict, 
 
     # the TPC-H-ish relational headliners on the driver tables
     Q = entrymod.queries()
-    for name in ("tpch_q1", "tpch_q3_topk", "ann_cosine_topk", "token_stats",
-                 "dedup_exact", "events_hourly"):
+    for name in ("tpch_q1", "tpch_q3_topk", "tpch_q5_joins", "ann_cosine_topk",
+                 "token_stats", "dedup_exact", "dedup_minhash", "asof_join",
+                 "events_hourly"):
         timed(name, lambda n=name: _materialize(Q[n](spark, sf_dir)), reps=2)
 
     docs.unpersist()

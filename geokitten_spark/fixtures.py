@@ -114,8 +114,17 @@ _NEARDUP_ID_OFFSET = 1_000_000
 
 
 def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents ∪ suffix-mutated copies of every 10th doc (id + 1e6)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    """documents ∪ suffix-mutated copies of every 10th doc (id + 1e6).
+
+    Repartitioned up front: the source is a single parquet file (one input
+    split), which would otherwise serialize every downstream md5-heavy
+    minhash/simhash pipeline into one task."""
+    n_parts = max(8, spark.sparkContext.defaultParallelism)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
+    )
     mut = docs.filter(F.col("doc_id") % _NEARDUP_STRIDE == 0).select(
         (F.col("doc_id") + _NEARDUP_ID_OFFSET).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_NEARDUP_TAIL)).alias("text"),

@@ -153,20 +153,24 @@ def minhash_neardup(
         word_shingles(F.col(text_col), shingle_n).alias("sh"),
     ).select("doc_id", "sh", *minhash_signature(F.col("sh"), n_hashes))
 
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
-                "sh",
-                F.lit(b).alias("band"),
-                F.concat_ws(",", *[c.cast("string") for c in cols]).alias("bkey"),
+    # band keys derived from the computed signature IN ONE projection and
+    # exploded — a union of per-band branches would re-evaluate the whole
+    # shingle+minhash pipeline once per band per join side
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
             )
-        )
-    banded = band_rows[0]
-    for br in band_rows[1:]:
-        banded = banded.unionByName(br)
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        "doc_id", "sh", F.posexplode(band_keys).alias("band", "bkey")
+    )
 
     a = banded.select(
         F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "bkey"
