@@ -82,12 +82,25 @@ def _extend_with_random(colors: list[str], n: int, seed: int = 42) -> list[str]:
     return out
 
 
+def validate_hex_colors(colors: list[str]) -> list[str]:
+    """Raise on malformed hex codes (mirrors ``html_generator.py:209-231``:
+    must start with '#' and contain only hex digits)."""
+    for color in colors:
+        if not color.startswith("#") or not all(
+            c in "0123456789ABCDEFabcdef" for c in color[1:]
+        ):
+            raise ValueError(f"Invalid hex color code: {color}")
+    return colors
+
+
 def categorical_color_dict(
     values, color_scheme: str = "tab20", custom_colors: list[str] | None = None
 ) -> dict:
     """value → hex color. Numeric values sorted; strings keep input order;
     single custom color broadcasts; short custom lists cycle; palettes
     larger than tab20 extend with seeded distinct-HSV colors."""
+    if custom_colors:
+        validate_hex_colors(custom_colors)
     vals = list(values)
     if all(isinstance(x, (int, float)) and not isinstance(x, bool) for x in vals):
         vals = sorted(vals)

@@ -131,3 +131,14 @@ def test_tooltip_cap_warning(capsys):
     )
     render_categorical_choropleth(pdf, "k", tooltip_columns=[f"c{i}" for i in range(10)])
     assert "only the first 8" in capsys.readouterr().out
+
+
+def test_hex_color_validation():
+    from geokitten_spark.viz.choropleth import validate_hex_colors
+
+    assert validate_hex_colors(["#ff0000", "#ABC123"]) == ["#ff0000", "#ABC123"]
+    for bad in (["ff0000"], ["#gg0000"], ["#12 456"]):
+        with pytest.raises(ValueError, match="Invalid hex color code"):
+            validate_hex_colors(bad)
+    with pytest.raises(ValueError):
+        categorical_color_dict(["a"], "custom", ["red"])
