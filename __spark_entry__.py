@@ -149,6 +149,27 @@ def q_cube_docs(spark, sf_dir):
     )
 
 
+def q_semi_join_orders(spark, sf_dir):
+    """J5 semi-join: orders with >=1 returned lineitem, counted per
+    priority (left_semi — no fan-out, one bit per left row)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    hit = o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def q_anti_join_customers(spark, sf_dir):
+    """J5 anti-join: customers with NO order above 300k, per segment."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") > 300000
+    )
+    miss = c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+    return miss.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
 def q_agg_minmax_distinct(spark, sf_dir):
     """A1/A2: distinct + min/max over a join (palette-domain aggregates)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -177,6 +198,33 @@ def q_web_tile_rollup(spark, sf_dir):
 
     docs = _web_docs(spark, sf_dir)
     return tile_rollup(docs, "lon", "lat", [3, 5, 7])
+
+
+def q_tile_vectorize(spark, sf_dir):
+    """A6 raster→vector: tile aggregate at res 6 vectorized back to cell
+    rectangle corners (pure SQL decode of the packed id; the WKT feature
+    column is Spark-side only — double→string rendering differs across
+    engines, so the oracle compares the corner NUMBERS)."""
+    from geokitten_spark.functions.cells_udfs import grid_cell_col
+    from geokitten_spark.cells.grid import RES_SHIFT, X_SHIFT
+
+    docs = _web_docs(spark, sf_dir)
+    tiles = (
+        docs.select(grid_cell_col(F.col("lon"), F.col("lat"), 6).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    ix = F.floor((F.col("cell_id") % (1 << RES_SHIFT)) / (1 << X_SHIFT)).cast("long")
+    iy = F.col("cell_id") % (1 << X_SHIFT)
+    n = float(1 << 6)
+    return tiles.select(
+        "cell_id",
+        "n_docs",
+        F.round(-180.0 + ix * 360.0 / n, 9).alias("x0"),
+        F.round(-90.0 + iy * 180.0 / n, 9).alias("y0"),
+        F.round(-180.0 + (ix + 1) * 360.0 / n, 9).alias("x1"),
+        F.round(-90.0 + (iy + 1) * 180.0 / n, 9).alias("y1"),
+    )
 
 
 def q_web_pip_rect(spark, sf_dir):
@@ -587,9 +635,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_joins": q_tpch_q5_joins,
         "tpch_q6_filter": q_tpch_q6_filter,
         "cube_docs": q_cube_docs,
+        "semi_join_orders": q_semi_join_orders,
+        "anti_join_customers": q_anti_join_customers,
         "agg_minmax_distinct": q_agg_minmax_distinct,
         "web_tile_agg": q_web_tile_agg,
         "web_tile_rollup": q_web_tile_rollup,
+        "tile_vectorize": q_tile_vectorize,
         "web_pip_rect": q_web_pip_rect,
         "web_knn": q_web_knn,
         "lang_quality": q_lang_quality,
@@ -739,6 +790,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
             FROM documents GROUP BY CUBE (lang, source)
         """,
+        "semi_join_orders": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "anti_join_customers": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_totalprice > 300000)
+            GROUP BY c_mktsegment
+        """,
         "agg_minmax_distinct": """
             SELECT o_orderpriority,
                    COUNT(DISTINCT o_custkey) AS n_custs,
@@ -755,6 +822,25 @@ def oracle_sql() -> dict[str, str]:
         "web_tile_rollup": f"""
             {cte}
             {' UNION ALL '.join(rollups)}
+        """,
+        "tile_vectorize": f"""
+            {cte},
+            tiles AS (
+                SELECT {grid_cell_sql('lon', 'lat', 6)} AS cell_id,
+                       COUNT(*) AS n_docs
+                FROM webdocs GROUP BY 1
+            )
+            SELECT cell_id, n_docs,
+                   ROUND(-180.0 + ix * 360.0 / 64, 9) AS x0,
+                   ROUND(-90.0 + iy * 180.0 / 64, 9) AS y0,
+                   ROUND(-180.0 + (ix + 1) * 360.0 / 64, 9) AS x1,
+                   ROUND(-90.0 + (iy + 1) * 180.0 / 64, 9) AS y1
+            FROM (
+                SELECT cell_id, n_docs,
+                       CAST(FLOOR((cell_id % {1 << RES_SHIFT}) / {1 << X_SHIFT}) AS BIGINT) AS ix,
+                       cell_id % {1 << X_SHIFT} AS iy
+                FROM tiles
+            )
         """,
         "web_pip_rect": f"""
             {cte}

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..cells.grid import RES_SHIFT, X_SHIFT
 from ..functions.cells_udfs import grid_cell_col
 
-__all__ = ["tile_aggregate", "tile_rollup", "grid_parent_col", "cell_cover_df", "cell_equi_join", "geo_aggregates"]
+__all__ = ["tile_aggregate", "tile_rollup", "grid_parent_col", "cell_cover_df", "cell_equi_join", "geo_aggregates", "tile_vectorize", "tile_wkt_sql"]
 
 
 def tile_aggregate(
@@ -179,4 +179,30 @@ def geo_aggregates(df: DataFrame, wkt_col: str = "geometry_wkt") -> DataFrame:
         F.min("b.ymin").alias("ymin"),
         F.max("b.xmax").alias("xmax"),
         F.max("b.ymax").alias("ymax"),
+    )
+
+
+def tile_vectorize(tiles: DataFrame, cell_col: str = "cell_id") -> DataFrame:
+    """Raster→vector: turn grid cells back into polygon features (WKT) —
+    pure SQL on the packed id (res/ix/iy decode + corner arithmetic), no
+    Python, and expressible identically in DuckDB for the oracle."""
+    return tiles.withColumn("geometry_wkt", F.expr(tile_wkt_sql(cell_col)))
+
+
+def tile_wkt_sql(cell_expr: str) -> str:
+    """The cell→rectangle-WKT expression (ANSI SQL: runs in Spark + DuckDB).
+
+    Corners derive from the id layout ``res<<58 | ix<<29 | iy``; numbers
+    are rendered via round(x, 9) so both engines format identically."""
+    res = f"CAST(FLOOR(({cell_expr}) / {1 << RES_SHIFT}) AS BIGINT)"
+    ix = f"CAST(FLOOR((({cell_expr}) % {1 << RES_SHIFT}) / {1 << X_SHIFT}) AS BIGINT)"
+    iy = f"(({cell_expr}) % {1 << X_SHIFT})"
+    n = f"POWER(2.0, {res})"
+    x0 = f"ROUND(-180.0 + ({ix}) * 360.0 / {n}, 9)"
+    x1 = f"ROUND(-180.0 + (({ix}) + 1) * 360.0 / {n}, 9)"
+    y0 = f"ROUND(-90.0 + ({iy}) * 180.0 / {n}, 9)"
+    y1 = f"ROUND(-90.0 + (({iy}) + 1) * 180.0 / {n}, 9)"
+    return (
+        f"CONCAT('POLYGON ((', {x0}, ' ', {y0}, ', ', {x0}, ' ', {y1}, ', ', "
+        f"{x1}, ' ', {y1}, ', ', {x1}, ' ', {y0}, ', ', {x0}, ' ', {y0}, '))')"
     )
