@@ -74,3 +74,39 @@ def test_stream_checkpoint_resume(spark, events_stream_dir, tmp_path):
     run_to_memory(hourly_counts_stream(stream2), "resume2", ck, "complete")
     n2 = spark.table("resume2").count()
     assert n1 > 0 and n2 == 0  # nothing new to emit
+
+
+def test_streaming_spatial_enrichment(spark, tmp_path):
+    """Cover-refine PIP join on a STREAM of docs (stateless: broadcast
+    joins + mapInPandas compose with Structured Streaming) — result equals
+    the batch join."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+    from geokitten_spark.fixtures import web_documents, bench_boundaries_pdf
+    from geokitten_spark.operators.pip_join import PolygonCover
+    from geokitten_spark.streaming import run_to_memory
+
+    src = str(tmp_path / "docs_src")
+    docs = web_documents(spark, SF_SMOKE).select("doc_id", "lon", "lat")
+    docs.repartition(3).write.mode("overwrite").parquet(src)
+
+    cover = PolygonCover(
+        spark, bench_boundaries_pdf(), id_col="region_key",
+        wkt_col="geometry_wkt", res=9,
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lon", DoubleType()),
+            StructField("lat", DoubleType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    enriched = cover.join(stream)
+    run_to_memory(enriched, "stream_pip", str(tmp_path / "ck"), output_mode="append")
+    got = {(r.doc_id, r.region_key) for r in spark.table("stream_pip").collect()}
+    want = {(r.doc_id, r.region_key) for r in cover.join(docs).collect()}
+    assert got == want and len(got) > 0
