@@ -909,6 +909,13 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events, round(SUM(value), 2) AS total_value
             FROM events GROUP BY 1, 2
         """,
+        # the STREAMING path is oracle-checked too: its availableNow result
+        # must equal the batch hourly aggregate (same column names)
+        "stream_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events, round(SUM(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
         "asof_join": """
             WITH views AS (
                 SELECT user_id, ts, MAX(event_id) AS view_id
