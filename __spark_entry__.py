@@ -149,6 +149,28 @@ def q_cube_docs(spark, sf_dir):
     )
 
 
+def q_json_props(spark, sf_dir):
+    """Semi-structured column: extract props.k (JSON) and aggregate per
+    event_type (get_json_object — JVM-side, codegen)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high_k"),
+    )
+
+
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles + stddev per event_type (Spark
+    `percentile` == DuckDB `quantile_cont` semantics)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.stddev_samp("value"), 6).alias("sd"),
+    )
+
+
 def q_semi_join_orders(spark, sf_dir):
     """J5 semi-join: orders with >=1 returned lineitem, counted per
     priority (left_semi — no fan-out, one bit per left row)."""
@@ -635,6 +657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5_joins": q_tpch_q5_joins,
         "tpch_q6_filter": q_tpch_q6_filter,
         "cube_docs": q_cube_docs,
+        "json_props": q_json_props,
+        "percentiles": q_percentiles,
         "semi_join_orders": q_semi_join_orders,
         "anti_join_customers": q_anti_join_customers,
         "agg_minmax_distinct": q_agg_minmax_distinct,
@@ -789,6 +813,20 @@ def oracle_sql() -> dict[str, str]:
         "cube_docs": """
             SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
             FROM documents GROUP BY CUBE (lang, source)
+        """,
+        "json_props": """
+            SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                              THEN 1 END) AS n_high_k
+            FROM events GROUP BY event_type
+        """,
+        "percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(stddev_samp(value), 6) AS sd
+            FROM events GROUP BY event_type
         """,
         "semi_join_orders": """
             SELECT o_orderpriority, COUNT(*) AS n_orders
