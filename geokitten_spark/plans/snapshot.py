@@ -106,11 +106,19 @@ class SnapshotStore:
 
         t0 = time.time()
         df = build(spark)
+        # in-flight metrics via the Observation API (no extra pass): the
+        # observed count cross-checks the parquet-footer lineage below
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation(f"{stage}-{sid}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
         wall = time.time() - t0
+        observed_rows = int(obs.get["rows"])
 
         partitions = self._parquet_file_metrics(data_dir)
         manifest = {
@@ -122,12 +130,18 @@ class SnapshotStore:
             "config": config,
             "schema": df.schema.jsonValue(),
             "row_count": int(sum(p["rows"] for p in partitions)),
+            "observed_row_count": observed_rows,
             "byte_count": int(sum(p["bytes"] for p in partitions)),
             "n_partitions": len(partitions),
             "partitions": partitions,
             "wall_seconds": round(wall, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if observed_rows != manifest["row_count"]:  # lineage self-check
+            raise RuntimeError(
+                f"stage {stage}: observed {observed_rows} rows but parquet "
+                f"footers record {manifest['row_count']}"
+            )
         tmp = self.manifest_path(stage, sid) + ".tmp"
         os.makedirs(snap_dir, exist_ok=True)
         with open(tmp, "w") as f:
