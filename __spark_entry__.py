@@ -141,11 +141,22 @@ def q_tpch_q6_filter(spark, sf_dir):
 
 def q_cube_docs(spark, sf_dir):
     """CUBE grouping sets over (lang, source): multi-dimensional tile-style
-    rollup on the documents table."""
+    rollup on the documents table.
+
+    Output canonicalization (both engines identically): CUBE's grouping
+    NULLs become '<all>', integer sums are pinned to BIGINT — DuckDB's
+    SUM(BIGINT) is HUGEINT, which hashes differently from Spark's long
+    even when values are equal."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         docs.cube("lang", "source")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+        .select(
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("sum_chars").cast("long").alias("n_chars"),
+        )
     )
 
 
@@ -155,8 +166,8 @@ def q_json_props(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return ev.groupBy("event_type").agg(
-        F.sum(k).alias("sum_k"),
-        F.count(F.when(k > 50, 1)).alias("n_high_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.count(F.when(k > 50, 1)).cast("long").alias("n_high_k"),
     )
 
 
@@ -287,7 +298,7 @@ def q_lang_quality(spark, sf_dir):
     return per_doc.groupBy("pred_lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("quality_score"), 3).alias("avg_quality"),
-        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
 
 
@@ -297,9 +308,9 @@ def q_token_stats(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.groupBy("lang").agg(
-        F.sum(token_count_ws(F.col("text"))).alias("ws_tokens"),
-        F.sum(token_count_bpeish(F.col("text"))).alias("bpe_tokens"),
-        F.max(F.length("text")).alias("max_chars"),
+        F.sum(token_count_ws(F.col("text"))).cast("long").alias("ws_tokens"),
+        F.sum(token_count_bpeish(F.col("text"))).cast("long").alias("bpe_tokens"),
+        F.max(F.length("text")).cast("long").alias("max_chars"),
     )
 
 
@@ -457,9 +468,9 @@ def q_sessionize(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "ts")
     s = sessionize(ev, key_col="user_id", ts_col="ts", gap_minutes=30)
     return s.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.sum("n_events").alias("n_events"),
-        F.min("session_start").alias("first_start"),
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.min("session_start").cast("timestamp").alias("first_start"),
     )
 
 
@@ -810,15 +821,20 @@ def oracle_sql() -> dict[str, str]:
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
         """,
+        # canonicalized like the Spark side: CUBE NULLs -> '<all>', integer
+        # sums pinned to BIGINT (DuckDB SUM(BIGINT) is HUGEINT otherwise)
         "cube_docs": """
-            SELECT lang, source, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+            SELECT coalesce(lang, '<all>') AS lang,
+                   coalesce(source, '<all>') AS source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars
             FROM documents GROUP BY CUBE (lang, source)
         """,
         "json_props": """
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-                   COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-                              THEN 1 END) AS n_high_k
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                              THEN 1 END) AS BIGINT) AS n_high_k
             FROM events GROUP BY event_type
         """,
         "percentiles": """
@@ -900,14 +916,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pred_lang, COUNT(*) AS n_docs,
                    round(AVG(quality_score), 3) AS avg_quality,
-                   SUM(n_tokens) AS total_tokens
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
             FROM per_doc GROUP BY pred_lang
         """,
         "token_stats": f"""
             SELECT lang,
-                   SUM({token_count_ws_sql('text')}) AS ws_tokens,
-                   SUM({token_count_bpeish_sql('text')}) AS bpe_tokens,
-                   MAX(length(text)) AS max_chars
+                   CAST(SUM({token_count_ws_sql('text')}) AS BIGINT) AS ws_tokens,
+                   CAST(SUM({token_count_bpeish_sql('text')}) AS BIGINT) AS bpe_tokens,
+                   CAST(MAX(length(text)) AS BIGINT) AS max_chars
             FROM documents GROUP BY lang
         """,
         "dedup_exact": f"""
@@ -997,8 +1013,9 @@ def oracle_sql() -> dict[str, str]:
                        COUNT(*) AS n_events
                 FROM sess GROUP BY user_id, sid
             )
-            SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
-                   MIN(session_start) AS first_start
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   CAST(SUM(n_events) AS BIGINT) AS n_events,
+                   CAST(MIN(session_start) AS TIMESTAMP) AS first_start
             FROM per_session GROUP BY user_id
         """,
         "topk_per_group": """
