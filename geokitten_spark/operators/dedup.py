@@ -148,10 +148,19 @@ def minhash_neardup(
     Verify: exact Jaccard of the distinct shingle sets >= threshold.
     """
     rows_per_band = n_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("sh"),
-    ).select("doc_id", "sh", *minhash_signature(F.col("sh"), n_hashes))
+    # docs with < shingle_n words have NO shingles: every minhash is null and
+    # concat_ws would silently drop the nulls, giving all such docs one
+    # shared empty band key — an O(m²) candidate blow-up at corpus scale.
+    # They can never pass Jaccard >= threshold anyway, so drop them before
+    # banding (mirrored in minhash_neardup_sql).
+    sig = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh", *minhash_signature(F.col("sh"), n_hashes))
+    )
 
     # band keys derived from the computed signature IN ONE projection and
     # exploded — a union of per-band branches would re-evaluate the whole
@@ -224,7 +233,7 @@ def minhash_neardup_sql(
                          regexp_split_to_array(lower(trim(text)), '\\s+') AS w
                   FROM corpus)
         ),
-        sig AS (SELECT doc_id, sh, {mh_cols} FROM shingled),
+        sig AS (SELECT doc_id, sh, {mh_cols} FROM shingled WHERE len(sh) > 0),
         banded AS ({' UNION ALL '.join(band_selects)}),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -389,12 +398,22 @@ def ngram_jaccard_pairs(
     n: int = 4,
     prefix_len: int = 16,
     threshold: float = 0.8,
+    len_bucket: int = 64,
 ) -> DataFrame:
-    """Char n-gram Jaccard near-dup pairs, blocked on the text's
-    ``prefix_len``-char canonical prefix (cheap high-recall blocking for
-    suffix-mutation near-dups; compose with minhash for general recall).
+    """Char n-gram Jaccard near-dup pairs, blocked on (canonical
+    ``prefix_len``-char prefix, length bucket).
 
-    Entirely SQL-expressible → oracle-checked.
+    The prefix alone is a skew trap on web corpora: boilerplate-heavy
+    documents ("<!doctype html ..." after canonicalization) pile millions
+    of docs into ONE block → quadratic pairs on one reducer. Composing
+    the block key with ``floor(len/len_bucket)`` splits a hot prefix
+    across length buckets; candidates are pairs whose buckets differ by
+    at most 1 (so any pair with |len_a-len_b| < len_bucket is always
+    co-blocked — Jaccard>=0.8 char-gram near-dups have near-equal
+    lengths). Implemented without a dedup shuffle: side A emits its own
+    bucket, side B emits {lb-1, lb, lb+1}, so each qualifying pair
+    matches on exactly one key. Entirely SQL-expressible → oracle-checked
+    (the DuckDB twin uses the equivalent |lb_a-lb_b|<=1 predicate).
     """
     t = f"lower(trim({text_col}))"
     # guard: sequence(1, k) DESCENDS for k<1 in Spark — emit empty instead
@@ -405,12 +424,19 @@ def ngram_jaccard_pairs(
     )
     g = docs.selectExpr(
         f"{id_col} AS doc_id",
-        f"substring({t}, 1, {prefix_len}) AS blk",
+        f"substring({t}, 1, {prefix_len}) AS pfx",
+        f"CAST(FLOOR(length({t}) / {len_bucket}) AS BIGINT) AS lb",
         f"{grams} AS ng",
     )
-    a = g.select(F.col("doc_id").alias("doc_a"), F.col("ng").alias("ng_a"), "blk")
-    b = g.select(F.col("doc_id").alias("doc_b"), F.col("ng").alias("ng_b"), "blk")
-    cand = a.join(b, on="blk").filter(F.col("doc_a") < F.col("doc_b"))
+    a = g.select(
+        F.col("doc_id").alias("doc_a"), F.col("ng").alias("ng_a"), "pfx",
+        F.col("lb").alias("blk_lb"),
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"), F.col("ng").alias("ng_b"), "pfx",
+        F.explode(F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)).alias("blk_lb"),
+    )
+    cand = a.join(b, on=["pfx", "blk_lb"]).filter(F.col("doc_a") < F.col("doc_b"))
     inter = F.size(F.array_intersect("ng_a", "ng_b")).cast("double")
     union = F.size(F.array_union("ng_a", "ng_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -423,7 +449,8 @@ def ngram_jaccard_pairs(
 
 
 def ngram_jaccard_sql(
-    corpus_cte: str, *, n: int = 4, prefix_len: int = 16, threshold: float = 0.8
+    corpus_cte: str, *, n: int = 4, prefix_len: int = 16, threshold: float = 0.8,
+    len_bucket: int = 64,
 ) -> str:
     t = "lower(trim(text))"
     grams = (
@@ -432,10 +459,13 @@ def ngram_jaccard_sql(
     )
     return f"""
         WITH {corpus_cte},
-        g AS (SELECT doc_id, substr({t}, 1, {prefix_len}) AS blk, {grams} AS ng FROM corpus),
+        g AS (SELECT doc_id, substr({t}, 1, {prefix_len}) AS pfx,
+                     CAST(FLOOR(length({t}) / {len_bucket}) AS BIGINT) AS lb,
+                     {grams} AS ng FROM corpus),
         cand AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ng AS ng_a, b.ng AS ng_b
-            FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+            FROM g a JOIN g b
+              ON a.pfx = b.pfx AND abs(a.lb - b.lb) <= 1 AND a.doc_id < b.doc_id
         ),
         scored AS (
             SELECT doc_a, doc_b,

@@ -5,12 +5,15 @@ Two mechanisms, composable with AQE's skew-join backstop:
 
 * ``cell_histogram`` — the pre-pass that finds hot cells (a cheap
   partial-aggregated count; at 10^12 rows run it on a sample).
-* ``salted_join`` — equi-join where the LEFT (big, skewed) side's key is
-  salted ``key*S + pmod(hash(tag), S)`` and the RIGHT side is exploded
-  ×S, so one hot key fans out over S reducers. The salt is a PURE
-  function of (key, tag) — never random — so stage retries and
+* ``salted_join`` — equi-join on ``(key, salt)`` where the LEFT (big,
+  skewed) side's salt is ``pmod(hash(tag), S)`` and the RIGHT side is
+  exploded ×S, so one hot key fans out over S reducers. The salt is a
+  PURE function of the tag — never random — so stage retries and
   snapshot resume are deterministic (SURVEY §4 "deterministic UDF
-  kernels").
+  kernels"). The join key stays a (key, salt) column PAIR — never
+  ``key*S + salt`` arithmetic, which overflows BIGINT for packed grid
+  cell ids (``res<<58 | ix<<29 | iy`` is already ~2^61) and throws
+  under Spark 4's default ANSI mode.
 """
 
 from __future__ import annotations
@@ -49,16 +52,16 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-safe equi-join on ``on``: salt the big side deterministically by
-    ``big_tag_col``, explode the small side ×salt.
+    ``big_tag_col``, explode the small side ×salt, join on the
+    ``(on, __salt)`` column pair — overflow-proof for any BIGINT key.
 
     ``salt=1`` degenerates to a plain join (same plan shape)."""
     if salt <= 1:
         return big.join(small, on=on, how=how)
-    salted_key = (
-        F.col(on) * salt + F.pmod(F.xxhash64(F.col(big_tag_col)), F.lit(salt))
-    ).alias("__salted")
-    big_s = big.withColumn("__salted", salted_key)
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(big_tag_col)), F.lit(salt)).cast("int")
+    )
     small_s = small.withColumn(
-        "__s", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    ).withColumn("__salted", F.col(on) * salt + F.col("__s")).drop("__s", on)
-    return big_s.join(small_s, on="__salted", how=how).drop("__salted")
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return big_s.join(small_s, on=[on, "__salt"], how=how).drop("__salt")

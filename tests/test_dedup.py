@@ -102,6 +102,64 @@ def test_ngram_jaccard_planted(spark):
     assert pairs == {(1, 2)}
 
 
+def test_minhash_short_docs_do_not_explode_candidates(spark):
+    """Regression (ADVICE r1): docs with < n words all minhash to null;
+    concat_ws dropped the nulls so every short doc shared ONE empty band
+    key — O(m²) candidates. They must be filtered before banding, and the
+    planted real pair must survive."""
+    base = " ".join(f"w{i}" for i in range(50))
+    rows = [(1, base), (2, base + " extra tail tokens here")]
+    rows += [(100 + i, "hi") for i in range(200)]  # 200 sub-shingle docs
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_neardup(df).collect()}
+    assert pairs == {(1, 2)}
+    # candidate set itself must be skew-free: banding drops empty-shingle
+    # docs, so no (short, short) pair is ever materialized
+    from geokitten_spark.operators.dedup import word_shingles, minhash_signature
+
+    sig = (
+        df.select(F.col("doc_id"), word_shingles(F.col("text"), 3).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    assert sig.count() == 2
+
+
+def test_ngram_jaccard_hot_prefix_blocks_are_bounded(spark):
+    """Adversarial corpus (VERDICT r1 item 5): thousands of docs sharing one
+    boilerplate prefix. The composed (prefix, length-bucket) block key must
+    split the hot prefix so no block goes quadratic, while same-length
+    near-dups still pair up."""
+    import random
+
+    rng = random.Random(7)
+    prefix = "<!doctype html> "  # 16 chars after lower/trim
+    rows = []
+    for i in range(2000):
+        body_len = rng.randrange(20, 6400)
+        body = "".join(rng.choice("abcdefgh ") for _ in range(body_len))
+        rows.append((i, prefix + body))
+    # plant one true near-dup pair (same length bucket by construction)
+    rows.append((9001, prefix + "x" * 500))
+    rows.append((9002, prefix + "x" * 499 + "y"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # block-size audit with the operator's own key: the hot prefix spreads
+    # over ~100 length buckets; no (pfx, lb) block may hold a quadratic share
+    blocks = (
+        df.selectExpr(
+            "substring(lower(trim(text)), 1, 16) AS pfx",
+            "CAST(FLOOR(length(lower(trim(text))) / 64) AS BIGINT) AS lb",
+        )
+        .groupBy("pfx", "lb")
+        .count()
+    )
+    max_block = blocks.agg(F.max("count")).first()[0]
+    assert max_block < 200, f"hot block of {max_block} docs — skew not mitigated"
+
+    pairs = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(df).collect()}
+    assert (9001, 9002) in pairs
+
+
 def test_embedding_lsh_recall_vs_bruteforce(spark):
     """Sign-LSH candidates must recover every brute-force pair on the
     injected corpus (perturbation is tiny -> signatures agree on >=1 band)."""

@@ -67,6 +67,31 @@ def test_salted_join_matches_plain_join(spark):
         assert salted == plain, f"salt={salt}"
 
 
+def test_salted_join_packed_cell_ids_no_overflow(spark):
+    """Regression (ADVICE r1): packed grid ids (res<<58|ix<<29|iy ≈ 2.9e18 at
+    res 10) overflowed BIGINT under the old key*salt+s packing and threw
+    ARITHMETIC_OVERFLOW under Spark 4 ANSI mode for any salt >= 4. The
+    (key, salt)-pair join must handle exactly these keys."""
+    from geokitten_spark.cells.grid import grid_cell
+
+    lons = [-120.0 + 3 * i for i in range(8)]
+    cells = [int(grid_cell(lon, 40.0, 10)) for lon in lons]
+    assert max(cells) > (1 << 61)  # genuinely huge packed ids
+    big = spark.createDataFrame(
+        [(cells[i % 8], i) for i in range(2000)], ["cell", "tag"]
+    )
+    small = spark.createDataFrame(
+        [(c, f"r{j}") for j, c in enumerate(cells)], ["cell", "region"]
+    )
+    plain = {(r.cell, r.tag, r.region) for r in big.join(small, on="cell").collect()}
+    for salt in (4, 16):
+        salted = {
+            (r.cell, r.tag, r.region)
+            for r in salted_join(big, small, "cell", salt=salt, big_tag_col="tag").collect()
+        }
+        assert salted == plain, f"salt={salt}"
+
+
 def test_histogram_and_salt_factor(spark):
     # one hot cell (id 0: 9000 rows), others cold
     df = spark.range(10000).select(
