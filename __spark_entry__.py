@@ -247,7 +247,10 @@ def q_tile_vectorize(spark, sf_dir):
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
-    ix = F.floor((F.col("cell_id") % (1 << RES_SHIFT)) / (1 << X_SHIFT)).cast("long")
+    # exact bit-shift decode (double division flips FLOOR for cells >= 2^53)
+    ix = F.shiftright(F.col("cell_id"), X_SHIFT).bitwiseAND(
+        F.lit((1 << (RES_SHIFT - X_SHIFT)) - 1)
+    )
     iy = F.col("cell_id") % (1 << X_SHIFT)
     n = float(1 << 6)
     return tiles.select(
@@ -354,9 +357,12 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
     # distributed top-k: orderBy+limit plans TakeOrderedAndProject (per-
     # partition top-k + merge), NOT a single-partition global window; the
-    # rank column is then derived on the k surviving rows only
+    # rank column is then derived on the k surviving rows only. The window
+    # partitions by a constant — same single partition (10 rows, by
+    # construction), but with an explicit partitionSpec so WindowExec
+    # doesn't log the "No Partition Defined" warning into the bench log.
     topk = scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
-    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return (
         topk.withColumn("rank", F.row_number().over(w)).select("vec_id", "rank")
     )
@@ -717,7 +723,7 @@ def _webdocs_cte() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from geokitten_spark.cells.grid import grid_cell_sql, RES_SHIFT, X_SHIFT
+    from geokitten_spark.cells.grid import grid_cell_sql, grid_decode_sql
     from geokitten_spark.functions.text import (
         lang_id_sql,
         quality_sql,
@@ -751,6 +757,7 @@ def oracle_sql() -> dict[str, str]:
     # kNN oracle: same cells, same ring predicate, same tie-break
     n5 = 1 << 5
     cell5 = grid_cell_sql("lon", "lat", 5)
+    dec5 = grid_decode_sql("cell_id")
     knn = f"""
         {cte},
         pts AS (
@@ -758,8 +765,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         dec AS (
             SELECT doc_id, lon, lat,
-                   CAST(FLOOR((cell_id % {1 << RES_SHIFT}) / {1 << X_SHIFT}) AS BIGINT) AS ix,
-                   cell_id % {1 << X_SHIFT} AS iy
+                   {dec5['ix']} AS ix,
+                   {dec5['iy']} AS iy
             FROM pts
         ),
         cand AS (
@@ -891,8 +898,8 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(-90.0 + (iy + 1) * 180.0 / 64, 9) AS y1
             FROM (
                 SELECT cell_id, n_docs,
-                       CAST(FLOOR((cell_id % {1 << RES_SHIFT}) / {1 << X_SHIFT}) AS BIGINT) AS ix,
-                       cell_id % {1 << X_SHIFT} AS iy
+                       {grid_decode_sql('cell_id')['ix']} AS ix,
+                       {grid_decode_sql('cell_id')['iy']} AS iy
                 FROM tiles
             )
         """,

@@ -18,6 +18,7 @@ __all__ = [
     "grid_cell",
     "grid_cell_sql",
     "grid_decode",
+    "grid_decode_sql",
     "grid_kring",
     "RES_SHIFT",
     "X_SHIFT",
@@ -53,6 +54,29 @@ def grid_cell_sql(lon_expr: str, lat_expr: str, res: int) -> str:
     return (
         f"(CAST({res} AS BIGINT) * {1 << RES_SHIFT} + {ix} * {1 << X_SHIFT} + {iy})"
     )
+
+
+def _idiv_pow2_sql(expr: str, d: int) -> str:
+    """Exact integer division of a non-negative BIGINT by a power of two,
+    portable across Spark SQL and DuckDB.
+
+    Plain ``FLOOR(x / d)`` goes through DOUBLE: for x >= 2^53 the rounding
+    can flip FLOOR and decode the wrong column (ADVICE r1). Subtracting the
+    remainder first makes the numerator a multiple of d whose quotient has
+    <= 29 significant bits, so the DOUBLE round-trip is exact.
+    """
+    return f"CAST(((({expr}) - (({expr}) % {d})) / {d}) AS BIGINT)"
+
+
+def grid_decode_sql(cell_expr: str) -> dict[str, str]:
+    """Exact (res, ix, iy) decode expressions for a packed cell id — the
+    SQL twin of ``grid_decode``, safe for all 0-28 resolutions in both
+    Spark SQL and DuckDB."""
+    return {
+        "res": _idiv_pow2_sql(cell_expr, 1 << RES_SHIFT),
+        "ix": _idiv_pow2_sql(f"(({cell_expr}) % {1 << RES_SHIFT})", 1 << X_SHIFT),
+        "iy": f"(({cell_expr}) % {1 << X_SHIFT})",
+    }
 
 
 def grid_decode(cell_id):

@@ -95,8 +95,10 @@ def grid_kring_col(cell: Column, res: int, k: int = 1) -> Column:
     """kRing as a pure SQL array expression over the packed grid id
     (lon wraps, lat clamps — same as ``cells.grid.grid_kring``)."""
     n = 1 << res
-    ix = (cell.cast("long") % F.lit(1 << RES_SHIFT)) / F.lit(1 << X_SHIFT)
-    ix = F.floor(ix).cast("long")
+    # exact bit-shift decode (double division flips FLOOR for cells >= 2^53)
+    ix = F.shiftright(cell.cast("long"), X_SHIFT).bitwiseAND(
+        F.lit((1 << (RES_SHIFT - X_SHIFT)) - 1)
+    )
     iy = cell.cast("long") % F.lit(1 << X_SHIFT)
     cells = []
     for dx in range(-k, k + 1):

@@ -53,13 +53,28 @@ class IVFIndex:
     """Inverted-file ANN index over an embedding DataFrame.
 
     ``build``: one aggregation pass computes per-list centroids (from
-    ``label_col`` buckets — k-means-free, deterministic); one projection
-    pass assigns every vector to its nearest centroid (the inverted
-    lists), persisted partitioned by list id so a probe prunes partitions.
+    ``label_col`` buckets — k-means-free, deterministic); one
+    broadcast-join pass assigns every vector to its nearest centroid.
+    The assignment plan is O(1) in ``n_lists``: the centroids live in a
+    BROADCAST TABLE (n_lists rows), every vector scores each centroid
+    through one shared cosine expression, and ``max_by`` picks the argmax
+    — never a per-centroid column or an O(L²) CASE-WHEN chain, which
+    blows the expression tree up at the 1k+ lists a 100-TB corpus needs.
+    The crossJoin is broadcast-nested-loop, so all L copies of a vector
+    stay in one partition and the map-side partial ``max_by`` collapses
+    them before the shuffle — the exchange carries one row per vector.
+
+    The inverted lists are persisted to storage ``partitionBy('__lst')``
+    (not cached in executor memory): a probe's ``__lst IN (...)`` filter
+    becomes a partition-pruning scan, so ``search`` reads only the probed
+    lists — O(N·n_probe/n_lists) I/O per query at any corpus size.
     """
 
     def __init__(self, emb: DataFrame, *, id_col: str = "vec_id",
-                 vec_col: str = "embedding", label_col: str | None = "label"):
+                 vec_col: str = "embedding", label_col: str | None = "label",
+                 n_lists: int = 16, storage_path: str | None = None):
+        import tempfile
+
         self.id_col = id_col
         self.vec_col = vec_col
         spark = emb.sparkSession
@@ -69,7 +84,7 @@ class IVFIndex:
             buckets = emb.select(F.col(label_col).alias("__lst"), v.alias("v"))
         else:  # deterministic hash-bucketing fallback
             buckets = emb.select(
-                F.pmod(F.xxhash64(F.col(id_col)), F.lit(16)).alias("__lst"),
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_lists)).alias("__lst"),
                 v.alias("v"),
             )
         # centroid per list: element-wise mean via posexplode + re-assemble
@@ -84,43 +99,46 @@ class IVFIndex:
         self.centroids = cent.collect()  # tiny (n_lists rows)
         self._cent_map = {r["__lst"]: np.asarray(r["centroid"]) for r in self.centroids}
 
-        # assign every vector to its nearest centroid (JVM-side: score vs
-        # each centroid via array expressions, pick argmax)
-        sims = [
-            _cosine(v, F.array(*[F.lit(float(x)) for x in c])).alias(f"__s{lst}")
-            for lst, c in self._cent_map.items()
+        # stable list order for deterministic argmax tie-breaking: ties go
+        # to the FIRST list in sorted(__lst) order, matching the numpy
+        # probe ranking in search()
+        ordered = sorted(self._cent_map.keys())
+        lidx = {lst: i for i, lst in enumerate(ordered)}
+        cent_rows = [
+            (int(lidx[lst]), lst, [float(x) for x in self._cent_map[lst]])
+            for lst in ordered
         ]
-        lists = list(self._cent_map.keys())
-        scored = emb.select(F.col(id_col), v.alias("v"), *sims)
-        best = None
-        for lst in lists:
-            cond = F.lit(True)
-            for lst2 in lists:
-                if lst2 == lst:
-                    continue
-                op = (
-                    F.col(f"__s{lst}") > F.col(f"__s{lst2}")
-                    if lists.index(lst2) < lists.index(lst)
-                    else F.col(f"__s{lst}") >= F.col(f"__s{lst2}")
-                )
-                cond = cond & op
-            clause = F.when(cond, F.lit(lst))
-            best = clause if best is None else best.when(cond, F.lit(lst))
-        self.lists = (
-            scored.select(id_col, "v", best.alias("__lst"))
-            .repartition("__lst")
-            .cache()
+        cent_df = spark.createDataFrame(cent_rows, ["__lidx", "__lst", "centroid"])
+
+        sim = _cosine(F.col("v"), F.col("centroid").cast("array<double>"))
+        assigned = (
+            emb.select(F.col(id_col), v.alias("v"))
+            .crossJoin(F.broadcast(cent_df))
+            .groupBy(id_col)
+            .agg(
+                # argmax by (sim, -lidx): deterministic on ties
+                F.max_by(
+                    F.col("__lst"), F.struct(sim.alias("s"), (-F.col("__lidx")).alias("t"))
+                ).alias("__lst"),
+                F.first("v").alias("v"),
+            )
         )
+        self.storage_path = storage_path or tempfile.mkdtemp(prefix="gk_ivf_")
+        assigned.write.mode("overwrite").partitionBy("__lst").parquet(self.storage_path)
+        self.lists = spark.read.parquet(self.storage_path)
 
     def search(self, query_vec: list[float], *, k: int = 10, n_probe: int = 2) -> DataFrame:
-        """Top-k among vectors in the ``n_probe`` nearest lists."""
+        """Top-k among vectors in the ``n_probe`` nearest lists (scan is
+        partition-pruned to exactly those lists)."""
         qv = np.asarray(query_vec, dtype=np.float64)
 
         def cos(c):
             d = float(qv @ c)
             return d / (np.linalg.norm(qv) * np.linalg.norm(c) + 1e-300)
 
-        probe = sorted(self._cent_map, key=lambda lst: -cos(self._cent_map[lst]))[:n_probe]
+        probe = sorted(
+            self._cent_map, key=lambda lst: (-cos(self._cent_map[lst]), lst)
+        )[:n_probe]
         q = F.array(*[F.lit(float(x)) for x in query_vec])
         cand = self.lists.filter(F.col("__lst").isin(list(probe)))
         scored = cand.select(F.col(self.id_col), _cosine(F.col("v"), q).alias("sim"))

@@ -258,6 +258,8 @@ def cover_refine_pip_join(
     lat_col: str = "lat",
     res: int = 10,
     cover: "PolygonCover | None" = None,
+    how: str = "inner",
+    doc_key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact PIP join via cell-cover prefilter + boundary-cell refine.
 
@@ -274,14 +276,30 @@ def cover_refine_pip_join(
     construction + broadcast across many joins (one boundary set serves the
     whole pipeline).
 
-    Semantics match ``pip_join(how='inner')``: one output row per
-    (doc, polygon) containment pair.
+    Semantics match ``pip_join(how=...)``: one output row per
+    (doc, polygon) containment pair; ``how='left'`` additionally keeps
+    each unmatched doc once, with a null ``id_col``. Because matches come
+    from TWO paths (JVM fast join + Arrow refine), 'left' needs a doc
+    identity — pass ``doc_key_cols`` (a unique doc key, e.g.
+    ``['doc_id']``); the unmatched set is a key anti-join against the
+    matched set (one extra shuffle on the doc key — the inherent price of
+    left semantics on a fan-out join).
     """
     if cover is None:
         cover = PolygonCover(
             docs.sparkSession, boundaries_pdf, id_col=id_col, wkt_col=wkt_col, res=res
         )
-    return cover.join(docs, lon_col=lon_col, lat_col=lat_col)
+    matched = cover.join(docs, lon_col=lon_col, lat_col=lat_col)
+    if how == "inner":
+        return matched
+    if how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if not doc_key_cols:
+        raise ValueError("how='left' requires doc_key_cols (a unique doc key)")
+    unmatched = docs.join(
+        matched.select(*doc_key_cols).distinct(), on=doc_key_cols, how="left_anti"
+    ).withColumn(id_col, F.lit(None).cast(cover.id_type))
+    return matched.unionByName(unmatched)
 
 
 def _promote_cover(in_cells: np.ndarray, in_pos: np.ndarray, res: int, min_res: int):

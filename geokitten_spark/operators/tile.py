@@ -42,7 +42,10 @@ def grid_parent_col(cell: Column, child_res: int, parent_res: int) -> Column:
     """Arithmetic parent derivation for the packed grid id (no re-encode from
     lon/lat needed — pure integer ops on the tile table)."""
     shift = child_res - parent_res
-    ix = F.floor((cell.cast("long") % F.lit(1 << RES_SHIFT)) / F.lit(1 << X_SHIFT)).cast("long")
+    # exact bit-shift decode (double division flips FLOOR for cells >= 2^53)
+    ix = F.shiftright(cell.cast("long"), X_SHIFT).bitwiseAND(
+        F.lit((1 << (RES_SHIFT - X_SHIFT)) - 1)
+    )
     iy = cell.cast("long") % F.lit(1 << X_SHIFT)
     nix = F.shiftright(ix, shift)
     niy = F.shiftright(iy, shift)
@@ -193,10 +196,14 @@ def tile_wkt_sql(cell_expr: str) -> str:
     """The cell→rectangle-WKT expression (ANSI SQL: runs in Spark + DuckDB).
 
     Corners derive from the id layout ``res<<58 | ix<<29 | iy``; numbers
-    are rendered via round(x, 9) so both engines format identically."""
-    res = f"CAST(FLOOR(({cell_expr}) / {1 << RES_SHIFT}) AS BIGINT)"
-    ix = f"CAST(FLOOR((({cell_expr}) % {1 << RES_SHIFT}) / {1 << X_SHIFT}) AS BIGINT)"
-    iy = f"(({cell_expr}) % {1 << X_SHIFT})"
+    are rendered via round(x, 9) so both engines format identically.
+    Decode uses ``grid_decode_sql`` (exact integer division — plain
+    FLOOR(x/2^29) through DOUBLE mis-decodes cells >= 2^53, i.e. res>=27
+    ids with iy near 0)."""
+    from ..cells.grid import grid_decode_sql
+
+    dec = grid_decode_sql(cell_expr)
+    res, ix, iy = dec["res"], dec["ix"], dec["iy"]
     n = f"POWER(2.0, {res})"
     x0 = f"ROUND(-180.0 + ({ix}) * 360.0 / {n}, 9)"
     x1 = f"ROUND(-180.0 + (({ix}) + 1) * 360.0 / {n}, 9)"

@@ -268,12 +268,17 @@ def kml_strings(
 def write_kml_dir(kml_df: DataFrame, output_dir: str) -> int:
     """File sink: write each (file_name, kml) row to ``output_dir``.
 
-    Executor-side writes (foreachPartition); local-path semantics match the
-    reference sink. Returns number of files written."""
+    CONTRACT: ``output_dir`` must be a path visible to the executors (a
+    shared/distributed filesystem on a real cluster; any local path in
+    local mode — the sandbox case). Executor-side writes
+    (foreachPartition) create the directory inside the task, so the sink
+    works even when the driver's mkdir would land on a different node.
+    Returns number of files written."""
     os.makedirs(output_dir, exist_ok=True)
     n = kml_df.count()
 
     def write_part(rows):
+        os.makedirs(output_dir, exist_ok=True)  # executor-local visibility
         for row in rows:
             with open(os.path.join(output_dir, row.file_name), "w", encoding="utf-8") as f:
                 f.write(row.kml)

@@ -237,9 +237,11 @@ def render_continuous_choropleth(
     tooltip_columns: list[str] | None = None,
     title: str = "",
 ) -> str:
-    vals = pdf[color_column].astype(float)
-    if not np.issubdtype(vals.dtype, np.number):
+    # check the SOURCE dtype before converting — astype(float) on a string
+    # column raises its own error and would make this check dead code
+    if not np.issubdtype(pdf[color_column].dtype, np.number):
         raise ValueError(f"column {color_column} must be numeric")
+    vals = pdf[color_column].astype(float)
     cmap = ContinuousColormap(vals.min(), vals.max())
     tooltip_columns = _cap_tooltips(tooltip_columns or [color_column])
     svg = _svg_polys(pdf, wkt_col, lambda row: cmap(row[color_column]), tooltip_columns)

@@ -223,3 +223,34 @@ def test_hex_parent_child_hierarchy():
         # every original child of this parent is found
         mine = child[parent == p]
         assert set(mine.tolist()) <= set(kids.tolist())
+
+
+# ---- exact SQL decode (ADVICE r1: double division flips FLOOR >= 2^53) ----
+
+def test_grid_decode_sql_exact_at_high_res(spark):
+    """grid_decode_sql must match the numpy bit-op decode for res>=27 ids
+    (where the packed remainder exceeds 2^53 and a DOUBLE FLOOR can flip),
+    identically in Spark SQL and DuckDB."""
+    import duckdb
+
+    from geokitten_spark.cells.grid import grid_decode_sql
+
+    cells = [int(grid_cell(lon, -89.9999999, 28)) for lon in (-179.9, -1.0, 0.001, 179.9)]
+    cells += [int(grid_cell(179.999, lat, 27)) for lat in (-89.99999, -0.001, 89.99999)]
+    cells += [int(grid_cell(0.0, 0.0, 5))]
+    res_e, ix_e, iy_e = grid_decode(np.asarray(cells, dtype=np.int64))
+    expected = list(zip(res_e.tolist(), ix_e.tolist(), iy_e.tolist()))
+
+    dec = grid_decode_sql("cell_id")
+    sel = f"{dec['res']} AS r, {dec['ix']} AS x, {dec['iy']} AS y"
+
+    sdf = spark.createDataFrame([(c,) for c in cells], ["cell_id"])
+    got_spark = [(r.r, r.x, r.y) for r in sdf.selectExpr(*sel.split(", "))
+                 .collect()]
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    got_duck = con.sql(
+        f"SELECT {sel} FROM (SELECT unnest({cells}::BIGINT[]) AS cell_id)"
+    ).fetchall()
+    assert [tuple(map(int, t)) for t in got_duck] == expected

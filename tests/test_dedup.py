@@ -196,3 +196,30 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     # full probe == exact (same order, same ids)
     full = [r.vec_id for r in idx.search(qv, k=10, n_probe=len(idx.centroids)).collect()]
     assert full == exact
+
+
+def test_ivf_many_lists_plan_stays_bounded_and_prunes(spark, tmp_path):
+    """Regression (VERDICT r1 item 4): the old argmax was an O(L²) CASE-WHEN
+    chain plus one cosine column per centroid — a 256-list build would blow
+    the expression tree. The broadcast-table + max_by assignment must keep
+    the plan O(1) in n_lists, and a probe must PARTITION-PRUNE the
+    persisted lists rather than scan them all."""
+    from geokitten_spark.operators.ann import brute_topk, IVFIndex
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").filter("vec_id <> 0")
+    qv = [float(x) for x in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+          .filter("vec_id = 0").first()["embedding"]]
+    idx = IVFIndex(emb, label_col=None, n_lists=256,
+                   storage_path=str(tmp_path / "ivf256"))
+    assert len(idx.centroids) > 100  # hash-bucketing really spread the lists
+
+    res = idx.search(qv, k=10, n_probe=3)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 50_000, f"plan exploded: {len(plan)} chars"
+    # probe scan is partition-pruned to exactly the probed lists
+    assert "PartitionFilters" in plan and "__lst" in plan
+
+    # full probe over the 256-list index still equals brute force
+    exact = [r.vec_id for r in brute_topk(emb, qv, k=10).collect()]
+    full = [r.vec_id for r in idx.search(qv, k=10, n_probe=256).collect()]
+    assert full == exact

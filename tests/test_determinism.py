@@ -62,6 +62,28 @@ def test_repeat_run_identical(spark):
     assert a == b
 
 
+def test_cover_refine_left_matches_brute_left(spark):
+    """VERDICT r1 item 8: cover_refine_pip_join(how='left') must equal
+    pip_join(how='left') — matched (doc, region) pairs identical AND every
+    unmatched doc retained exactly once with a null region id."""
+    from geokitten_spark.fixtures import web_documents, bench_boundaries_pdf
+    from geokitten_spark.operators.pip_join import pip_join, cover_refine_pip_join
+
+    docs = web_documents(spark, SF_SMOKE).select("doc_id", "lon", "lat")
+    bnd = bench_boundaries_pdf()
+    brute = pip_join(
+        docs, bnd, id_col="region_key", wkt_col="geometry_wkt", how="left"
+    )
+    cover = cover_refine_pip_join(
+        docs, bnd, id_col="region_key", wkt_col="geometry_wkt", res=9,
+        how="left", doc_key_cols=["doc_id"],
+    )
+    b = sorted((r.doc_id, r.region_key) for r in brute.collect())
+    c = sorted((r.doc_id, r.region_key) for r in cover.collect())
+    assert b == c and len(b) >= docs.count()
+    assert any(k is None for _, k in b)  # fixture really has unmatched docs
+
+
 def test_extract_invariant_per_url(spark):
     """input_hint gate: extract(html) == text, byte-identical per url."""
     from geokitten_spark.fixtures import web_documents

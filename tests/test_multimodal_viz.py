@@ -142,3 +142,16 @@ def test_hex_color_validation():
             validate_hex_colors(bad)
     with pytest.raises(ValueError):
         categorical_color_dict(["a"], "custom", ["red"])
+
+
+def test_continuous_choropleth_rejects_non_numeric():
+    import pandas as pd
+    import pytest as _pytest
+
+    from geokitten_spark.viz.choropleth import render_continuous_choropleth
+
+    pdf = pd.DataFrame(
+        {"geometry_wkt": ["POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))"], "v": ["abc"]}
+    )
+    with _pytest.raises(ValueError, match="must be numeric"):
+        render_continuous_choropleth(pdf, "v")
