@@ -741,6 +741,7 @@ def oracle_sql() -> dict[str, str]:
         simhash_neardup_sql,
         ngram_jaccard_sql,
     )
+    from geokitten_spark import oracles as _ora
 
     cte = _webdocs_cte()
     rect = admin_rects_sql_parts()
@@ -1050,4 +1051,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(*) AS n_total, CAST(0 AS BIGINT) AS n_violations
             FROM documents
         """,
+        # ------------------------------------------------------------------
+        # driver-side expected-value oracles (geokitten_spark/oracles.py):
+        # kernels aren't SQL-expressible, but they ARE deterministic pure
+        # numpy — expected outputs are computed once on the driver through
+        # the non-Spark path and registered as literal VALUES oracles, so
+        # the driver hash-checks the whole Spark pipeline against them.
+        # ------------------------------------------------------------------
+        "s2_tile_agg": _ora.s2_tile_agg_sql(),
+        "hex_tile_agg": _ora.hex_tile_agg_sql(),
+        "admin_standardize": _ora.admin_standardize_sql(),
+        "subtract_overlap": _ora.subtract_overlap_sql(),
+        "geo_aggregates": _ora.geo_aggregates_sql(),
+        "ann_ivf_topk": _ora.ann_ivf_topk_sql(),
+        "embed_neardup_lsh": _ora.embed_neardup_lsh_sql(),
     }

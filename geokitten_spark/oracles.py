@@ -1,0 +1,311 @@
+"""Driver-side expected-value oracles for queries whose kernels are not
+SQL-expressible (S2/hex encode, geometry standardization, IVF/LSH).
+
+The trick (VERDICT r1 item 2): the underlying kernels are deterministic
+pure numpy functions, so the expected output of each query can be computed
+ONCE on the driver — through the NON-Spark code path (duckdb for the
+relational part, the ``geom``/``cells`` numpy kernels for the rest) — and
+registered as a literal ``SELECT ... FROM (VALUES ...)`` oracle. The
+driver's DuckDB run then hash-compares the Spark pipeline against these
+independent expected values, which catches any Spark-side plumbing
+regression (mapInPandas schema drift, partition-dependent bugs, Arrow
+casting) even though the kernel math is shared.
+
+Float discipline: where Spark computes a value through a JVM ``aggregate``
+fold (cosine similarities), the replica folds in the same left-to-right
+order; where Spark rounds (``F.round`` on DOUBLE = BigDecimal HALF_UP),
+the replica rounds with ``decimal.ROUND_HALF_UP`` on the exact binary
+value. Everything else is bit-identical by construction (same numpy, same
+inputs).
+
+All builders read the driver's correctness scale factor
+(``SPARK_GRAFT_ORACLE_SF_DIR``, default sf0.01) and cache per process.
+"""
+
+from __future__ import annotations
+
+import os
+from decimal import Decimal, ROUND_HALF_UP
+from functools import lru_cache
+
+import numpy as np
+
+ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _spark_round(x: float, digits: int) -> float:
+    """F.round(double, d) — BigDecimal HALF_UP on the exact binary value."""
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _sql_lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, float):
+        return repr(v)  # shortest round-trip decimal; DuckDB parses exactly
+    return str(int(v))
+
+
+def values_sql(rows: list[tuple], schema: list[tuple[str, str]]) -> str:
+    """``SELECT CAST(...) AS name, ... FROM (VALUES ...)`` literal oracle."""
+    cols = ", ".join(
+        f"CAST(c{i} AS {typ}) AS {name}" for i, (name, typ) in enumerate(schema)
+    )
+    names = ", ".join(f"c{i}" for i in range(len(schema)))
+    vals = ", ".join("(" + ", ".join(_sql_lit(v) for v in row) + ")" for row in rows)
+    return f"SELECT {cols} FROM (VALUES {vals}) AS t({names})"
+
+
+def _webdocs_lonlat(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    from .fixtures import web_documents_sql
+
+    con = _duck(sf_dir)
+    pdf = con.sql(
+        f"WITH webdocs AS ({web_documents_sql()}) SELECT lon, lat FROM webdocs"
+    ).df()
+    return pdf["lon"].to_numpy(np.float64), pdf["lat"].to_numpy(np.float64)
+
+
+def _cell_count_values(cells: np.ndarray) -> str:
+    uniq, counts = np.unique(cells, return_counts=True)
+    rows = list(zip(uniq.tolist(), counts.tolist()))
+    return values_sql(rows, [("cell_id", "BIGINT"), ("n_docs", "BIGINT")])
+
+
+@lru_cache(maxsize=4)
+def s2_tile_agg_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (cell_id, n_docs) for q_s2_tile_agg (S2 level 8)."""
+    from .cells import s2
+
+    lons, lats = _webdocs_lonlat(sf_dir)
+    return _cell_count_values(np.asarray(s2.lat_lng_to_cell(lats, lons, 8)))
+
+
+@lru_cache(maxsize=4)
+def hex_tile_agg_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (cell_id, n_docs) for q_hex_tile_agg (hex res 6)."""
+    from .cells.hexgrid import hex_cell
+
+    lons, lats = _webdocs_lonlat(sf_dir)
+    return _cell_count_values(np.asarray(hex_cell(lons, lats, 6)))
+
+
+# ---------------------------------------------------------------------------
+# geometry-kernel oracles over the admin_polygons fixture
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=1)
+def admin_standardize_sql() -> str:
+    """Expected (region_id, area_km2, interior_pt) for q_admin_standardize:
+    the same standardize→area/interior pipeline run directly through the
+    numpy kernels (no Spark, no Arrow)."""
+    from .fixtures import admin_polygons_pdf
+    from .geom import parse_wkt, to_wkt, repair_bowtie, standardize_geometry
+    from .geom import interior_point, mercator_area
+
+    rows = []
+    for _, r in admin_polygons_pdf().iterrows():
+        g = standardize_geometry(repair_bowtie(parse_wkt(r["geometry_wkt"])), remove_geni=True)
+        rows.append(
+            (
+                r["region_id"],
+                _spark_round(mercator_area(g, km2=True), 4),
+                to_wkt(interior_point(g)),
+            )
+        )
+    return values_sql(
+        rows,
+        [("region_id", "VARCHAR"), ("area_km2", "DOUBLE"), ("interior_pt", "VARCHAR")],
+    )
+
+
+@lru_cache(maxsize=1)
+def subtract_overlap_sql() -> str:
+    """Expected (region_id, area_km2) for q_subtract_overlap — the
+    subtract_overlapping fold replicated row-by-row on the driver."""
+    from .fixtures import admin_polygons_pdf
+    from .geom import (
+        parse_wkt, repair_bowtie, standardize_geometry, difference, intersects,
+    )
+    from .geom import mercator_area
+
+    spec = {"5001000002": ["5001000003"], "5001000004": ["5001000005"]}
+    pdf = admin_polygons_pdf()
+    sub_geoms = {
+        k: [w] for k, w in zip(pdf["region_id"], pdf["geometry_wkt"])
+        if k in {v for subs in spec.values() for v in subs}
+    }
+    rows = []
+    for _, r in pdf.iterrows():
+        g = None
+        if r["region_id"] in spec:
+            g = repair_bowtie(parse_wkt(r["geometry_wkt"]))
+            for sub_key in spec[r["region_id"]]:
+                for sub_wkt in sub_geoms[sub_key]:
+                    sub = parse_wkt(sub_wkt)
+                    if intersects(g, sub):
+                        g = difference(g, sub)
+        g = standardize_geometry(
+            g if g is not None else parse_wkt(r["geometry_wkt"]), remove_geni=True
+        )
+        rows.append((r["region_id"], _spark_round(mercator_area(g, km2=True), 4)))
+    return values_sql(rows, [("region_id", "VARCHAR"), ("area_km2", "DOUBLE")])
+
+
+@lru_cache(maxsize=1)
+def geo_aggregates_sql() -> str:
+    """Expected one-row (center_x, center_y, xmin..ymax) for
+    q_geo_aggregates (area-weighted union centroid + total bounds)."""
+    from .fixtures import admin_polygons_pdf
+    from .geom import parse_wkt, geometry_area, centroid
+
+    a_sum = cxa = cya = 0.0
+    xmin = ymin = np.inf
+    xmax = ymax = -np.inf
+    for w in admin_polygons_pdf()["geometry_wkt"]:
+        g = parse_wkt(w)
+        a = geometry_area(g)
+        cx, cy = centroid(g)
+        a_sum += a
+        cxa += cx * a
+        cya += cy * a
+        b = g.bbox()
+        xmin, ymin = min(xmin, b[0]), min(ymin, b[1])
+        xmax, ymax = max(xmax, b[2]), max(ymax, b[3])
+    row = tuple(
+        _spark_round(v, 6)
+        for v in (cxa / a_sum, cya / a_sum, xmin, ymin, xmax, ymax)
+    )
+    return values_sql(
+        [row],
+        [(n, "DOUBLE") for n in ("center_x", "center_y", "xmin", "ymin", "xmax", "ymax")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding oracles — fold-order-faithful cosine replicas
+# ---------------------------------------------------------------------------
+
+def _fold_cosine(mat: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Cosine(mat[i], q) with the SAME left-to-right accumulation order as
+    the Spark-side F.aggregate fold (dot and squared-norm alike)."""
+    n, dim = mat.shape
+    dot = np.zeros(n)
+    nm = np.zeros(n)
+    for d in range(dim):
+        dot += mat[:, d] * q[d]
+        nm += mat[:, d] * mat[:, d]
+    nq = 0.0
+    for d in range(dim):
+        nq += q[d] * q[d]
+    return dot / (np.sqrt(nm) * np.sqrt(nq))
+
+
+def _load_embeddings(sf_dir: str):
+    con = _duck(sf_dir)
+    pdf = con.sql("SELECT vec_id, embedding FROM embeddings ORDER BY vec_id").df()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    return ids, mat
+
+
+@lru_cache(maxsize=4)
+def ann_ivf_topk_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected vec_id set for q_ann_ivf_topk: IVF (label centroids,
+    deterministic sorted-list tie-break, 3-probe, top-10 by (sim desc,
+    vec_id asc)) replicated in numpy."""
+    con = _duck(sf_dir)
+    pdf = con.sql(
+        "SELECT vec_id, embedding, label FROM embeddings ORDER BY vec_id"
+    ).df()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    labels = pdf["label"].to_numpy(np.int64)
+    qv = mat[ids == 0][0]
+    keep = ids != 0
+    ids, mat, labels = ids[keep], mat[keep], labels[keep]
+
+    lists = sorted(set(labels.tolist()))
+    cents = np.asarray([mat[labels == lst].mean(axis=0) for lst in lists])
+    # assignment: nearest centroid by cosine, ties to first in sorted order
+    sims = np.asarray([_fold_cosine(mat, c) for c in cents])  # (L, n)
+    assign = np.asarray(lists)[np.argmax(sims, axis=0)]
+    # probe: 3 centroids nearest to the query (ties by list asc)
+    qsims = _fold_cosine(cents, qv)
+    probe = [lists[i] for i in sorted(range(len(lists)), key=lambda i: (-qsims[i], lists[i]))[:3]]
+    cand = np.isin(assign, probe)
+    cs = _fold_cosine(mat[cand], qv)
+    cids = ids[cand]
+    order = sorted(range(len(cids)), key=lambda i: (-cs[i], cids[i]))[:10]
+    return values_sql([(int(cids[i]),) for i in order], [("vec_id", "BIGINT")])
+
+
+@lru_cache(maxsize=4)
+def embed_neardup_lsh_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (vec_a, vec_b) pairs for q_embed_neardup_lsh: the sign-LSH
+    pipeline (md5-derived planes, 4×4 banding, cosine>=0.99 verify)
+    replicated in numpy over the injected-near-dup corpus."""
+    import hashlib
+
+    from .fixtures import _NEARDUP_ID_OFFSET, _NEARDUP_STRIDE
+
+    ids, mat = _load_embeddings(sf_dir)
+    # corpus = embeddings ∪ perturbed copies (first component ×1.05 after
+    # the float→double cast) — mirrors fixtures.embedding_neardup_corpus
+    pick = ids % _NEARDUP_STRIDE == 0
+    mut = mat[pick].copy()
+    mut[:, 0] *= 1.05
+    ids = np.concatenate([ids, ids[pick] + _NEARDUP_ID_OFFSET])
+    mat = np.vstack([mat, mut])
+
+    n_planes, bands = 16, 4
+    rows_per_band = n_planes // bands
+    dim = mat.shape[1]
+    planes = np.empty((n_planes, dim))
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16)
+            planes[p, d] = (h % 2001 - 1000) / 1000.0
+    signs = (mat @ planes.T) > 0
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    sig = (signs * weights).sum(axis=1).astype(np.int64)
+
+    mask = (1 << rows_per_band) - 1
+    buckets: dict = {}
+    for bnd in range(bands):
+        keys = (sig >> (bnd * rows_per_band)) & mask
+        for i, k in enumerate(keys.tolist()):
+            buckets.setdefault((bnd, k), []).append(i)
+    pairs = set()
+    for members in buckets.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                i, j = members[x], members[y]
+                a, b = (i, j) if ids[i] < ids[j] else (j, i)
+                pairs.add((a, b))
+    out = []
+    for i, j in pairs:
+        sim = float(_fold_cosine(mat[i][None, :], mat[j])[0])
+        if sim >= 0.99:
+            out.append((int(ids[i]), int(ids[j])))
+    out.sort()
+    return values_sql(out, [("vec_a", "BIGINT"), ("vec_b", "BIGINT")])
