@@ -6,9 +6,11 @@ rounding). It provides the hex-grid semantics the north_star uses H3 for —
 ``latLngToCell`` at res 0-15 and ``kRing`` neighbor expansion — as a single
 BIGINT id compatible with range/hash partitioning and sort-merge joins.
 
-Note: this is NOT the H3 icosahedral index; a spec-parity H3 port is the
-flagged-hard follow-up (SURVEY §7 step 4). Resolutions scale by aperture 2:
-hex circumradius at res r is ``8.0 / 2^r`` degrees.
+Note: this is NOT the H3 icosahedral index and its ids are NOT
+H3-interoperable — per ADR-001 (SURVEY §8), S2 (`cells/s2.py`) is the
+canonical id system and this module provides hex tiling/display
+semantics. Resolutions scale by aperture 2: hex circumradius at res r is
+``8.0 / 2^r`` degrees.
 """
 
 from __future__ import annotations

@@ -2,10 +2,21 @@
 to Iceberg snapshots with per-partition lineage and row-count/byte metrics
 so any stage is resumable").
 
-Sandbox implementation: partitioned parquet + a JSON manifest per stage
-implementing the same snapshot contract (SURVEY §2.1 S8 — when an Iceberg
-runtime jar is on the classpath the same API can write
-``df.writeTo(...).using('iceberg')``; nothing else changes).
+Two storage backends behind ONE snapshot contract:
+
+* ``format='parquet'`` (sandbox default): partitioned parquet + a JSON
+  manifest per stage; per-partition metrics from parquet footers.
+* ``format='iceberg'`` (when an Iceberg runtime jar is on the classpath —
+  detect with ``iceberg_available(spark)``): stages write
+  ``df.writeTo(<catalog>.<stage>.snap_<id>).using('iceberg')`` and
+  per-partition lineage metrics come from the table's own ``.files``
+  metadata relation. The resume/commit protocol (content-hash snapshot
+  ids, manifest-last atomic commit) is identical, so pipelines are
+  backend-agnostic. ``format='auto'`` picks iceberg when available.
+
+The iceberg path is exercised by ``tests/test_snapshot_skew.py::
+test_iceberg_snapshot_backend`` — skip-marked in this sandbox (no jar),
+live wherever ``spark.jars.packages`` includes iceberg-spark-runtime.
 
 Design:
 * A stage's **snapshot id** is a content hash of (stage name, input
@@ -28,7 +39,18 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["SnapshotStore", "StageResult"]
+__all__ = ["SnapshotStore", "StageResult", "iceberg_available"]
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
 
 _CODE_VERSION = "1"  # bump to invalidate all snapshots on semantic change
 
@@ -49,10 +71,22 @@ class StageResult:
 
 @dataclass
 class SnapshotStore:
-    """A directory of stage snapshots: ``root/<stage>/snap-<id>/``."""
+    """A directory of stage snapshots: ``root/<stage>/snap-<id>/``
+    (parquet backend) or tables ``<catalog>.<stage>.snap_<id>``
+    (iceberg backend)."""
 
     root: str
     lineage: list = field(default_factory=list)
+    format: str = "parquet"  # 'parquet' | 'iceberg' | 'auto'
+    catalog: str = "gk_snap"  # iceberg catalog name (must be configured)
+
+    def _resolve_format(self, spark: SparkSession) -> str:
+        if self.format == "auto":
+            return "iceberg" if iceberg_available(spark) else "parquet"
+        return self.format
+
+    def _table_ident(self, stage: str, snapshot_id: str) -> str:
+        return f"{self.catalog}.{stage}.snap_{snapshot_id}"
 
     def _snap_dir(self, stage: str, snapshot_id: str) -> str:
         return os.path.join(self.root, stage, f"snap-{snapshot_id}")
@@ -93,13 +127,20 @@ class SnapshotStore:
         """
         inputs = inputs or []
         config = config or {}
+        fmt = self._resolve_format(spark)
         sid = self.snapshot_id(stage, [i.snapshot_id for i in inputs], config)
         snap_dir = self._snap_dir(stage, sid)
-        data_dir = os.path.join(snap_dir, "data")
+        data_dir = (
+            self._table_ident(stage, sid) if fmt == "iceberg"
+            else os.path.join(snap_dir, "data")
+        )
 
         if resume and self.is_committed(stage, sid):
             manifest = json.load(open(self.manifest_path(stage, sid)))
-            df = spark.read.parquet(data_dir)
+            df = (
+                spark.table(data_dir) if fmt == "iceberg"
+                else spark.read.parquet(data_dir)
+            )
             res = StageResult(stage, sid, data_dir, manifest, df, resumed=True)
             self.lineage.append(manifest)
             return res
@@ -107,20 +148,30 @@ class SnapshotStore:
         t0 = time.time()
         df = build(spark)
         # in-flight metrics via the Observation API (no extra pass): the
-        # observed count cross-checks the parquet-footer lineage below
+        # observed count cross-checks the storage-side lineage below
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
 
         obs = Observation(f"{stage}-{sid}")
         df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_dir)
+        if fmt == "iceberg":
+            w = df.writeTo(data_dir).using("iceberg")
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+        else:
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(data_dir)
         wall = time.time() - t0
         observed_rows = int(obs.get["rows"])
 
-        partitions = self._parquet_file_metrics(data_dir)
+        partitions = (
+            self._iceberg_file_metrics(spark, data_dir)
+            if fmt == "iceberg"
+            else self._parquet_file_metrics(data_dir)
+        )
         manifest = {
             "stage": stage,
             "snapshot_id": sid,
@@ -148,9 +199,25 @@ class SnapshotStore:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self.manifest_path(stage, sid))  # commit point
         self.lineage.append(manifest)
-        return StageResult(
-            stage, sid, data_dir, manifest, spark.read.parquet(data_dir), resumed=False
+        out_df = (
+            spark.table(data_dir) if fmt == "iceberg"
+            else spark.read.parquet(data_dir)
         )
+        return StageResult(stage, sid, data_dir, manifest, out_df, resumed=False)
+
+    @staticmethod
+    def _iceberg_file_metrics(spark: SparkSession, table_ident: str) -> list[dict]:
+        """Per-partition lineage metrics from the table's own ``.files``
+        metadata relation (no data pass — Iceberg tracks them natively)."""
+        rows = spark.sql(
+            f"SELECT file_path, record_count, file_size_in_bytes "
+            f"FROM {table_ident}.files ORDER BY file_path"
+        ).collect()
+        return [
+            {"file": r.file_path, "rows": int(r.record_count),
+             "bytes": int(r.file_size_in_bytes)}
+            for r in rows
+        ]
 
     @staticmethod
     def _parquet_file_metrics(data_dir: str) -> list[dict]:

@@ -104,3 +104,39 @@ def test_histogram_and_salt_factor(spark):
     assert choose_salt_factor(hist, target_rows_per_task=100, max_salt=16) == 16
     empty = cell_histogram(df.filter("cell_id < 0"))
     assert choose_salt_factor(empty) == 1
+
+
+def test_iceberg_snapshot_backend(spark, tmp_path):
+    """Same snapshot/resume contract over an Iceberg catalog. Skip-marked in
+    this sandbox (no iceberg-spark-runtime jar); runs live wherever the jar
+    is on the classpath (spark.jars.packages=...iceberg-spark-runtime...)."""
+    import pytest
+
+    from geokitten_spark.plans.snapshot import SnapshotStore, iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip("Iceberg runtime jar not on classpath in this sandbox")
+    spark.conf.set("spark.sql.catalog.gk_snap", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.gk_snap.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.gk_snap.warehouse", str(tmp_path / "wh"))
+    store = SnapshotStore(str(tmp_path / "snaps"), format="iceberg")
+
+    def build(s):
+        return s.range(100).withColumn("k", F.col("id") % 5)
+
+    r1 = store.run_stage(spark, "s1", build, partition_by=["k"])
+    assert not r1.resumed and r1.manifest["row_count"] == 100
+    assert len(r1.manifest["partitions"]) >= 5  # per-file lineage from .files
+    r2 = store.run_stage(spark, "s1", build, partition_by=["k"])
+    assert r2.resumed and r2.df.count() == 100
+
+
+def test_snapshot_format_auto_resolves_parquet_in_sandbox(spark, tmp_path):
+    from geokitten_spark.plans.snapshot import SnapshotStore, iceberg_available
+
+    store = SnapshotStore(str(tmp_path / "snaps"), format="auto")
+    assert store._resolve_format(spark) == (
+        "iceberg" if iceberg_available(spark) else "parquet"
+    )
+    r = store.run_stage(spark, "s1", lambda s: s.range(10))
+    assert r.manifest["row_count"] == 10 and not r.resumed
