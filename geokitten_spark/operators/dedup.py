@@ -38,6 +38,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "connected_components",
+    "connected_components_sql",
     "hash60",
     "hash60_sql",
     "word_shingles",
@@ -477,6 +479,75 @@ def ngram_jaccard_sql(
         )
         SELECT doc_a, doc_b, CAST(FLOOR(jac * 1000) AS BIGINT) AS jacc_pm
         FROM scored WHERE jac >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# near-dup CLUSTERING — connected components over the pair set
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Collapse near-dup PAIRS into clusters: (doc_id, cluster_id) where
+    cluster_id is the minimum doc id in the connected component — the
+    standard 'keep one canonical doc per dup cluster' pipeline step.
+
+    Min-label propagation: each iteration every node takes the min label
+    among itself and its neighbors (one join + one partial+final min-agg,
+    all shuffles on the doc-id key); converges in O(component diameter)
+    iterations — near-dup clusters are short chains/cliques, so 2-4
+    rounds in practice, with a scalar convergence check per round (the
+    only driver-side value). ``localCheckpoint`` truncates the growing
+    lineage each round so the plan stays O(1) per iteration. For
+    adversarial giant components (diameter >> log n), switch to
+    alternating large-star/small-star contraction — same API, noted here
+    deliberately: web dedup components are overwhelmingly tiny.
+    """
+    sym = pairs.select(
+        F.col(a_col).alias("id"), F.col(b_col).alias("nb")
+    ).unionByName(pairs.select(F.col(b_col).alias("id"), F.col(a_col).alias("nb")))
+    edges = sym.distinct().localCheckpoint()
+    lab = edges.select("id").distinct().withColumn("comp", F.col("id"))
+    for _ in range(max_iters):
+        nbr = edges.join(
+            lab.select(F.col("id").alias("nb"), F.col("comp")), on="nb"
+        ).select("id", "comp")
+        new_lab = (
+            lab.unionByName(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
+        ).localCheckpoint()
+        changed = (
+            new_lab.join(lab.select("id", F.col("comp").alias("old")), on="id")
+            .filter(F.col("comp") < F.col("old"))
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
+            break
+    return lab.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
+def connected_components_sql(pairs_query: str) -> str:
+    """DuckDB twin: transitive closure via WITH RECURSIVE over the same
+    pair set (``pairs_query`` must select doc_a, doc_b)."""
+    return f"""
+        WITH RECURSIVE pairs AS ({pairs_query}),
+        edges AS (
+            SELECT doc_a AS id, doc_b AS nb FROM pairs
+            UNION ALL
+            SELECT doc_b AS id, doc_a AS nb FROM pairs
+        ),
+        reach AS (
+            SELECT id, nb AS r FROM edges
+            UNION
+            SELECT e.id, t.r FROM edges e JOIN reach t ON e.nb = t.id
+        )
+        SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id
+        FROM reach GROUP BY id
     """
 
 
