@@ -419,6 +419,17 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(neardup_corpus(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: minhash pairs → connected components →
+    (doc_id, cluster_id) canonical mapping (min-label propagation;
+    DuckDB oracle: WITH RECURSIVE transitive closure)."""
+    from geokitten_spark.fixtures import neardup_corpus
+    from geokitten_spark.operators.dedup import minhash_neardup, connected_components
+
+    pairs = minhash_neardup(neardup_corpus(spark, sf_dir))
+    return connected_components(pairs)
+
+
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (brute-force exact baseline)."""
     from geokitten_spark.fixtures import embedding_neardup_corpus
@@ -690,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "embed_neardup": q_embed_neardup,
         "asof_join": q_asof_join,
         "range_join_bands": q_range_join_bands,
@@ -740,6 +752,7 @@ def oracle_sql() -> dict[str, str]:
         minhash_neardup_sql,
         simhash_neardup_sql,
         ngram_jaccard_sql,
+        connected_components_sql,
     )
     from geokitten_spark import oracles as _ora
 
@@ -941,6 +954,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 HAVING COUNT(*) > 1
         """,
         "dedup_minhash": minhash_neardup_sql(neardup_corpus_cte()),
+        "dedup_clusters": connected_components_sql(
+            minhash_neardup_sql(neardup_corpus_cte())
+        ),
         "dedup_simhash": simhash_neardup_sql(neardup_corpus_cte()),
         "dedup_ngram_jaccard": ngram_jaccard_sql(neardup_corpus_cte()),
         "embed_neardup": f"""

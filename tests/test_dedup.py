@@ -223,3 +223,16 @@ def test_ivf_many_lists_plan_stays_bounded_and_prunes(spark, tmp_path):
     exact = [r.vec_id for r in brute_topk(emb, qv, k=10).collect()]
     full = [r.vec_id for r in idx.search(qv, k=10, n_probe=256).collect()]
     assert full == exact
+
+
+def test_connected_components_chain_triangle_pair(spark):
+    """Chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle
+    10-11-12, isolated pair 20-21."""
+    from geokitten_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
