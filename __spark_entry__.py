@@ -332,6 +332,44 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+_STRATA_FRACTIONS = {"en": 0.05, "de": 0.5, "fr": 1.0}
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (corpus curation: downsample 'en'
+    to 5%, halve 'de', keep 'fr'; drop other strata). Pure hash filter —
+    no shuffle; exact sampled rows oracle-checked."""
+    from geokitten_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, "doc_id", "lang", _STRATA_FRACTIONS).select(
+        "doc_id", "lang"
+    )
+
+
+def q_sample_per_group(spark, sf_dir):
+    """Deterministic k-per-group sampling (5 docs per language by hash
+    rank) — the reservoir-sample twin for building eval slices."""
+    from geokitten_spark.operators.sampling import sample_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_per_group(docs, "doc_id", "lang", 5).select("lang", "doc_id")
+
+
+def q_fingerprint_rolling(spark, sf_dir):
+    """Winnowing-style rolling-hash document fingerprint (min poly-hash over
+    8-char windows): dup groups by position-robust fingerprint."""
+    from geokitten_spark.functions.text import rolling_fingerprint_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select(rolling_fingerprint_col(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 against the vec_id=0 embedding (JVM-side
     zip_with/aggregate — no Python in the hot path)."""
@@ -698,6 +736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": q_lang_quality,
         "token_stats": q_token_stats,
         "dedup_exact": q_dedup_exact,
+        "sample_stratified": q_sample_stratified,
+        "sample_per_group": q_sample_per_group,
+        "fingerprint_rolling": q_fingerprint_rolling,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -742,6 +783,11 @@ def oracle_sql() -> dict[str, str]:
         token_count_ws_sql,
         token_count_bpeish_sql,
         fingerprint_sql,
+        rolling_fingerprint_sql,
+    )
+    from geokitten_spark.operators.sampling import (
+        stratified_sample_sql,
+        sample_per_group_sql,
     )
     from geokitten_spark.fixtures import (
         admin_rects_sql_parts,
@@ -949,6 +995,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": f"""
             SELECT {fingerprint_sql("substr(text, 1, 40)")} AS fp,
+                   COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+            FROM documents
+            GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "sample_stratified": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE {stratified_sample_sql('doc_id', 'lang', _STRATA_FRACTIONS)}
+        """,
+        "sample_per_group": sample_per_group_sql(
+            "lang, doc_id", "documents", "doc_id", "lang", 5
+        ),
+        "fingerprint_rolling": f"""
+            SELECT {rolling_fingerprint_sql('text')} AS fp,
                    COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
             FROM documents
             GROUP BY 1 HAVING COUNT(*) > 1

@@ -37,6 +37,8 @@ __all__ = [
     "quality_sql",
     "fingerprint_col",
     "fingerprint_sql",
+    "rolling_fingerprint_col",
+    "rolling_fingerprint_sql",
 ]
 
 
@@ -247,3 +249,40 @@ def fingerprint_col(text: Column) -> Column:
 
 def fingerprint_sql(text_expr: str) -> str:
     return f"md5(regexp_replace(lower(trim({text_expr})), '\\s+', ' ', 'g'))"
+
+
+# Winnowing-style rolling-hash fingerprint: the minimum polynomial hash
+# over all k-char windows of the canonical text. Position-robust (a doc
+# keeps its fingerprint under appends/prepends unless the global-min
+# window itself changes), engine-portable (pure integer arithmetic), and
+# pure-Catalyst on the Spark side. Base 131, Mersenne-prime modulus: with
+# k=8 the pre-mod window sum is < 2^61, so no intermediate overflow in
+# either engine.
+_ROLL_BASE = 131
+_ROLL_MOD = 2147483647  # 2^31 - 1
+
+
+def rolling_fingerprint_col(text: Column, k: int = 8) -> Column:
+    t = F.rpad(F.lower(F.trim(text)), k, " ")  # pads ONLY sub-k docs
+    n_windows = F.length(t) - (k - 1)
+    win = F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: sum(
+            F.ascii(F.substring(t, (i + j).cast("int"), 1)).cast("long")
+            * (_ROLL_BASE ** (k - 1 - j))
+            for j in range(k)
+        ) % _ROLL_MOD,
+    )
+    return F.array_min(win)
+
+
+def rolling_fingerprint_sql(text_expr: str, k: int = 8) -> str:
+    t = f"rpad(lower(trim({text_expr})), {k}, ' ')"
+    terms = " + ".join(
+        f"ord(substr({t}, i + {j}, 1)) * {_ROLL_BASE ** (k - 1 - j)}::BIGINT"
+        for j in range(k)
+    )
+    return (
+        f"list_min(list_transform(generate_series(1, length({t}) - {k - 1}), "
+        f"i -> ({terms}) % {_ROLL_MOD}))"
+    )

@@ -1,0 +1,61 @@
+"""Deterministic-sampling operator tests (oracle parity is covered by
+test_oracle_queries via the driver-contract queries)."""
+
+from pyspark.sql import functions as F
+
+from geokitten_spark.operators.sampling import (
+    hash_sample,
+    stratified_sample,
+    sample_per_group,
+)
+
+
+def _docs(spark, n=2000, parts=4):
+    return spark.range(n, numPartitions=parts).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_hash_sample_deterministic_across_partitionings(spark):
+    a = {r.doc_id for r in hash_sample(_docs(spark, parts=2), "doc_id", 0.1).collect()}
+    b = {r.doc_id for r in hash_sample(_docs(spark, parts=16), "doc_id", 0.1).collect()}
+    assert a == b and 120 < len(a) < 280  # ~10% of 2000, binomial bounds
+
+    # fraction monotonicity: a smaller sample is a SUBSET of a larger one
+    # (nested samples — the property that makes fraction tuning re-use data)
+    c = {r.doc_id for r in hash_sample(_docs(spark), "doc_id", 0.3).collect()}
+    assert a <= c
+
+    # different salt -> a different (independent) sample
+    d = {r.doc_id for r in hash_sample(_docs(spark), "doc_id", 0.1, salt="t").collect()}
+    assert d != a
+
+
+def test_stratified_sample_respects_fractions(spark):
+    out = stratified_sample(
+        _docs(spark), "doc_id", "lang", {"en": 0.1, "de": 1.0}
+    )
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("de") == 667  # kept whole
+    assert "fr" not in counts  # unlisted stratum dropped
+    assert 30 < counts.get("en", 0) < 110  # ~10% of 667
+
+
+def test_sample_per_group_exact_k_and_deterministic(spark):
+    out1 = sample_per_group(_docs(spark, parts=2), "doc_id", "lang", 5)
+    out2 = sample_per_group(_docs(spark, parts=16), "doc_id", "lang", 5)
+    rows1 = sorted((r.lang, r.doc_id) for r in out1.collect())
+    rows2 = sorted((r.lang, r.doc_id) for r in out2.collect())
+    assert rows1 == rows2
+    per = {}
+    for lang, _ in rows1:
+        per[lang] = per.get(lang, 0) + 1
+    assert per == {"en": 5, "de": 5, "fr": 5}
+
+    # groups smaller than k keep all rows
+    tiny = sample_per_group(_docs(spark, n=4), "doc_id", "lang", 5)
+    assert tiny.count() == 4
