@@ -1,11 +1,18 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
 Spark-side plumbing is REAL (schemas, Arrow batching, mapInPandas
-signatures, partitioning); the codec step is gated behind an import-try —
-with Pillow/av absent in this container the decode raises
-``NotImplementedError`` unless ``fake=True`` selects the deterministic
-fake decoder (a pure function of the payload bytes, so tests and oracle
-runs are reproducible).
+signatures, partitioning). The decode kernel dispatches per payload:
+
+* **PPM (P6) / PGM (P5)** — REAL decode, implemented here in pure numpy
+  (header parse incl. comments + frombuffer pixel read; see
+  ``decode_ppm``/``encode_ppm``). The synthetic media fixture emits
+  valid P6 payloads for image rows, so the image pipeline exercises a
+  genuine binary→pixels decode end to end with no external codec.
+* **JPEG/PNG/etc.** — gated behind an import-try; with Pillow absent in
+  this container these raise ``NotImplementedError``.
+* **fake=True** — deterministic byte-fold fallback for payloads that are
+  not encoded media at all (the audio/video stand-ins), a pure function
+  of the payload bytes so tests and oracle runs are reproducible.
 
 Table shape (mirrors the documents table pattern):
     media(media_id LONG, kind STRING, payload BINARY,
@@ -42,6 +49,8 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA",
     "synthetic_media",
+    "encode_ppm",
+    "decode_ppm",
     "image_features",
     "frame_sample_features",
     "resize_meta",
@@ -76,17 +85,39 @@ except ImportError:
 
 
 def synthetic_media(spark: SparkSession, sf_dir: str, n_rows: int = 200) -> DataFrame:
-    """Deterministic media fixture derived from the documents table: the
-    text bytes stand in for an encoded payload; metadata is a pure function
-    of doc_id. No external data."""
+    """Deterministic media fixture derived from the documents table.
+
+    Image rows carry REAL binary PPM (P6) payloads (pixels tiled from the
+    text bytes — a pure function of the row, encoded with ``encode_ppm``),
+    so the decode path is a genuine format parse; audio/video rows keep
+    raw text bytes as opaque stand-in payloads. No external data."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BinaryType())
+    def _ppm_payload(text: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+        out = []
+        for t, w, h in zip(text, width, height):
+            raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            need = int(w) * int(h) * 3
+            reps = (need + len(raw) - 1) // max(1, len(raw))
+            px = np.tile(raw, reps)[:need].reshape(int(h), int(w), 3)
+            out.append(encode_ppm(px))
+        return pd.Series(out)
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(n_rows)
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
+    kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
-        .alias("kind"),
-        F.col("text").cast("binary").alias("payload"),
+    )
+    w = (F.col("doc_id") % 64 + 16).cast("int")
+    h = (F.col("doc_id") % 48 + 16).cast("int")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.when(kind == "image", _ppm_payload(F.col("text"), w, h))
+        .otherwise(F.col("text").cast("binary"))
+        .alias("payload"),
         F.struct(
             (F.col("doc_id") % 64 + 16).cast("int").alias("width"),
             (F.col("doc_id") % 48 + 16).cast("int").alias("height"),
@@ -94,6 +125,61 @@ def synthetic_media(spark: SparkSession, sf_dir: str, n_rows: int = 200) -> Data
             F.lit(16000).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# real PPM/PGM codec (pure numpy — netpbm binary formats, no external libs)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 (or HxW) uint8 → binary PPM (P6) / PGM (P5) bytes."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 3 and img.shape[2] == 3:
+        magic = b"P6"
+    elif img.ndim == 2:
+        magic = b"P5"
+    else:
+        raise ValueError(f"expected HxWx3 or HxW uint8, got shape {img.shape}")
+    h, w = img.shape[0], img.shape[1]
+    return b"%s\n%d %d\n255\n" % (magic, w, h) + img.tobytes()
+
+
+def _ppm_tokens(buf: bytes, n: int, start: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace/comment-separated integer tokens from ``buf``
+    beginning at ``start``; returns (values, offset past the single
+    whitespace byte that terminates the last token) per the netpbm spec."""
+    vals: list[int] = []
+    i = start
+    while len(vals) < n:
+        while i < len(buf) and (buf[i : i + 1].isspace() or buf[i] == ord("#")):
+            if buf[i] == ord("#"):  # comment runs to end of line
+                while i < len(buf) and buf[i] not in (10, 13):
+                    i += 1
+            else:
+                i += 1
+        j = i
+        while j < len(buf) and buf[j : j + 1].isdigit():
+            j += 1
+        if j == i:
+            raise ValueError("malformed netpbm header")
+        vals.append(int(buf[i:j]))
+        i = j
+    return vals, i + 1  # exactly ONE whitespace byte after maxval
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → HxWx3 uint8, or PGM (P5) → HxWx3 (gray
+    replicated) — a REAL image decode, spec-compliant incl. '#' comments."""
+    if payload[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM payload")
+    channels = 3 if payload[:2] == b"P6" else 1
+    (w, h, maxval), off = _ppm_tokens(payload, 3, 2)
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit netpbm supported")
+    need = w * h * channels
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    img = px.reshape(h, w, channels)
+    return np.repeat(img, 3, axis=2) if channels == 1 else img
 
 
 def _decode_fake(payload: bytes, width: int, height: int) -> np.ndarray:
@@ -105,12 +191,14 @@ def _decode_fake(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def _decode(payload: bytes, width: int, height: int, fake: bool) -> np.ndarray:
+    if payload[:2] in (b"P6", b"P5"):  # real decode, no codec lib needed
+        return decode_ppm(payload)
     if fake:
         return _decode_fake(payload, width, height)
-    if not _HAVE_PIL:  # real path requires an image codec
+    if not _HAVE_PIL:  # JPEG/PNG/... require an image codec
         raise NotImplementedError(
-            "real image decode requires Pillow; pass fake=True for the "
-            "deterministic fake decoder"
+            "decoding non-netpbm formats requires Pillow; pass fake=True "
+            "for the deterministic fallback decoder"
         )
     import io
 

@@ -61,9 +61,14 @@ def test_resize_meta_sql_only(spark):
         w2, h2 = r[4], r[5]
         assert max(w2, h2) <= 20
         assert w2 >= 1 and h2 >= 1
-    # no Python stage in the plan
-    plan = resize_meta(media)._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan or "ArrowEval" not in plan
+    # resize_meta itself adds no Python stage — and when the payload column
+    # is pruned, Catalyst must also prune the fixture's PPM-encode UDF
+    # entirely (column pruning reaches through the Arrow projection)
+    plan = (
+        resize_meta(media.select("media_id", "meta"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan and "ArrowEval" not in plan
 
 
 # -- viz ---------------------------------------------------------------------
@@ -155,3 +160,47 @@ def test_continuous_choropleth_rejects_non_numeric():
     )
     with _pytest.raises(ValueError, match="must be numeric"):
         render_continuous_choropleth(pdf, "v")
+
+
+def test_ppm_codec_roundtrip_and_comments():
+    import numpy as np
+
+    from geokitten_spark.functions.multimodal import encode_ppm, decode_ppm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+
+    # spec features: '#' comments in the header, P5 grayscale -> replicated
+    gray = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    p5 = b"P5\n# a comment\n6 4\n# another\n255\n" + gray.tobytes()
+    out = decode_ppm(p5)
+    assert out.shape == (4, 6, 3) and (out[:, :, 0] == gray).all()
+    assert (out[:, :, 1] == out[:, :, 2]).all()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        decode_ppm(b"JFIFnotppm")
+
+
+def test_image_rows_really_decode(spark):
+    """Fixture image payloads are valid P6; image_features must go through
+    the REAL decode (pixel histogram of the decoded image), bit-equal to
+    decoding the payload driver-side."""
+    import numpy as np
+
+    from geokitten_spark.functions.multimodal import (
+        synthetic_media, image_features, decode_ppm, _features_of,
+    )
+    from tests.conftest import SF_SMOKE
+
+    media = synthetic_media(spark, SF_SMOKE, n_rows=30)
+    img_rows = media.filter("kind = 'image'").collect()
+    assert img_rows and all(bytes(r.payload)[:2] == b"P6" for r in img_rows)
+
+    feats = {r.media_id: r.embedding for r in image_features(media).collect()
+             if r.kind == "image"}
+    for r in img_rows:
+        expected = _features_of(decode_ppm(bytes(r.payload)))
+        got = np.asarray(feats[r.media_id], dtype=np.float32)
+        assert np.array_equal(got, expected)
