@@ -695,6 +695,41 @@ def q_sessionize_stream_twin(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-user event count + last ts, drained with availableNow over a
+    3-file source (3 microbatches — state must carry across batches). The
+    final state per user must equal the batch aggregate, which is the
+    DuckDB oracle."""
+    import os
+    import tempfile
+    import uuid
+
+    from geokitten_spark.streaming import (
+        read_events_stream, stateful_user_counts, run_to_memory,
+    )
+
+    src = os.path.join(tempfile.gettempdir(), f"gk_state_{uuid.uuid4().hex[:8]}")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    name = f"q_state_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        stateful_user_counts(read_events_stream(spark, src)),
+        name,
+        os.path.join(src, "_ckpt"),
+        output_mode="update",
+    )
+    # update-mode memory sink accumulates every per-batch update row; the
+    # FINAL state per user is the row with the max running count
+    t = spark.table(name)
+    return t.groupBy("user_id").agg(
+        F.max("n_events").cast("long").alias("n_events"),
+        F.max("last_ts").cast("timestamp").alias("last_ts"),
+    )
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN scale path: top-10 via 3-probe inverted lists — rows-only
     (recall/monotonicity vs brute force covered in pytest)."""
@@ -760,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kml_roundtrip": q_kml_roundtrip,
         "media_features": q_media_features,
         "stream_hourly": q_sessionize_stream_twin,
+        "stream_stateful": q_stream_stateful,
         "geo_aggregates": q_geo_aggregates,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
@@ -1052,6 +1088,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS n_events, round(SUM(value), 2) AS total_value
             FROM events GROUP BY 1, 2
+        """,
+        # the custom stateful operator's FINAL state == the batch aggregate
+        "stream_stateful": """
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+            FROM events GROUP BY user_id
         """,
         "asof_join": """
             WITH views AS (
