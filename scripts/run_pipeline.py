@@ -70,13 +70,38 @@ def main() -> None:
     print(f"[web_docs] snap={docs.snapshot_id} resumed={docs.resumed} "
           f"rows={docs.manifest['row_count']}")
 
-    # -- stage 2: locate (cover-refine PIP) -----------------------------
+    # -- stage 2: extract + score (the compute-dense web-text stage) ----
+    def build_scored(spark):
+        from geokitten_spark.functions.text import (
+            extract_text, quality_cols, lang_id_col,
+        )
+
+        d = docs.df.withColumn("etext", extract_text(F.col("html")))
+        q = quality_cols(F.col("etext"))
+        return d.select(
+            "doc_id",
+            "lang",
+            "lon",
+            "lat",
+            lang_id_col(F.col("etext")).alias("pred_lang"),
+            q["quality_score"].alias("quality_score"),
+            q["n_tokens"].alias("n_tokens"),
+        )
+
+    scored = store.run_stage(
+        spark, "scored", build_scored, inputs=[docs],
+        config={"quality": "v1"}, resume=resume,
+    )
+    print(f"[scored  ] snap={scored.snapshot_id} resumed={scored.resumed} "
+          f"rows={scored.manifest['row_count']}")
+
+    # -- stage 3: locate (cover-refine PIP) -----------------------------
     def build_located(spark):
         cover = PolygonCover(
             spark, bench_boundaries_pdf(), id_col="region_key",
             wkt_col="geometry_wkt", res=10,
         )
-        located = cover.join(docs.df.select("doc_id", "lang", "lon", "lat"))
+        located = cover.join(scored.df)
         return (
             located.withColumn("cell_id", grid_cell_col(F.col("lon"), F.col("lat"), 7))
             .withColumn("s2_cell", s2_cell(9)(F.col("lon"), F.col("lat")))
@@ -86,18 +111,20 @@ def main() -> None:
         )
 
     located = store.run_stage(
-        spark, "located", build_located, inputs=[docs],
+        spark, "located", build_located, inputs=[scored],
         config={"boundaries": "bench_boundaries:200", "res": 10},
         resume=resume,
     )
     print(f"[located ] snap={located.snapshot_id} resumed={located.resumed} "
           f"rows={located.manifest['row_count']}")
 
-    # -- stage 3: tile aggregates ---------------------------------------
+    # -- stage 4: tile aggregates ---------------------------------------
     def build_tiles(spark):
         return located.df.groupBy("region_key", "cell_id").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.approx_count_distinct("s2_cell").alias("n_s2_cells"),
+            F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
         )
 
     tiles = store.run_stage(
@@ -107,7 +134,7 @@ def main() -> None:
     print(f"[tiles   ] snap={tiles.snapshot_id} resumed={tiles.resumed} "
           f"rows={tiles.manifest['row_count']}")
 
-    # -- stage 4: kNN ----------------------------------------------------
+    # -- stage 5: kNN ----------------------------------------------------
     def build_knn(spark):
         pts = located.df.filter(F.col("lang") == "de").select("doc_id", "lon", "lat")
         return knn_join(pts, id_col="doc_id", k=3, res=7, ring_k=1)
@@ -121,7 +148,8 @@ def main() -> None:
 
     print(json.dumps({
         "stages": [m["stage"] for m in store.lineage],
-        "resumed": [docs.resumed, located.resumed, tiles.resumed, knn.resumed],
+        "resumed": [docs.resumed, scored.resumed, located.resumed,
+                    tiles.resumed, knn.resumed],
         "rows": {m["stage"]: m["row_count"] for m in store.lineage},
     }))
     spark.stop()
