@@ -332,6 +332,37 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_domain_stats(spark, sf_dir):
+    """Per-domain aggregation over url hosts (regexp host extraction —
+    codegen, no UDF): docs + distinct languages + first doc per host."""
+    from geokitten_spark.functions.geocode import url_host
+
+    docs = _web_docs(spark, sf_dir)
+    return (
+        docs.select(url_host(F.col("url")).alias("host"), "lang", "doc_id")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+def q_geo_distance(spark, sf_dir):
+    """Haversine great-circle distance (pure Catalyst trig): per-language
+    min/avg distance of the geocoded docs to Berlin."""
+    from geokitten_spark.functions.geocode import haversine_km
+
+    docs = _web_docs(spark, sf_dir)
+    d = haversine_km(F.col("lat"), F.col("lon"), F.lit(52.52), F.lit(13.405))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min(d), 4).alias("min_km"),
+        F.round(F.avg(d), 4).alias("avg_km"),
+    )
+
+
 _STRATA_FRACTIONS = {"en": 0.05, "de": 0.5, "fr": 1.0}
 
 
@@ -769,6 +800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pip_rect": q_web_pip_rect,
         "web_knn": q_web_knn,
         "lang_quality": q_lang_quality,
+        "domain_stats": q_domain_stats,
+        "geo_distance": q_geo_distance,
         "token_stats": q_token_stats,
         "dedup_exact": q_dedup_exact,
         "sample_stratified": q_sample_stratified,
@@ -825,6 +858,7 @@ def oracle_sql() -> dict[str, str]:
         stratified_sample_sql,
         sample_per_group_sql,
     )
+    from geokitten_spark.functions.geocode import url_host_sql, haversine_km_sql
     from geokitten_spark.fixtures import (
         admin_rects_sql_parts,
         neardup_corpus_cte,
@@ -1010,6 +1044,21 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "web_knn": knn,
+        "domain_stats": f"""
+            {cte}
+            SELECT {url_host_sql('url')} AS host,
+                   COUNT(*) AS n_docs,
+                   COUNT(DISTINCT lang) AS n_langs,
+                   MIN(doc_id) AS first_doc
+            FROM webdocs GROUP BY 1
+        """,
+        "geo_distance": f"""
+            {cte}
+            SELECT lang, COUNT(*) AS n_docs,
+                   round(MIN({haversine_km_sql('lat', 'lon', '52.52', '13.405')}), 4) AS min_km,
+                   round(AVG({haversine_km_sql('lat', 'lon', '52.52', '13.405')}), 4) AS avg_km
+            FROM webdocs GROUP BY lang
+        """,
         "lang_quality": f"""
             WITH per_doc AS (
                 SELECT {lang_id_sql('text')} AS pred_lang,

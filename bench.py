@@ -166,14 +166,21 @@ def run_queries(spark, sf_dir: str, flagship_only: bool = False) -> tuple[dict, 
         reps=2,
     )
 
+    # the cached 500k-doc table (html+text) is only used by the spatial
+    # queries above — release it before the relational loop so its GC
+    # pressure doesn't pollute those timings
+    docs.unpersist()
+
     # the TPC-H-ish relational headliners on the driver tables
     Q = entrymod.queries()
     for name in ("tpch_q1", "tpch_q3_topk", "tpch_q5_joins", "ann_cosine_topk",
                  "token_stats", "dedup_exact", "dedup_minhash", "asof_join",
                  "events_hourly"):
-        timed(name, lambda n=name: _materialize(Q[n](spark, sf_dir)), reps=2)
+        # the md5-heavy dedup pipeline is the noisiest query on this
+        # steal-prone host — one extra rep tightens the best-of
+        timed(name, lambda n=name: _materialize(Q[n](spark, sf_dir)),
+              reps=3 if name == "dedup_minhash" else 2)
 
-    docs.unpersist()
     return timings, extra
 
 

@@ -22,6 +22,12 @@ __all__ = [
     "geo_lat",
     "geo_lon_sql",
     "geo_lat_sql",
+    "url_host",
+    "url_host_sql",
+    "url_path",
+    "url_path_sql",
+    "haversine_km",
+    "haversine_km_sql",
 ]
 
 _MAX32 = 4294967295.0  # 0xFFFFFFFF
@@ -72,3 +78,63 @@ def geo_lat_sql(url_expr: str) -> str:
     return (
         f"round((('0x' || substr(md5({url_expr}), 9, 8))::BIGINT / {_MAX32}) * 140.0 - 60.0, 6)"
     )
+
+
+# ---------------------------------------------------------------------------
+# URL structure ops (per-domain pipeline aggregation) — regexp on BOTH
+# engines (Spark's parse_url and DuckDB's url functions differ on edge
+# cases; one shared regex guarantees oracle parity)
+# ---------------------------------------------------------------------------
+
+_HOST_RE = "^[a-z]+://([^/]+)"
+_PATH_RE = "^[a-z]+://[^/]+(/[^?#]*)"
+
+
+def url_host(url: Column) -> Column:
+    """scheme://HOST/... → host (codegen regexp, no UDF)."""
+    return F.regexp_extract(url, _HOST_RE, 1)
+
+
+def url_host_sql(url_expr: str) -> str:
+    return f"regexp_extract({url_expr}, '{_HOST_RE}', 1)"
+
+
+def url_path(url: Column) -> Column:
+    return F.regexp_extract(url, _PATH_RE, 1)
+
+
+def url_path_sql(url_expr: str) -> str:
+    return f"regexp_extract({url_expr}, '{_PATH_RE}', 1)"
+
+
+# ---------------------------------------------------------------------------
+# great-circle distance (pure Catalyst trig; identical formula in DuckDB)
+# ---------------------------------------------------------------------------
+
+_EARTH_R_KM = 6371.0088
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Haversine great-circle distance in km — whole-stage-codegen trig,
+    no Python. Written term-for-term like ``haversine_km_sql`` so the two
+    engines agree to float ulps (outputs should be rounded before
+    hash-compare)."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2))
+        * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * _EARTH_R_KM) * F.asin(F.sqrt(a))
+
+
+def haversine_km_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    dlat = f"radians(({lat2}) - ({lat1}))"
+    dlon = f"radians(({lon2}) - ({lon1}))"
+    a = (
+        f"sin({dlat} / 2) * sin({dlat} / 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"sin({dlon} / 2) * sin({dlon} / 2)"
+    )
+    return f"{2.0 * _EARTH_R_KM} * asin(sqrt({a}))"

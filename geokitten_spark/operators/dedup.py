@@ -153,14 +153,18 @@ def minhash_neardup(
     # docs with < shingle_n words have NO shingles: every minhash is null and
     # concat_ws would silently drop the nulls, giving all such docs one
     # shared empty band key — an O(m²) candidate blow-up at corpus scale.
-    # They can never pass Jaccard >= threshold anyway, so drop them before
-    # banding (mirrored in minhash_neardup_sql).
+    # They can never pass Jaccard >= threshold anyway, so drop them BEFORE
+    # the shingle projection, on the equivalent cheap precondition
+    # word-count >= n (filtering on size(sh) mid-pipeline re-evaluates the
+    # whole shingle transform in the predicate — measured 1.6x slower).
+    # Mirrored in minhash_neardup_sql.
+    n_words = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     sig = (
-        docs.select(
+        docs.filter(n_words >= shingle_n)
+        .select(
             F.col(id_col).alias("doc_id"),
             word_shingles(F.col(text_col), shingle_n).alias("sh"),
         )
-        .filter(F.size("sh") > 0)
         .select("doc_id", "sh", *minhash_signature(F.col("sh"), n_hashes))
     )
 
@@ -234,8 +238,9 @@ def minhash_neardup_sql(
             FROM (SELECT doc_id,
                          regexp_split_to_array(lower(trim(text)), '\\s+') AS w
                   FROM corpus)
+            WHERE len(w) >= {shingle_n}
         ),
-        sig AS (SELECT doc_id, sh, {mh_cols} FROM shingled WHERE len(sh) > 0),
+        sig AS (SELECT doc_id, sh, {mh_cols} FROM shingled),
         banded AS ({' UNION ALL '.join(band_selects)}),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
