@@ -13,7 +13,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed", "read_table"]
+__all__ = ["write_bucketed", "read_table", "range_partition"]
+
+
+def range_partition(df: DataFrame, col: str, n_partitions: int) -> DataFrame:
+    """Explicit RANGE partitioning on a (cell-id) key — the north rule's
+    complement to hash bucketing. Spark samples the key distribution and
+    assigns contiguous key ranges to partitions, so (a) spatially adjacent
+    cells co-locate (good for neighborhood ops and run-length-friendly
+    encodings) and (b) a downstream sort within partitions is cheap.
+    Plans as RangePartitioning (asserted in tests)."""
+    return df.repartitionByRange(n_partitions, col)
 
 
 def write_bucketed(

@@ -38,3 +38,30 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bt_docs")
         spark.sql("DROP TABLE IF EXISTS bt_tiles")
+
+
+def test_range_partition_contiguous_cells(spark):
+    """Explicit range partitioning on cell_id (north rule): plan shows
+    RangePartitioning and partitions hold contiguous, non-overlapping key
+    ranges (spatially adjacent cells co-locate)."""
+    from geokitten_spark.operators.bucketize import range_partition
+    from geokitten_spark.functions.cells_udfs import grid_cell_col
+
+    docs = spark.range(20000).select(
+        (F.col("id") % 360 - 180.0 + 0.5).alias("lon"),
+        (F.col("id") % 170 - 85.0 + 0.5).alias("lat"),
+    ).withColumn("cell_id", grid_cell_col(F.col("lon"), F.col("lat"), 7))
+    rp = range_partition(docs, "cell_id", 8)
+    plan = rp._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+    ranges = (
+        rp.select("cell_id", F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .agg(F.min("cell_id").alias("lo"), F.max("cell_id").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev.hi <= cur.lo  # non-overlapping contiguous ranges

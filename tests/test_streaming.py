@@ -110,3 +110,61 @@ def test_streaming_spatial_enrichment(spark, tmp_path):
     got = {(r.doc_id, r.region_key) for r in spark.table("stream_pip").collect()}
     want = {(r.doc_id, r.region_key) for r in cover.join(docs).collect()}
     assert got == want and len(got) > 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermark semantics, as Spark actually implements them: the
+    late-data filter uses the COMMITTED watermark (one batch behind the
+    data), so a row older than the watermark arriving once the watermark
+    has been committed is dropped — numRowsDroppedByWatermark counts it
+    and the already-finalized window is not re-opened."""
+    import glob
+    import os
+    import time as _time
+
+    from geokitten_spark.streaming import (
+        read_events_stream, hourly_counts_stream, run_to_memory,
+    )
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src, exist_ok=True)
+    base = [(i, "2025-06-01 01:15:00", i, "click", 1.0, "{}") for i in range(5)]
+    base += [(100 + i, f"2025-06-01 {10 + (i % 3):02d}:15:00", i % 7, "click", 1.0, "{}")
+             for i in range(60)]
+    filler = [(500, "2025-06-01 12:30:00", 2, "click", 1.0, "{}")]  # advances wm
+    late = [(999, "2025-06-01 01:20:00", 1, "click", 1.0, "{}")]  # ~10h late
+
+    def write_file(rows, mtime):
+        spark.createDataFrame(
+            rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(1) \
+         .write.mode("append").parquet(src)
+        # file-source batch order is by modification time; writes can share
+        # a second, so pin mtimes explicitly (fresh files only)
+        for f in glob.glob(os.path.join(src, "*.parquet")):
+            if os.path.getmtime(f) > _time.time() - 3600:
+                os.utime(f, (mtime, mtime))
+
+    write_file(base, 1)
+    write_file(filler, 101)
+    write_file(late, 201)
+
+    name = "late_drop_tbl"
+    q = run_to_memory(
+        hourly_counts_stream(read_events_stream(spark, src), watermark="1 hour"),
+        name, str(tmp_path / "ckpt"), output_mode="append",
+    )
+    dropped = sum(
+        p["stateOperators"][0]["numRowsDroppedByWatermark"]
+        for p in q.recentProgress
+    )
+    assert dropped == 1  # exactly the late row
+    got = {(str(r.hour), r.event_type): r.n_events
+           for r in spark.table(name).collect()}
+    # the 01:00 window finalized WITHOUT the late row; batch over the same
+    # dir would count 6 there
+    assert got[("2025-06-01 01:00:00", "click")] == 5
+    batch = spark.read.parquet(src).filter(
+        "ts >= '2025-06-01 01:00:00' AND ts < '2025-06-01 02:00:00'"
+    ).count()
+    assert batch == 6
