@@ -139,6 +139,135 @@ def q_tpch_q6_filter(spark, sf_dir):
     )
 
 
+def q_tpch_q17_scalar_subquery(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20% of
+    their part's average quantity. Spark formulation decorrelates explicitly
+    — per-part aggregate + equi-join — which is the plan Catalyst (and any
+    distributed engine) wants anyway: one shuffle on l_partkey, map-side
+    partial avg. l_quantity is integer-valued, so AVG is order-independent
+    and the threshold comparison is deterministic across engines."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+    )
+    return (
+        li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_tpch_q18_having(spark, sf_dir):
+    """GROUP BY + HAVING + join-back (TPC-H Q18 shape): large-volume orders.
+    The HAVING filter runs on the aggregated (small) side before the join,
+    so only qualifying orderkeys shuffle to the orders join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+    )
+
+
+def q_tpch_q12_case_agg(spark, sf_dir):
+    """Conditional aggregation (TPC-H Q12 shape): per linestatus, count of
+    lineitems on high- vs low-priority orders. CASE folds into the
+    aggregate — one join, one shuffle, no second pass."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q14_promo_share(spark, sf_dir):
+    """Ratio-of-conditional-sums (TPC-H Q14 shape): promo revenue share for
+    one ship month. part is small relative to lineitem → broadcast."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01"))
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                * 100.0
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_tpch_q19_or_pushdown(spark, sf_dir):
+    """Disjunction-of-conjunctions filter (TPC-H Q19 shape): three brand ×
+    size × quantity windows OR-ed together across a lineitem⋈part join.
+    Catalyst extracts the common l_quantity bounds and pushes per-table
+    conjuncts below the join; part broadcasts."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b = F.col("p_brand")
+    q = F.col("l_quantity")
+    s = F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 5) & q.between(1, 11))
+        | ((b == "Brand#12") & s.between(1, 10) & q.between(10, 20))
+        | ((b == "Brand#21") & s.between(1, 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_window_lag_delta(spark, sf_dir):
+    """Window-frame showcase: per-user event stream ordered by (ts,
+    event_id) — LAG delta and a 3-row moving average, folded to a per-type
+    summary. One shuffle on user_id serves both window functions (same
+    partition spec), then a partial-aggregable groupBy."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, 0)
+    per_row = ev.select(
+        "event_type",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.avg("value").over(wf).alias("ma3"),
+    )
+    return per_row.groupBy("event_type").agg(
+        F.round(F.sum(F.abs(F.col("delta"))), 4).alias("sum_abs_delta"),
+        F.round(F.max("ma3"), 6).alias("max_ma3"),
+        F.count("delta").alias("n_deltas"),
+    )
+
+
 def q_cube_docs(spark, sf_dir):
     """CUBE grouping sets over (lang, source): multi-dimensional tile-style
     rollup on the documents table.
@@ -788,6 +917,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_topk": q_tpch_q3_topk,
         "tpch_q5_joins": q_tpch_q5_joins,
         "tpch_q6_filter": q_tpch_q6_filter,
+        "tpch_q17_scalar_subquery": q_tpch_q17_scalar_subquery,
+        "tpch_q18_having": q_tpch_q18_having,
+        "tpch_q12_case_agg": q_tpch_q12_case_agg,
+        "tpch_q14_promo_share": q_tpch_q14_promo_share,
+        "tpch_q19_or_pushdown": q_tpch_q19_or_pushdown,
+        "window_lag_delta": q_window_lag_delta,
         "cube_docs": q_cube_docs,
         "json_props": q_json_props,
         "percentiles": q_percentiles,
@@ -957,6 +1092,72 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1996-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        # correlated form — DuckDB decorrelates to the same per-part
+        # aggregate + join plan the Spark query declares explicitly
+        "tpch_q17_scalar_subquery": """
+            SELECT round(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   COUNT(*) AS n_rows
+            FROM lineitem l1
+            WHERE l_quantity < (SELECT 0.2 * AVG(l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = l1.l_partkey)
+        """,
+        "tpch_q18_having": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST(total_qty AS BIGINT) AS total_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING SUM(l_quantity) > 300) big
+              ON o_orderkey = big.l_orderkey
+        """,
+        "tpch_q12_case_agg": """
+            SELECT l_linestatus,
+                   COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                              THEN 1 END) AS high_line_count,
+                   COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                              THEN 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY l_linestatus
+        """,
+        "tpch_q14_promo_share": """
+            SELECT round(SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END) * 100.0
+                         / SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS promo_share_pct,
+                   COUNT(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+              AND l_shipdate < TIMESTAMP '1995-10-01'
+        """,
+        "tpch_q19_or_pushdown": """
+            SELECT round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "window_lag_delta": """
+            WITH per_row AS (
+                SELECT event_type,
+                       value - LAG(value) OVER w AS delta,
+                       AVG(value) OVER (w ROWS BETWEEN 2 PRECEDING
+                                        AND CURRENT ROW) AS ma3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_type,
+                   round(SUM(abs(delta)), 4) AS sum_abs_delta,
+                   round(MAX(ma3), 6) AS max_ma3,
+                   COUNT(delta) AS n_deltas
+            FROM per_row GROUP BY event_type
         """,
         # canonicalized like the Spark side: CUBE NULLs -> '<all>', integer
         # sums pinned to BIGINT (DuckDB SUM(BIGINT) is HUGEINT otherwise)
