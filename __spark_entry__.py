@@ -268,6 +268,45 @@ def q_window_lag_delta(spark, sf_dir):
     )
 
 
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (training-data cleaning): emails / IPv4 / phone numbers
+    → typed tokens, verified by md5 of every redacted document.
+
+    The synthetic corpus has no organic PII, so both engines salt each doc
+    with the same deterministic doc_id-derived email+IP+phone suffix before
+    redacting — the md5 min/max then proves span-exact replacement. Pure
+    regexp_replace chain: map-only, whole-stage codegen, one shuffle (the
+    final per-lang agg)."""
+    from geokitten_spark.functions.text import redact_pii_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    salted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".17 tel 415-555-0"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+    )
+
+    def occ(s, tok):
+        return (
+            (F.length(s) - F.length(F.replace(s, F.lit(tok), F.lit(""))))
+            / len(tok)
+        ).cast("long")
+
+    red = docs.select("lang", redact_pii_col(salted).alias("red"))
+    return red.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(occ(F.col("red"), "<EMAIL>")).cast("long").alias("n_emails"),
+        F.sum(occ(F.col("red"), "<IP>")).cast("long").alias("n_ips"),
+        F.sum(occ(F.col("red"), "<PHONE>")).cast("long").alias("n_phones"),
+        F.min(F.md5(F.col("red"))).alias("min_md5"),
+        F.max(F.md5(F.col("red"))).alias("max_md5"),
+    )
+
+
 def q_cube_docs(spark, sf_dir):
     """CUBE grouping sets over (lang, source): multi-dimensional tile-style
     rollup on the documents table.
@@ -817,6 +856,30 @@ def q_kml_roundtrip(spark, sf_dir):
     )
 
 
+def q_geojson_roundtrip(spark, sf_dir):
+    """S1 GeoJSON surface: write the 200-polygon fixture as a canonical
+    FeatureCollection (driver), scan it back with the distributed
+    binaryFile+mapInPandas reader, and emit per-feature WKT digests.
+    Oracle = the same file parsed through the non-Spark path
+    (oracles.geojson_roundtrip_sql) — hash-checkable end to end."""
+    import os
+    import tempfile
+
+    from geokitten_spark.oracles import geojson_fixture_text
+    from geokitten_spark.sources.geojson import read_geojson_dir
+
+    d = os.path.join(tempfile.gettempdir(), "geokitten_geojson_fixture")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "regions.geojson"), "w", encoding="utf-8") as f:
+        f.write(geojson_fixture_text())
+    scan = read_geojson_dir(spark, d)
+    return scan.select(
+        "feature_id",
+        F.md5(F.col("geometry_wkt")).alias("wkt_md5"),
+        F.length("geometry_wkt").cast("long").alias("wkt_chars"),
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal: image-feature extraction over the media table (decode
     stubbed deterministically; Spark plumbing real) — rows-only."""
@@ -923,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_share": q_tpch_q14_promo_share,
         "tpch_q19_or_pushdown": q_tpch_q19_or_pushdown,
         "window_lag_delta": q_window_lag_delta,
+        "pii_redact": q_pii_redact,
         "cube_docs": q_cube_docs,
         "json_props": q_json_props,
         "percentiles": q_percentiles,
@@ -961,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "admin_standardize": q_admin_standardize,
         "subtract_overlap": q_subtract_overlap,
         "kml_roundtrip": q_kml_roundtrip,
+        "geojson_roundtrip": q_geojson_roundtrip,
         "media_features": q_media_features,
         "stream_hourly": q_sessionize_stream_twin,
         "stream_stateful": q_stream_stateful,
@@ -988,6 +1053,7 @@ def oracle_sql() -> dict[str, str]:
         token_count_bpeish_sql,
         fingerprint_sql,
         rolling_fingerprint_sql,
+        redact_pii_sql,
     )
     from geokitten_spark.operators.sampling import (
         stratified_sample_sql,
@@ -1158,6 +1224,25 @@ def oracle_sql() -> dict[str, str]:
                    round(MAX(ma3), 6) AS max_ma3,
                    COUNT(delta) AS n_deltas
             FROM per_row GROUP BY event_type
+        """,
+        "pii_redact": f"""
+            WITH salted AS (
+                SELECT lang,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com from 10.0.'
+                            || CAST(doc_id % 250 AS VARCHAR)
+                            || '.17 tel 415-555-0'
+                            || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') AS s
+                FROM documents
+            ),
+            red AS (SELECT lang, {redact_pii_sql('s')} AS red FROM salted)
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM((length(red) - length(replace(red, '<EMAIL>', ''))) / 7) AS BIGINT) AS n_emails,
+                   CAST(SUM((length(red) - length(replace(red, '<IP>', ''))) / 4) AS BIGINT) AS n_ips,
+                   CAST(SUM((length(red) - length(replace(red, '<PHONE>', ''))) / 7) AS BIGINT) AS n_phones,
+                   MIN(md5(red)) AS min_md5,
+                   MAX(md5(red)) AS max_md5
+            FROM red GROUP BY lang
         """,
         # canonicalized like the Spark side: CUBE NULLs -> '<all>', integer
         # sums pinned to BIGINT (DuckDB SUM(BIGINT) is HUGEINT otherwise)
@@ -1432,4 +1517,5 @@ def oracle_sql() -> dict[str, str]:
         "geo_aggregates": _ora.geo_aggregates_sql(),
         "ann_ivf_topk": _ora.ann_ivf_topk_sql(),
         "embed_neardup_lsh": _ora.embed_neardup_lsh_sql(),
+        "geojson_roundtrip": _ora.geojson_roundtrip_sql(),
     }

@@ -39,6 +39,8 @@ __all__ = [
     "fingerprint_sql",
     "rolling_fingerprint_col",
     "rolling_fingerprint_sql",
+    "redact_pii_col",
+    "redact_pii_sql",
 ]
 
 
@@ -286,3 +288,40 @@ def rolling_fingerprint_sql(text_expr: str, k: int = 8) -> str:
         f"list_min(list_transform(generate_series(1, length({t}) - {k - 1}), "
         f"i -> ({terms}) % {_ROLL_MOD}))"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data cleaning)
+# ---------------------------------------------------------------------------
+
+# Patterns stay inside the Java-regex ∩ RE2 common subset (no lookaround,
+# no \b) so the Spark codegen path and the DuckDB oracle replace the exact
+# same spans. Applied in a fixed order — email first (it contains digits an
+# IP/phone pattern could nibble), then IPv4, then phone — identically in
+# both engines, so overlapping matches resolve the same way.
+_PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    (r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+]
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Replace emails / IPv4 addresses / phone numbers with typed tokens.
+
+    Pure-Catalyst ``regexp_replace`` chain: stays in whole-stage codegen,
+    no Python in the hot path — at 10^12 rows this is a map-only stage
+    with zero shuffle. Generalizes the reference's column-standardization
+    surface (gdf_standardization.py transforms per-row values; here the
+    transform is a vectorized JVM expression)."""
+    out = text
+    for pat, repl in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def redact_pii_sql(text_expr: str) -> str:
+    out = text_expr
+    for pat, repl in _PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out

@@ -309,3 +309,41 @@ def embed_neardup_lsh_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
             out.append((int(ids[i]), int(ids[j])))
     out.sort()
     return values_sql(out, [("vec_a", "BIGINT"), ("vec_b", "BIGINT")])
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON roundtrip oracle
+# ---------------------------------------------------------------------------
+
+def geojson_fixture_text() -> str:
+    """Canonical FeatureCollection text of the 200-polygon admin fixture —
+    the exact bytes q_geojson_roundtrip writes and scans. Shared so the
+    oracle and the query cannot drift."""
+    from .fixtures import admin_polygons_pdf
+    from .sources.geojson import render_geojson
+
+    pdf = admin_polygons_pdf()
+    rows = [
+        (str(r["region_id"]), {"region_id": str(r["region_id"])}, r["geometry_wkt"])
+        for _, r in pdf.iterrows()
+    ]
+    return render_geojson(rows)
+
+
+@lru_cache(maxsize=1)
+def geojson_roundtrip_sql() -> str:
+    """Expected (feature_id, wkt_md5, wkt_chars) for q_geojson_roundtrip:
+    the same FeatureCollection parsed through the NON-Spark path
+    (parse_geojson_bytes on the driver) — catches any mapInPandas schema
+    or Arrow-casting drift in the distributed scan."""
+    import hashlib
+
+    from .sources.geojson import parse_geojson_bytes
+
+    rows = []
+    for fid, _props, wkt in parse_geojson_bytes(geojson_fixture_text().encode()):
+        rows.append((fid, hashlib.md5(wkt.encode()).hexdigest(), len(wkt)))
+    return values_sql(
+        rows,
+        [("feature_id", "VARCHAR"), ("wkt_md5", "VARCHAR"), ("wkt_chars", "BIGINT")],
+    )

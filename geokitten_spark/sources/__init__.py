@@ -13,3 +13,9 @@ from .kml import (  # noqa: F401
     write_kml_dir,
     kml_to_kml_proper,
 )
+from .geojson import (  # noqa: F401
+    read_geojson_dir,
+    render_geojson,
+    write_geojson,
+    parse_geojson_bytes,
+)
