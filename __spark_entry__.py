@@ -918,6 +918,40 @@ def q_sessionize_stream_twin(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Session windows in Structured Streaming (F.session_window, 30-min
+    gap), drained availableNow over a 2-file source — sessions spanning the
+    microbatch boundary must merge in the state store. Folded per user to
+    the exact shape of the batch `sessionize` query, so the DuckDB
+    gaps-and-islands oracle checks the streaming state machine."""
+    import os
+    import tempfile
+    import uuid
+
+    from geokitten_spark.streaming import (
+        read_events_stream, session_counts_stream, run_to_memory,
+    )
+
+    src = os.path.join(tempfile.gettempdir(), f"gk_sess_{uuid.uuid4().hex[:8]}")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    name = f"q_sess_{uuid.uuid4().hex[:8]}"
+    run_to_memory(
+        session_counts_stream(read_events_stream(spark, src)),
+        name,
+        os.path.join(src, "_ckpt"),
+        output_mode="complete",
+    )
+    t = spark.table(name)
+    return t.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.min("session_start").cast("timestamp").alias("first_start"),
+    )
+
+
 def q_stream_stateful(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-user event count + last ts, drained with availableNow over a
@@ -1028,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip": q_geojson_roundtrip,
         "media_features": q_media_features,
         "stream_hourly": q_sessionize_stream_twin,
+        "stream_sessions": q_stream_sessions,
         "stream_stateful": q_stream_stateful,
         "geo_aggregates": q_geo_aggregates,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1116,7 +1151,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 3
     """
 
-    return {
+    out = {
         "tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(SUM(l_quantity), 2) AS sum_qty,
@@ -1519,3 +1554,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup_lsh": _ora.embed_neardup_lsh_sql(),
         "geojson_roundtrip": _ora.geojson_roundtrip_sql(),
     }
+    # the streaming session-window query folds to the exact shape of the
+    # batch sessionize query — one oracle checks both (batch/stream duality)
+    out["stream_sessions"] = out["sessionize"]
+    return out

@@ -4,6 +4,7 @@ Streaming for streams")."""
 from .windowed import (  # noqa: F401
     read_events_stream,
     hourly_counts_stream,
+    session_counts_stream,
     stateful_user_counts,
     run_to_memory,
 )

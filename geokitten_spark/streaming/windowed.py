@@ -31,6 +31,7 @@ __all__ = [
     "EVENTS_SCHEMA",
     "read_events_stream",
     "hourly_counts_stream",
+    "session_counts_stream",
     "stateful_user_counts",
     "run_to_memory",
 ]
@@ -65,6 +66,27 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(F.col("w.start").alias("hour"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_counts_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Dynamic-gap session windows per user (``F.session_window``) — the
+    streaming twin of the batch ``operators.temporal.sessionize``. Sessions
+    that span microbatch boundaries merge in the streaming state store, so
+    the drained result equals the batch gaps-and-islands computation.
+
+    Scale shape: state is keyed by (user_id, session) and sized by OPEN
+    sessions only — with a watermark (append mode) closed sessions evict,
+    so state stays O(active users) no matter how long the stream runs."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
     )
 
 

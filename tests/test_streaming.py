@@ -168,3 +168,62 @@ def test_watermark_drops_late_events(spark, tmp_path):
         "ts >= '2025-06-01 01:00:00' AND ts < '2025-06-01 02:00:00'"
     ).count()
     assert batch == 6
+
+
+def test_session_windows_merge_across_microbatches(spark, tmp_path):
+    """A user's session split across two microbatch files must merge into
+    ONE session in the streaming state store (session_window semantics),
+    and the drained result must equal the batch sessionize operator."""
+    import glob
+    import time as _time
+
+    from geokitten_spark.streaming import session_counts_stream
+    from geokitten_spark.operators.temporal import sessionize
+
+    src = str(tmp_path / "sess_src")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # user 1: events at 01:00 and 01:10 (file A), 01:20 (file B) → ONE
+    # session (every gap < 30 min) spanning the microbatch boundary.
+    # user 2: 01:00 (A) and 03:00 (B) → TWO sessions.
+    file_a = [
+        (1, "2025-06-01 01:00:00", 1, "click", 1.0, "{}"),
+        (2, "2025-06-01 01:10:00", 1, "click", 1.0, "{}"),
+        (3, "2025-06-01 01:00:00", 2, "click", 1.0, "{}"),
+    ]
+    file_b = [
+        (4, "2025-06-01 01:20:00", 1, "click", 1.0, "{}"),
+        (5, "2025-06-01 03:00:00", 2, "click", 1.0, "{}"),
+    ]
+
+    def write_file(rows, mtime):
+        spark.createDataFrame(rows, cols).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(os.path.join(src, "*.parquet")):
+            if os.path.getmtime(f) > _time.time() - 3600:
+                os.utime(f, (mtime, mtime))
+
+    write_file(file_a, 1)
+    write_file(file_b, 101)
+
+    stream = session_counts_stream(read_events_stream(spark, src))
+    run_to_memory(stream, "sess_merge_tbl", str(tmp_path / "ckpt"),
+                  output_mode="complete")
+    got = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in spark.table("sess_merge_tbl").collect()
+    }
+    assert got == {
+        (1, "2025-06-01 01:00:00"): 3,  # merged across the batch boundary
+        (2, "2025-06-01 01:00:00"): 1,
+        (2, "2025-06-01 03:00:00"): 1,
+    }
+
+    batch = sessionize(
+        spark.read.parquet(src).select("user_id", "ts"),
+        key_col="user_id", ts_col="ts", gap_minutes=30,
+    )
+    want = {
+        (r.user_id, str(r.session_start)): r.n_events for r in batch.collect()
+    }
+    assert got == want
