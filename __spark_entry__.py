@@ -887,9 +887,11 @@ def q_media_features(spark, sf_dir):
 
     media = synthetic_media(spark, sf_dir, n_rows=100)
     feats = image_features(media)
+    # bin 26 covers bytes 100-103 (lowercase ASCII) — always populated on
+    # text-derived payloads, unlike bin 1 (bytes 0-3, constant zero)
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(F.element_at("embedding", 1)), 6).alias("avg_dim0"),
+        F.round(F.avg(F.element_at("embedding", 26)), 6).alias("avg_dim25"),
     )
 
 
@@ -1553,6 +1555,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ora.ann_ivf_topk_sql(),
         "embed_neardup_lsh": _ora.embed_neardup_lsh_sql(),
         "geojson_roundtrip": _ora.geojson_roundtrip_sql(),
+        "media_features": _ora.media_features_sql(),
+        "kml_roundtrip": _ora.kml_roundtrip_sql(),
     }
     # the streaming session-window query folds to the exact shape of the
     # batch sessionize query — one oracle checks both (batch/stream duality)

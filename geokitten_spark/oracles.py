@@ -347,3 +347,80 @@ def geojson_roundtrip_sql() -> str:
         rows,
         [("feature_id", "VARCHAR"), ("wkt_md5", "VARCHAR"), ("wkt_chars", "BIGINT")],
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal + KML roundtrip oracles (the last two rows-only queries)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=4)
+def media_features_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (kind, n, avg_dim0) for q_media_features: the same
+    synthesize→encode→decode→histogram chain run through the pure numpy
+    kernels on the driver, folding the per-kind average in file order —
+    the same order Spark's single-partition partial aggregate uses after
+    ``limit(100)`` on the one-file documents table."""
+    import pyarrow.parquet as pq
+
+    from .functions.multimodal import (
+        _decode,
+        _features_of,
+        encode_ppm,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    doc_ids = tbl.column("doc_id").to_pylist()[:100]
+    texts = tbl.column("text").to_pylist()[:100]
+
+    acc: dict[str, list[float]] = {}
+    for doc_id, text in zip(doc_ids, texts):
+        kind = {0: "image", 1: "audio", 2: "video"}[doc_id % 3]
+        w = doc_id % 64 + 16
+        h = doc_id % 48 + 16
+        if kind == "image":
+            raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            need = w * h * 3
+            reps = (need + len(raw) - 1) // max(1, len(raw))
+            payload = encode_ppm(np.tile(raw, reps)[:need].reshape(h, w, 3))
+        else:
+            payload = text.encode("utf-8")
+        feat = _features_of(_decode(payload, w, h, fake=True))
+        acc.setdefault(kind, []).append(float(np.float32(feat[25])))
+
+    rows = []
+    for kind in sorted(acc):
+        vals = acc[kind]
+        s = 0.0
+        for v in vals:  # left-to-right fold, like Spark's partial avg
+            s += v
+        rows.append((kind, len(vals), _spark_round(s / len(vals), 6)))
+    return values_sql(
+        rows, [("kind", "VARCHAR"), ("n", "BIGINT"), ("avg_dim25", "DOUBLE")]
+    )
+
+
+@lru_cache(maxsize=1)
+def kml_roundtrip_sql() -> str:
+    """Expected (file_name, kml_chars) for q_kml_roundtrip: the fixture
+    corpus pushed through parse→standardize(keep holes)→render directly on
+    the driver. The rendered length is placemark-order-invariant, so the
+    expected value is stable under any Spark partitioning of the group."""
+    from .fixtures import kml_corpus
+    from .geom.kernels import repair_bowtie, standardize_geometry
+    from .geom.model import parse_wkt, to_wkt
+    from .sources.kml import parse_kml_bytes, render_kml
+
+    rows = []
+    for _, r in kml_corpus().iterrows():
+        stem = r["file_name"].replace(".kml", "")
+        try:
+            placemarks = parse_kml_bytes(r["kml_bytes"])
+        except Exception:
+            continue  # bad files yield no rows, like the distributed scan
+        wkts = [
+            to_wkt(standardize_geometry(repair_bowtie(parse_wkt(w)), remove_geni=False))
+            for _name, w in placemarks
+        ]
+        kml = render_kml(stem, [(stem, w) for w in wkts])
+        rows.append((f"{stem}.kml", len(kml)))
+    return values_sql(rows, [("file_name", "VARCHAR"), ("kml_chars", "BIGINT")])
