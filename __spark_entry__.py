@@ -954,6 +954,33 @@ def q_stream_sessions(spark, sf_dir):
     )
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark): the source
+    dir holds the events table written TWICE, so every event_id arrives as
+    a duplicate in a later microbatch; the deduped per-type counts must
+    equal a plain batch GROUP BY over the table written once."""
+    import os
+    import tempfile
+    import uuid
+
+    from geokitten_spark.streaming import (
+        read_events_stream, dedup_events_stream, run_to_memory,
+    )
+
+    src = os.path.join(tempfile.gettempdir(), f"gk_dedup_{uuid.uuid4().hex[:8]}")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # the duplicate batch
+    name = f"q_dedup_{uuid.uuid4().hex[:8]}"
+    agg = dedup_events_stream(read_events_stream(spark, src)).groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    run_to_memory(agg, name, os.path.join(src, "_ckpt"), output_mode="complete")
+    return spark.table(name)
+
+
 def q_stream_stateful(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-user event count + last ts, drained with availableNow over a
@@ -1065,6 +1092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "stream_hourly": q_sessionize_stream_twin,
         "stream_sessions": q_stream_sessions,
+        "stream_dedup": q_stream_dedup,
         "stream_stateful": q_stream_stateful,
         "geo_aggregates": q_geo_aggregates,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1561,4 +1589,10 @@ def oracle_sql() -> dict[str, str]:
     # the streaming session-window query folds to the exact shape of the
     # batch sessionize query — one oracle checks both (batch/stream duality)
     out["stream_sessions"] = out["sessionize"]
+    # streaming dedup of the twice-written source == batch GROUP BY of the
+    # table written once
+    out["stream_dedup"] = """
+        SELECT event_type, COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """
     return out

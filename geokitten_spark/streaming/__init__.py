@@ -5,6 +5,7 @@ from .windowed import (  # noqa: F401
     read_events_stream,
     hourly_counts_stream,
     session_counts_stream,
+    dedup_events_stream,
     stateful_user_counts,
     run_to_memory,
 )

@@ -32,6 +32,7 @@ __all__ = [
     "read_events_stream",
     "hourly_counts_stream",
     "session_counts_stream",
+    "dedup_events_stream",
     "stateful_user_counts",
     "run_to_memory",
 ]
@@ -87,6 +88,23 @@ def session_counts_stream(events: DataFrame, gap: str = "30 minutes") -> DataFra
             F.col("sw.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def dedup_events_stream(
+    events: DataFrame, key_cols: list[str] | None = None, watermark: str = "30 days"
+) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicatesWithinWatermark`` keyed by
+    event_id — duplicates arriving in LATER microbatches (replays,
+    at-least-once sources) are dropped as long as they land within the
+    watermark horizon.
+
+    Scale shape: dedup state is keyed by event_id and evicted past the
+    watermark, so state size is bounded by (arrival rate × horizon), not
+    by stream history — the streaming twin of the batch
+    ``dedup_exact`` fingerprint groupBy."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols or ["event_id"]
     )
 
 
