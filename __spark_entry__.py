@@ -981,6 +981,34 @@ def q_stream_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join: clicks within 10 min after a view by
+    the same user (two watermarked streams over the same file source,
+    drained availableNow). Oracle = the identical batch interval self-join
+    in DuckDB."""
+    import os
+    import tempfile
+    import uuid
+
+    from geokitten_spark.streaming import (
+        read_events_stream, interval_join_stream, run_to_memory,
+    )
+
+    src = os.path.join(tempfile.gettempdir(), f"gk_ivj_{uuid.uuid4().hex[:8]}")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    views = read_events_stream(spark, src).filter(F.col("event_type") == "view")
+    clicks = read_events_stream(spark, src).filter(F.col("event_type") == "click")
+    j = interval_join_stream(views, clicks).select(
+        F.col("l_id").alias("view_id"), F.col("r_id").alias("click_id")
+    )
+    name = f"q_ivj_{uuid.uuid4().hex[:8]}"
+    run_to_memory(j, name, os.path.join(src, "_ckpt"), output_mode="append")
+    return spark.table(name)
+
+
 def q_stream_stateful(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-user event count + last ts, drained with availableNow over a
@@ -1093,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly": q_sessionize_stream_twin,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
+        "stream_interval_join": q_stream_interval_join,
         "stream_stateful": q_stream_stateful,
         "geo_aggregates": q_geo_aggregates,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1594,5 +1623,13 @@ def oracle_sql() -> dict[str, str]:
     out["stream_dedup"] = """
         SELECT event_type, COUNT(*) AS n_events
         FROM events GROUP BY event_type
+    """
+    # the stream-stream interval join == the same batch interval self-join
+    out["stream_interval_join"] = """
+        SELECT v.event_id AS view_id, c.event_id AS click_id
+        FROM events v JOIN events c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
     """
     return out

@@ -6,6 +6,7 @@ from .windowed import (  # noqa: F401
     hourly_counts_stream,
     session_counts_stream,
     dedup_events_stream,
+    interval_join_stream,
     stateful_user_counts,
     run_to_memory,
 )

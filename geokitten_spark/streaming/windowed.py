@@ -33,6 +33,7 @@ __all__ = [
     "hourly_counts_stream",
     "session_counts_stream",
     "dedup_events_stream",
+    "interval_join_stream",
     "stateful_user_counts",
     "run_to_memory",
 ]
@@ -105,6 +106,42 @@ def dedup_events_stream(
     ``dedup_exact`` fingerprint groupBy."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         key_cols or ["event_id"]
+    )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    within: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: right-side events within ``within``
+    AFTER a left-side event by the same key (view→click attribution).
+
+    Both sides carry watermarks and the join condition time-bounds both
+    event times, so each side's buffered state evicts once the other
+    side's watermark passes ``l_ts + within`` — state is O(arrival rate ×
+    horizon) per side, the only shape that survives an unbounded stream.
+    Inner join emits matches eagerly (no watermark wait), so an
+    availableNow drain is complete."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("l_id"),
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("r_id"),
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + interval {within}"
+        ),
+        "inner",
     )
 
 
