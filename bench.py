@@ -175,7 +175,7 @@ def run_queries(spark, sf_dir: str, flagship_only: bool = False) -> tuple[dict, 
     Q = entrymod.queries()
     for name in ("tpch_q1", "tpch_q3_topk", "tpch_q5_joins", "ann_cosine_topk",
                  "token_stats", "dedup_exact", "dedup_minhash", "asof_join",
-                 "events_hourly"):
+                 "events_hourly", "pii_redact"):
         # the md5-heavy dedup pipeline is the noisiest query on this
         # steal-prone host — one extra rep tightens the best-of
         timed(name, lambda n=name: _materialize(Q[n](spark, sf_dir)),
