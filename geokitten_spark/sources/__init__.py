@@ -12,6 +12,8 @@ from .kml import (  # noqa: F401
     kml_strings,
     write_kml_dir,
     kml_to_kml_proper,
+    read_shapefile_dir,
+    write_shapefile_df,
 )
 from .geojson import (  # noqa: F401
     read_geojson_dir,

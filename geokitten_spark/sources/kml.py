@@ -46,6 +46,7 @@ __all__ = [
     "write_kml_dir",
     "kml_to_kml_proper",
     "read_shapefile_dir",
+    "write_shapefile_df",
 ]
 
 
@@ -351,3 +352,35 @@ def read_shapefile_dir(spark: SparkSession, shp_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["file_name", "crs", "geometry_wkt", "attrs"])
 
     return paths.repartition(max(1, len(shp_files))).mapInPandas(run, schema=schema)
+
+
+def write_shapefile_df(
+    df: DataFrame,
+    path_no_ext: str,
+    *,
+    wkt_col: str = "geometry_wkt",
+    sort_col: str | None = None,
+) -> int:
+    """S6 sink: collect a (small) boundary/aggregate DataFrame and write
+    ONE shapefile unit (.shp/.shx/.dbf/.prj) on the driver with the
+    pure-numpy writer. Attribute columns = every non-geometry column.
+
+    Driver-side by design, like ``write_geojson``: shapefiles are a
+    multi-file unit with a 2 GB format limit — the writable side of this
+    engine is always the broadcast-sized one. Rows are ordered by
+    ``sort_col`` (default: first attribute column) so output bytes are
+    partition-count-independent. Returns the row count."""
+    from ..geom.model import parse_wkt as _parse_wkt
+    from ..geom.shapefile import write_shapefile
+
+    pdf = df.toPandas()
+    attr_cols = [c for c in pdf.columns if c != wkt_col]
+    order = sort_col or (attr_cols[0] if attr_cols else None)
+    if order is not None:
+        pdf = pdf.sort_values(order, ignore_index=True)
+    geoms = [_parse_wkt(w) for w in pdf[wkt_col]]
+    out_dir = os.path.dirname(path_no_ext)
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+    write_shapefile(path_no_ext, pdf[attr_cols], geoms)
+    return len(pdf)
