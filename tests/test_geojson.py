@@ -221,3 +221,28 @@ def test_geojson_boundaries_feed_pip_join(spark, geojson_dir, tmp_path):
     ra = sorted((r.pt_id, str(r.region_id)) for r in a.select("pt_id", "region_id").collect())
     rb = sorted((r.pt_id, str(r.region_id)) for r in b.select("pt_id", "region_id").collect())
     assert ra == rb and len(ra) > 0
+
+
+def test_geojson_to_choropleth_end_to_end(spark, tmp_path):
+    """Full format→viz lane: boundaries from a GeoJSON file scan feed the
+    choropleth renderer (S1 → V1 lifecycle through the new source)."""
+    import json as _json
+
+    from geokitten_spark.fixtures import admin_polygons_pdf
+    from geokitten_spark.viz.choropleth import render_categorical_choropleth
+
+    pdf = admin_polygons_pdf().head(12)
+    rows = [
+        (str(r["region_id"]), {"region": f"zone{i % 3}"}, r["geometry_wkt"])
+        for i, (_, r) in enumerate(pdf.iterrows())
+    ]
+    (tmp_path / "b.geojson").write_text(render_geojson(rows))
+    scanned = read_geojson_dir(spark, str(tmp_path)).toPandas()
+    scanned["region"] = scanned["properties"].map(
+        lambda p: _json.loads(p)["region"]
+    )
+    html = render_categorical_choropleth(
+        scanned, "region", wkt_col="geometry_wkt",
+        tooltip_columns=["feature_id", "region"], title="from geojson",
+    )
+    assert "<svg" in html and "polygon" in html and "from geojson" in html

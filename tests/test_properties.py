@@ -178,3 +178,45 @@ def test_difference_pointwise_semantics(pair, seed):
         assert got == want, (x, y, want, got)
         checked += 1
     assert checked > 30  # enough informative samples
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: the Java∩RE2 regex-subset claim, engine-for-engine
+# ---------------------------------------------------------------------------
+
+_pii_piece = st.one_of(
+    st.text(
+        alphabet=st.characters(codec="ascii", exclude_characters="'\\"),
+        max_size=20,
+    ),
+    st.just("user.name+tag@sub.example.org"),
+    st.just("10.0.123.17"),
+    st.just("192.168.1.255 and 8.8.8.8"),
+    st.just("+1 415-555-0134"),
+    st.just("415.555.0134"),
+    st.just("almost@an@email"),
+    st.just("999.999.999.999"),   # still matches the (naive) IPv4 shape
+    st.just("1.2.3"),             # NOT an IPv4 match
+    st.just("12-34-5678"),        # NOT a phone match (3-3-4 required)
+)
+
+
+@given(st.lists(_pii_piece, min_size=1, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_pii_redaction_python_duckdb_agree(pieces):
+    """The redaction chain produces byte-identical output in Python `re`
+    and DuckDB RE2 (the Spark/Java side is covered by the pii_redact
+    oracle) — evidence the patterns stay inside the common regex subset."""
+    import re as _re
+
+    import duckdb
+
+    from geokitten_spark.functions.text import _PII_PATTERNS, redact_pii_sql
+
+    text = " ".join(pieces)
+    py = text
+    for pat, repl in _PII_PATTERNS:
+        py = _re.sub(pat, repl, py)
+    sql = "SELECT " + redact_pii_sql("?") + " AS r"
+    duck = duckdb.execute(sql, [text]).fetchone()[0]
+    assert duck == py
