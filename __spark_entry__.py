@@ -307,6 +307,47 @@ def q_pii_redact(spark, sf_dir):
     )
 
 
+def q_corpus_filter(spark, sf_dir):
+    """Composite training-data filter — the one-query version of a corpus
+    cleaning pipeline: quality gate (score ≥ 0.5, ≥ 10 tokens) → exact
+    dedup (keep min doc_id per fingerprint) → per-lang yield report.
+
+    Plan shape: the gate is a codegen filter fused into the scan stage;
+    ONE shuffle on fingerprint serves both the ranking window and the
+    group size; the final per-lang agg is partial-aggregated. At 10^12
+    rows this is scan + 2 shuffles total."""
+    from pyspark.sql import Window
+
+    from geokitten_spark.functions.text import fingerprint_col, quality_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_cols(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        fingerprint_col(F.col("text")).alias("fp"),
+        F.round(q["quality_score"], 6).alias("score"),
+        q["n_tokens"].alias("n_tokens"),
+    )
+    filtered = scored.filter((F.col("score") >= 0.5) & (F.col("n_tokens") >= 10))
+    w = Window.partitionBy("fp")
+    ranked = filtered.select(
+        "lang",
+        "n_tokens",
+        F.row_number().over(w.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("gs"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.col("gs") - 1).cast("long").alias("n_dups_removed"),
+            F.sum("n_tokens").cast("long").alias("n_tokens_kept"),
+        )
+    )
+
+
 def q_cube_docs(spark, sf_dir):
     """CUBE grouping sets over (lang, source): multi-dimensional tile-style
     rollup on the documents table.
@@ -1078,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_or_pushdown": q_tpch_q19_or_pushdown,
         "window_lag_delta": q_window_lag_delta,
         "pii_redact": q_pii_redact,
+        "corpus_filter": q_corpus_filter,
         "cube_docs": q_cube_docs,
         "json_props": q_json_props,
         "percentiles": q_percentiles,
@@ -1318,6 +1360,28 @@ def oracle_sql() -> dict[str, str]:
                    round(MAX(ma3), 6) AS max_ma3,
                    COUNT(delta) AS n_deltas
             FROM per_row GROUP BY event_type
+        """,
+        "corpus_filter": f"""
+            WITH scored AS (
+                SELECT doc_id, lang,
+                       {fingerprint_sql('text')} AS fp,
+                       {qual['quality_score']} AS score,
+                       {qual['n_tokens']} AS n_tokens
+                FROM documents
+            ),
+            filtered AS (
+                SELECT * FROM scored WHERE score >= 0.5 AND n_tokens >= 10
+            ),
+            ranked AS (
+                SELECT lang, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn,
+                       COUNT(*) OVER (PARTITION BY fp) AS gs
+                FROM filtered
+            )
+            SELECT lang, COUNT(*) AS n_kept,
+                   CAST(SUM(gs - 1) AS BIGINT) AS n_dups_removed,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
+            FROM ranked WHERE rn = 1 GROUP BY lang
         """,
         "pii_redact": f"""
             WITH salted AS (
