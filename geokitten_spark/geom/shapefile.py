@@ -298,22 +298,23 @@ def write_dbf(path: str, attrs: pd.DataFrame, encoding: str = "utf-8") -> None:
     bools → L. Widths sized to the data (C capped at 254)."""
     import datetime
 
+    # (source column, dbf field name truncated to the 10-char limit, ...)
     fields = []
     for name in attrs.columns:
         col = attrs[name]
         if col.dtype == bool:
-            fields.append((name[:10], "L", 1, 0))
+            fields.append((name, name[:10], "L", 1, 0))
         elif np.issubdtype(col.dtype, np.integer):
-            fields.append((name[:10], "N", 18, 0))
+            fields.append((name, name[:10], "N", 18, 0))
         elif np.issubdtype(col.dtype, np.floating):
-            fields.append((name[:10], "N", 19, 6))
+            fields.append((name, name[:10], "N", 19, 6))
         else:
             width = max(
                 [1] + [len(str(v).encode(encoding)) for v in col.fillna("")]
             )
-            fields.append((name[:10], "C", min(width, 254), 0))
+            fields.append((name, name[:10], "C", min(width, 254), 0))
 
-    record_size = 1 + sum(f[2] for f in fields)
+    record_size = 1 + sum(f[3] for f in fields)
     header_size = 32 + 32 * len(fields) + 1
     today = datetime.date.today()
     out = bytearray()
@@ -322,15 +323,15 @@ def write_dbf(path: str, attrs: pd.DataFrame, encoding: str = "utf-8") -> None:
         0x03, today.year % 100, today.month, today.day,
         len(attrs), header_size, record_size,
     )
-    for name, ftype, flen, fdec in fields:
+    for _src, name, ftype, flen, fdec in fields:
         out += struct.pack(
             "<11sc4xBB14x", name.encode("ascii"), ftype.encode("ascii"), flen, fdec
         )
     out += b"\x0d"
     for _, row in attrs.iterrows():
         out += b" "
-        for name, ftype, flen, fdec in fields:
-            v = row[name if name in row.index else name]
+        for src, _name, ftype, flen, fdec in fields:
+            v = row[src]
             if ftype == "L":
                 out += b"T" if v else b"F"
             elif ftype == "N" and fdec == 0:

@@ -163,3 +163,14 @@ def test_spark_df_sink_roundtrip(spark, tmp_path):
         for _, r in pdf.iterrows()
     }
     assert got == want
+
+
+def test_dbf_long_column_name_truncates(tmp_path):
+    """Column names beyond the 10-char dBASE limit truncate in the field
+    descriptor but values still write from the full-name source column."""
+    attrs = pd.DataFrame({"a_very_long_column_name": [1, 2], "s": ["x", "y"]})
+    p = str(tmp_path / "t.dbf")
+    write_dbf(p, attrs)
+    back = read_dbf(p)
+    assert back.columns.tolist() == ["a_very_lon", "s"]
+    assert back["a_very_lon"].tolist() == [1, 2]
