@@ -1096,6 +1096,26 @@ def q_ann_ivf_topk(spark, sf_dir):
     return idx.search(qv, k=10, n_probe=3).select("vec_id")
 
 
+def q_simplify_tiles(spark, sf_dir):
+    """Douglas-Peucker boundary decimation (the pre-broadcast /
+    pre-render step): per region, vertex counts before/after and the md5
+    of the simplified WKT. Oracle = the numpy kernel run on the driver."""
+    from geokitten_spark.fixtures import admin_polygons
+    from geokitten_spark.functions.geometry_udfs import (
+        simplify_wkt,
+        wkt_vertex_count,
+    )
+
+    adm = admin_polygons(spark).select("region_id", "geometry_wkt")
+    simp = adm.withColumn("simp_wkt", simplify_wkt(0.02)(F.col("geometry_wkt")))
+    return simp.select(
+        "region_id",
+        wkt_vertex_count(F.col("geometry_wkt")).alias("v_before"),
+        wkt_vertex_count(F.col("simp_wkt")).alias("v_after"),
+        F.md5(F.col("simp_wkt")).alias("wkt_md5"),
+    )
+
+
 def q_geo_aggregates(spark, sf_dir):
     """A3/A4: union centroid + total bounds over the admin polygons —
     rows-only (pure-geometry aggregates; pytest covers exactness)."""
@@ -1166,6 +1186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "stream_stateful": q_stream_stateful,
         "geo_aggregates": q_geo_aggregates,
+        "simplify_tiles": q_simplify_tiles,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
 
@@ -1678,6 +1699,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip": _ora.geojson_roundtrip_sql(),
         "media_features": _ora.media_features_sql(),
         "kml_roundtrip": _ora.kml_roundtrip_sql(),
+        "simplify_tiles": _ora.simplify_tiles_sql(),
     }
     # the streaming session-window query folds to the exact shape of the
     # batch sessionize query — one oracle checks both (batch/stream duality)

@@ -14,6 +14,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -40,6 +41,8 @@ __all__ = [
     "bbox_struct",
     "transform_wkt",
     "wkt_is_valid_hint",
+    "simplify_wkt",
+    "wkt_vertex_count",
 ]
 
 
@@ -125,3 +128,33 @@ def wkt_is_valid_hint(wkt: pd.Series) -> pd.Series:
         return repair_bowtie(g) is g
 
     return _map_wkt(wkt, chk)
+
+
+def simplify_wkt(tol: float):
+    """Douglas–Peucker simplification UDF factory (closure over the
+    tolerance) — the decimation step before boundary broadcast or the
+    vector-tile/choropleth sink (geom/simplify.py)."""
+    from ..geom.simplify import simplify_geometry
+
+    @pandas_udf(StringType())
+    def _simp(wkt: pd.Series) -> pd.Series:
+        return _map_wkt(wkt, lambda g: to_wkt(simplify_geometry(g, tol)))
+
+    return _simp
+
+
+@pandas_udf(LongType())
+def wkt_vertex_count(wkt: pd.Series) -> pd.Series:
+    """Total vertex count across every ring / linestring / point."""
+    def count(g):
+        n = 0
+        if g.coords is not None:
+            n += len(g.coords)
+        for rings in g.parts:
+            for r in rings:
+                n += len(r)
+        for m in g.members:
+            n += count(m)
+        return n
+
+    return _map_wkt(wkt, count).astype("int64")

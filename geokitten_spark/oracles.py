@@ -424,3 +424,47 @@ def kml_roundtrip_sql() -> str:
         kml = render_kml(stem, [(stem, w) for w in wkts])
         rows.append((f"{stem}.kml", len(kml)))
     return values_sql(rows, [("file_name", "VARCHAR"), ("kml_chars", "BIGINT")])
+
+
+@lru_cache(maxsize=1)
+def simplify_tiles_sql() -> str:
+    """Expected (region_id, v_before, v_after, wkt_md5) for
+    q_simplify_tiles: the same Douglas-Peucker decimation run through the
+    numpy kernel on the driver."""
+    import hashlib
+
+    from .fixtures import admin_polygons_pdf
+    from .geom.model import parse_wkt, to_wkt
+    from .geom.simplify import simplify_geometry
+
+    def nvert(g):
+        n = len(g.coords) if g.coords is not None else 0
+        for rings in g.parts:
+            for r in rings:
+                n += len(r)
+        for m in g.members:
+            n += nvert(m)
+        return n
+
+    rows = []
+    for _, r in admin_polygons_pdf().iterrows():
+        g = parse_wkt(r["geometry_wkt"])
+        s = simplify_geometry(g, 0.02)
+        w = to_wkt(s)
+        rows.append(
+            (
+                str(r["region_id"]),
+                nvert(g),
+                nvert(s),
+                hashlib.md5(w.encode()).hexdigest(),
+            )
+        )
+    return values_sql(
+        rows,
+        [
+            ("region_id", "VARCHAR"),
+            ("v_before", "BIGINT"),
+            ("v_after", "BIGINT"),
+            ("wkt_md5", "VARCHAR"),
+        ],
+    )

@@ -342,3 +342,61 @@ def test_strtree_box_query_matches_brute_force():
         if not (boxes[i, 2] < q[0] or boxes[i, 0] > q[2] or boxes[i, 3] < q[1] or boxes[i, 1] > q[3])
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Douglas–Peucker simplification
+# ---------------------------------------------------------------------------
+
+def test_simplify_dense_circle_decimates():
+    """A 200-vertex circle decimates heavily at a tolerance well under its
+    radius, and every kept vertex is one of the originals."""
+    import numpy as np
+
+    from geokitten_spark.geom.model import Geometry, GeomKind, to_wkt
+    from geokitten_spark.geom.simplify import simplify_geometry
+
+    t = np.linspace(0.0, 2 * np.pi, 200)
+    ring = np.c_[np.cos(t), np.sin(t)]
+    ring[-1] = ring[0]  # closed
+    g = Geometry(GeomKind.POLYGON, [[ring]])
+    s = simplify_geometry(g, 0.05)
+    out = s.parts[0][0]
+    assert 4 <= len(out) < 40
+    assert (out[0] == out[-1]).all()  # still closed
+    orig = {tuple(p) for p in ring}
+    assert all(tuple(p) in orig for p in out)  # subset of input vertices
+
+
+def test_simplify_keeps_significant_vertices():
+    import numpy as np
+
+    from geokitten_spark.geom.model import parse_wkt, to_wkt
+    from geokitten_spark.geom.simplify import simplify_geometry
+
+    # a tent shape: the apex at (1, 1) survives; the mid-leg points lie
+    # within tolerance of their leg chords and drop
+    g = parse_wkt("LINESTRING (0 0, 0.5 0.5001, 1 1, 1.5 0.5001, 2 0)")
+    s = simplify_geometry(g, 0.01)
+    assert to_wkt(s) == "LINESTRING (0 0, 1 1, 2 0)"
+    # zero tolerance keeps everything
+    s0 = simplify_geometry(g, 0.0)
+    assert to_wkt(s0) == to_wkt(g)
+
+
+def test_simplify_collapsed_hole_drops_exterior_survives():
+    import numpy as np
+
+    from geokitten_spark.geom.model import Geometry, GeomKind
+    from geokitten_spark.geom.simplify import simplify_geometry
+
+    ext = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=float)
+    # a near-degenerate 6-pt sliver hole entirely within tolerance
+    hole = np.array(
+        [[5, 5], [5.01, 5.0], [5.02, 5.001], [5.01, 5.002], [5.005, 5.001], [5, 5]]
+    )
+    g = Geometry(GeomKind.POLYGON, [[ext, hole]])
+    s = simplify_geometry(g, 0.05)
+    assert len(s.parts) == 1
+    assert len(s.parts[0]) == 1  # hole gone, exterior intact
+    assert len(s.parts[0][0]) == 5
