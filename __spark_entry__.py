@@ -1116,6 +1116,32 @@ def q_simplify_tiles(spark, sf_dir):
     )
 
 
+def q_hull_compactness(spark, sf_dir):
+    """Convex hull + compactness (area / hull area) per region — the
+    cover-quality metric for boundary sets. Oracle = the numpy monotone
+    chain run on the driver."""
+    from geokitten_spark.fixtures import admin_polygons
+    from geokitten_spark.functions.geometry_udfs import (
+        convex_hull_wkt,
+        planar_area,
+    )
+
+    adm = admin_polygons(spark).select("region_id", "geometry_wkt")
+    hulled = adm.withColumn("hull", convex_hull_wkt(F.col("geometry_wkt")))
+    return hulled.select(
+        "region_id",
+        F.md5(F.col("hull")).alias("hull_md5"),
+        F.when(
+            planar_area(F.col("hull")) > 0,
+            F.round(
+                planar_area(F.col("geometry_wkt")) / planar_area(F.col("hull")), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("compactness"),
+    )
+
+
 def q_geo_aggregates(spark, sf_dir):
     """A3/A4: union centroid + total bounds over the admin polygons —
     rows-only (pure-geometry aggregates; pytest covers exactness)."""
@@ -1187,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful": q_stream_stateful,
         "geo_aggregates": q_geo_aggregates,
         "simplify_tiles": q_simplify_tiles,
+        "hull_compactness": q_hull_compactness,
         "ann_ivf_topk": q_ann_ivf_topk,
     }
 
@@ -1700,6 +1727,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _ora.media_features_sql(),
         "kml_roundtrip": _ora.kml_roundtrip_sql(),
         "simplify_tiles": _ora.simplify_tiles_sql(),
+        "hull_compactness": _ora.hull_compactness_sql(),
     }
     # the streaming session-window query folds to the exact shape of the
     # batch sessionize query — one oracle checks both (batch/stream duality)

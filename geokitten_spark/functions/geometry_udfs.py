@@ -43,6 +43,8 @@ __all__ = [
     "wkt_is_valid_hint",
     "simplify_wkt",
     "wkt_vertex_count",
+    "convex_hull_wkt",
+    "planar_area",
 ]
 
 
@@ -141,6 +143,24 @@ def simplify_wkt(tol: float):
         return _map_wkt(wkt, lambda g: to_wkt(simplify_geometry(g, tol)))
 
     return _simp
+
+
+@pandas_udf(DoubleType())
+def planar_area(wkt: pd.Series) -> pd.Series:
+    """Planar (coordinate-space) shoelace area — the hull-compactness and
+    weighting primitive; Mercator m²/km² live in area_m2/area_km2."""
+    from ..geom import geometry_area
+
+    return _map_wkt(wkt, geometry_area).astype("float64")
+
+
+@pandas_udf(StringType())
+def convex_hull_wkt(wkt: pd.Series) -> pd.Series:
+    """Convex hull (monotone chain) of every vertex — the cover /
+    compactness primitive (geom/simplify.py:convex_hull)."""
+    from ..geom.simplify import convex_hull
+
+    return _map_wkt(wkt, lambda g: to_wkt(convex_hull(g)))
 
 
 @pandas_udf(LongType())

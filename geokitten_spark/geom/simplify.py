@@ -17,7 +17,7 @@ import numpy as np
 
 from .model import Geometry, GeomKind
 
-__all__ = ["simplify_ring", "simplify_geometry"]
+__all__ = ["simplify_ring", "simplify_geometry", "convex_hull"]
 
 
 def _dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
@@ -95,3 +95,55 @@ def simplify_geometry(g: Geometry, tol: float) -> Geometry:
     if g.kind == GeomKind.MULTIPOLYGON:
         kind = GeomKind.MULTIPOLYGON
     return Geometry(kind, parts)
+
+
+# ---------------------------------------------------------------------------
+# Convex hull (Andrew monotone chain) — cover generation / compactness
+# ---------------------------------------------------------------------------
+
+def _all_points(g: Geometry) -> np.ndarray:
+    pts = []
+    if g.coords is not None and len(g.coords):
+        pts.append(np.asarray(g.coords, dtype=np.float64)[:, :2])
+    for rings in g.parts:
+        for r in rings:
+            if len(r):
+                pts.append(np.asarray(r, dtype=np.float64)[:, :2])
+    for m in g.members:
+        p = _all_points(m)
+        if len(p):
+            pts.append(p)
+    return np.vstack(pts) if pts else np.empty((0, 2), dtype=np.float64)
+
+
+def convex_hull(g: Geometry) -> Geometry:
+    """Convex hull of every vertex of ``g`` (Andrew's monotone chain,
+    O(n log n), pure numpy sort + scan). Returns a POLYGON with a CLOSED
+    CCW ring; degenerate inputs (< 3 distinct points) return the input's
+    point/segment as POINT / LINESTRING."""
+    pts = np.unique(_all_points(g), axis=0)  # lexicographic sort + dedup
+    if len(pts) == 0:
+        return Geometry(GeomKind.POLYGON, [])
+    if len(pts) == 1:
+        return Geometry(GeomKind.POINT, coords=pts[:1])
+    if len(pts) == 2:
+        return Geometry(GeomKind.LINESTRING, coords=pts)
+
+    def half(points):
+        chain: list = []
+        for p in points:
+            while len(chain) >= 2:
+                o, a = chain[-2], chain[-1]
+                if (a[0] - o[0]) * (p[1] - o[1]) - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                    chain.pop()  # clockwise or collinear: drop
+                else:
+                    break
+            chain.append(p)
+        return chain
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    ring = np.array(lower[:-1] + upper[:-1] + [lower[0]], dtype=np.float64)
+    if len(ring) < 4:  # all collinear
+        return Geometry(GeomKind.LINESTRING, coords=pts[[0, -1]])
+    return Geometry(GeomKind.POLYGON, [[ring]])

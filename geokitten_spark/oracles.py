@@ -468,3 +468,30 @@ def simplify_tiles_sql() -> str:
             ("wkt_md5", "VARCHAR"),
         ],
     )
+
+
+@lru_cache(maxsize=1)
+def hull_compactness_sql() -> str:
+    """Expected (region_id, hull_md5, compactness) for q_hull_compactness:
+    convex hull + planar area ratio through the numpy kernels."""
+    import hashlib
+
+    from .fixtures import admin_polygons_pdf
+    from .geom import geometry_area
+    from .geom.model import parse_wkt, to_wkt
+    from .geom.simplify import convex_hull
+
+    rows = []
+    for _, r in admin_polygons_pdf().iterrows():
+        g = parse_wkt(r["geometry_wkt"])
+        h = convex_hull(g)
+        hw = to_wkt(h)
+        ga, ha = geometry_area(g), geometry_area(h)
+        comp = _spark_round(ga / ha, 6) if ha > 0 else 0.0
+        rows.append(
+            (str(r["region_id"]), hashlib.md5(hw.encode()).hexdigest(), comp)
+        )
+    return values_sql(
+        rows,
+        [("region_id", "VARCHAR"), ("hull_md5", "VARCHAR"), ("compactness", "DOUBLE")],
+    )

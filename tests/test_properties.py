@@ -220,3 +220,42 @@ def test_pii_redaction_python_duckdb_agree(pieces):
     sql = "SELECT " + redact_pii_sql("?") + " AS r"
     duck = duckdb.execute(sql, [text]).fetchone()[0]
     assert duck == py
+
+
+# ---------------------------------------------------------------------------
+# Convex hull (monotone chain)
+# ---------------------------------------------------------------------------
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(-100, 100, allow_nan=False).map(lambda v: round(v, 3)),
+            st.floats(-100, 100, allow_nan=False).map(lambda v: round(v, 3)),
+        ),
+        min_size=3,
+        max_size=60,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_convex_hull_properties(pts):
+    from geokitten_spark.geom.model import Geometry, GeomKind, to_wkt
+    from geokitten_spark.geom.simplify import convex_hull
+
+    arr = np.array(pts, dtype=np.float64)
+    g = Geometry(GeomKind.LINESTRING, coords=arr)
+    h = convex_hull(g)
+    if h.kind != GeomKind.POLYGON:
+        return  # degenerate (collinear/duplicate) inputs
+    ring = h.parts[0][0]
+    # hull vertices are input points
+    inset = {tuple(p) for p in arr}
+    assert all(tuple(p) in inset for p in ring[:-1])
+    # every input point is inside or on the hull (CCW ring: cross >= 0)
+    for px, py in arr:
+        for i in range(len(ring) - 1):
+            ax, ay = ring[i]
+            bx, by = ring[i + 1]
+            cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+            assert cross >= -1e-9 * max(1.0, abs(cross))
+    # idempotent
+    assert to_wkt(convex_hull(h)) == to_wkt(h)
