@@ -227,3 +227,68 @@ def test_session_windows_merge_across_microbatches(spark, tmp_path):
         (r.user_id, str(r.session_start)): r.n_events for r in batch.collect()
     }
     assert got == want
+
+
+def test_interval_join_state_eviction_drops_late_click(spark, tmp_path):
+    """Stream-stream join state is watermark-bounded: a click arriving
+    AFTER the watermark has passed view_ts + horizon finds the view's
+    state evicted and produces no match — while an in-horizon pair from
+    the same run does match (batch semantics would match both)."""
+    import glob
+    import time as _time
+
+    from geokitten_spark.streaming import interval_join_stream
+
+    src = str(tmp_path / "ivj_src")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    # file A advances BOTH sides' watermarks past 11:00 - 1h = 10:00
+    # (each filtered stream tracks its own event-time watermark, so the
+    # filler click is what moves the click-side clock): after batch 1 the
+    # user-1 view state (01:00, horizon 01:10) is evictable.
+    file_a = [
+        (1, "2025-06-01 01:00:00", 1, "view", 1.0, "{}"),
+        (2, "2025-06-01 11:58:00", 2, "view", 1.0, "{}"),
+        (3, "2025-06-01 12:00:00", 9, "view", 1.0, "{}"),   # view-side clock
+        (6, "2025-06-01 12:00:00", 9, "click", 1.0, "{}"),  # click-side clock
+    ]
+    # file B (batch 1): a fresh in-horizon click — AND the batch whose END
+    # runs state cleanup with the watermark advanced by batch 0 (state
+    # eviction is end-of-batch, so the evicted-state probe needs batch 2)
+    file_b = [
+        (5, "2025-06-01 11:59:00", 2, "click", 1.0, "{}"),
+    ]
+    # file C (batch 2): user 1's click at 01:05 is in-window by TIME but
+    # its view's state was evicted at the end of batch 1
+    file_c = [
+        (4, "2025-06-01 01:05:00", 1, "click", 1.0, "{}"),
+    ]
+
+    def write_file(rows, mtime):
+        spark.createDataFrame(rows, cols).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).coalesce(1).write.mode("append").parquet(src)
+        for f in glob.glob(os.path.join(src, "*.parquet")):
+            if os.path.getmtime(f) > _time.time() - 3600:
+                os.utime(f, (mtime, mtime))
+
+    write_file(file_a, 1)
+    write_file(file_b, 101)
+    write_file(file_c, 201)
+
+    views = read_events_stream(spark, src).filter(F.col("event_type") == "view")
+    clicks = read_events_stream(spark, src).filter(F.col("event_type") == "click")
+    j = interval_join_stream(views, clicks, within="10 minutes", watermark="1 hour")
+    run_to_memory(j, "ivj_evict_tbl", str(tmp_path / "ckpt"), output_mode="append")
+    got = {(r.l_id, r.r_id) for r in spark.table("ivj_evict_tbl").collect()}
+    assert (2, 5) in got          # fresh pair matches
+    assert (1, 4) not in got      # evicted-state pair does not
+    # batch semantics WOULD match both — the difference is the eviction
+    ev = spark.read.parquet(src)
+    batch = ev.filter("event_type = 'view'").alias("v").join(
+        ev.filter("event_type = 'click'").alias("c"),
+        F.expr(
+            "v.user_id = c.user_id AND c.ts >= v.ts "
+            "AND c.ts <= v.ts + interval 10 minutes"
+        ),
+    )
+    assert batch.count() == 3  # (1,4), (2,5), and the filler (3,6) pair
