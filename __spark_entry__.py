@@ -838,6 +838,20 @@ def q_hex_tile_agg(spark, sf_dir):
     )
 
 
+def q_geohash_tile_agg(spark, sf_dir):
+    """Geohash tiling aggregate (precision 4) — the INTEROPERABLE cell-id
+    lane (ids match any other geohash library bit-for-bit; published
+    vectors verified in tests/test_cells.py)."""
+    from geokitten_spark.functions.cells_udfs import geohash_cell
+
+    docs = _web_docs(spark, sf_dir)
+    return (
+        docs.select(geohash_cell(4)(F.col("lon"), F.col("lat")).alias("geohash"))
+        .groupBy("geohash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_admin_standardize(spark, sf_dir):
     """Entry-point-1 standardization over admin polygons: areas + interior
     points of the standardized geometries — rows-only (pytest covers
@@ -1201,6 +1215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_invariant": q_extract_invariant,
         "s2_tile_agg": q_s2_tile_agg,
         "hex_tile_agg": q_hex_tile_agg,
+        "geohash_tile_agg": q_geohash_tile_agg,
         "admin_standardize": q_admin_standardize,
         "subtract_overlap": q_subtract_overlap,
         "kml_roundtrip": q_kml_roundtrip,
@@ -1728,6 +1743,7 @@ def oracle_sql() -> dict[str, str]:
         "kml_roundtrip": _ora.kml_roundtrip_sql(),
         "simplify_tiles": _ora.simplify_tiles_sql(),
         "hull_compactness": _ora.hull_compactness_sql(),
+        "geohash_tile_agg": _ora.geohash_tile_agg_sql(),
     }
     # the streaming session-window query folds to the exact shape of the
     # batch sessionize query — one oracle checks both (batch/stream duality)

@@ -26,6 +26,7 @@ __all__ = [
     "hex_kring_udf",
     "grid_cell_col",
     "grid_kring_col",
+    "geohash_cell",
 ]
 
 
@@ -109,3 +110,22 @@ def grid_kring_col(cell: Column, res: int, k: int = 1) -> Column:
                 F.lit(res).cast("long") * F.lit(1 << RES_SHIFT) + nx * F.lit(1 << X_SHIFT) + ny
             )
     return F.array_distinct(F.array(*cells))
+
+
+def geohash_cell(precision: int):
+    """UDF factory: (lon, lat) → interoperable geohash string
+    (cells/geohash.py — verified against published vectors). Prefix
+    rollups downstream are plain ``substr`` (no re-encode)."""
+    from pyspark.sql.types import StringType
+
+    from ..cells.geohash import geohash_encode
+
+    @pandas_udf(StringType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(
+            geohash_encode(
+                lon.to_numpy(np.float64), lat.to_numpy(np.float64), precision
+            )
+        )
+
+    return _enc

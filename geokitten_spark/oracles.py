@@ -495,3 +495,15 @@ def hull_compactness_sql() -> str:
         rows,
         [("region_id", "VARCHAR"), ("hull_md5", "VARCHAR"), ("compactness", "DOUBLE")],
     )
+
+
+@lru_cache(maxsize=4)
+def geohash_tile_agg_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (geohash, n_docs) for q_geohash_tile_agg (precision 4)."""
+    from .cells.geohash import geohash_encode
+
+    lons, lats = _webdocs_lonlat(sf_dir)
+    cells = geohash_encode(lons, lats, 4)
+    uniq, counts = np.unique(cells, return_counts=True)
+    rows = list(zip(uniq.tolist(), counts.tolist()))
+    return values_sql(rows, [("geohash", "VARCHAR"), ("n_docs", "BIGINT")])

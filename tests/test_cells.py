@@ -254,3 +254,50 @@ def test_grid_decode_sql_exact_at_high_res(spark):
         f"SELECT {sel} FROM (SELECT unnest({cells}::BIGINT[]) AS cell_id)"
     ).fetchall()
     assert [tuple(map(int, t)) for t in got_duck] == expected
+
+
+# ---------------------------------------------------------------------------
+# Geohash (interoperable public cell ids)
+# ---------------------------------------------------------------------------
+
+def test_geohash_published_vectors():
+    """Bit-for-bit agreement with the published geohash spec examples —
+    the interoperability proof the H3 ADR could not provide offline."""
+    from geokitten_spark.cells.geohash import geohash_encode, geohash_decode
+
+    assert geohash_encode([10.40744], [57.64911], 11)[0] == "u4pruydqqvj"
+    assert geohash_encode([-5.603], [42.605], 5)[0] == "ezs42"
+    assert geohash_encode([0.0], [0.0], 1)[0] == "s"
+    lon, lat = geohash_decode("ezs42")
+    assert abs(lat - 42.605) < 0.03 and abs(lon + 5.603) < 0.03
+
+
+def test_geohash_roundtrip_and_prefix():
+    import numpy as np
+
+    from geokitten_spark.cells.geohash import (
+        geohash_bounds,
+        geohash_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    lons = rng.uniform(-180, 180, 500)
+    lats = rng.uniform(-90, 90, 500)
+    h8 = geohash_encode(lons, lats, 8)
+    h4 = geohash_encode(lons, lats, 4)
+    # hierarchy: lower precision is a string prefix of higher
+    assert all(h.startswith(p) for h, p in zip(h8, h4))
+    # containment: the original point lies inside its cell bounds
+    for lon, lat, h in zip(lons, lats, h8):
+        x0, y0, x1, y1 = geohash_bounds(h)
+        assert x0 <= lon < x1 + 1e-12
+        assert y0 <= lat < y1 + 1e-12
+
+
+def test_geohash_neighbors_symmetric():
+    from geokitten_spark.cells.geohash import geohash_neighbors
+
+    for h in ("ezs42", "u4pru", "s0000", "7zzzz"):
+        for n in geohash_neighbors(h):
+            assert len(n) == len(h)
+            assert h in geohash_neighbors(n), (h, n)
