@@ -1156,6 +1156,20 @@ def q_hull_compactness(spark, sf_dir):
     )
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: 32x-compressed codes (8 bytes/vector),
+    asymmetric-distance top-10 for the vec_id=0 query — scoring is a
+    pure-JVM aggregate over the byte codes against one broadcast
+    distance-table row. Oracle = the full train→encode→ADC chain
+    replicated in numpy on the driver."""
+    from geokitten_spark.operators.ann import PQIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    idx = PQIndex(emb, m=8)
+    return idx.search(qv, k=10)
+
+
 def q_geo_aggregates(spark, sf_dir):
     """A3/A4: union centroid + total bounds over the admin polygons —
     rows-only (pure-geometry aggregates; pytest covers exactness)."""
@@ -1230,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simplify_tiles": q_simplify_tiles,
         "hull_compactness": q_hull_compactness,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
     }
 
 
@@ -1744,6 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "simplify_tiles": _ora.simplify_tiles_sql(),
         "hull_compactness": _ora.hull_compactness_sql(),
         "geohash_tile_agg": _ora.geohash_tile_agg_sql(),
+        "ann_pq_topk": _ora.ann_pq_topk_sql(),
     }
     # the streaming session-window query folds to the exact shape of the
     # batch sessionize query — one oracle checks both (batch/stream duality)

@@ -507,3 +507,58 @@ def geohash_tile_agg_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     uniq, counts = np.unique(cells, return_counts=True)
     rows = list(zip(uniq.tolist(), counts.tolist()))
     return values_sql(rows, [("geohash", "VARCHAR"), ("n_docs", "BIGINT")])
+
+
+@lru_cache(maxsize=4)
+def ann_pq_topk_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (vec_id, adc_dist) for q_ann_pq_topk: the full PQ
+    train→encode→ADC chain replicated in numpy on the driver, folding
+    the m-term distance sum in the same order as Spark's aggregate."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-300)
+
+    m = 8
+    d = mat.shape[1]
+    dsub = d // m
+    train = mat[:2048]
+    n_codes = min(256, len(train))
+    sub = train.reshape(len(train), m, dsub)
+    books = np.empty((m, n_codes, dsub))
+    for mm in range(m):
+        X = sub[:, mm, :]
+        C = X[:n_codes].copy()
+        for _ in range(5):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = np.argmin(d2, axis=1)
+            for c in range(n_codes):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[mm] = C
+
+    Xs = mat.reshape(len(mat), m, dsub)
+    codes = np.empty((len(mat), m), dtype=np.int64)
+    for mm in range(m):
+        diff = Xs[:, mm, None, :] - books[mm][None, :, :]
+        codes[:, mm] = np.argmin(np.einsum("nkd,nkd->nk", diff, diff), axis=1)
+
+    qv = mat[ids == 0][0]  # already normalized
+    qs = qv.reshape(m, dsub)
+    diff = qs[:, None, :] - books
+    table = np.einsum("mkd,mkd->mk", diff, diff)
+    rows = []
+    for vid, code in zip(ids.tolist(), codes):
+        s = 0.0
+        for mm in range(m):  # left-to-right, matching F.aggregate
+            s += float(table[mm, code[mm]])
+        rows.append((vid, _spark_round(s, 9)))
+    rows.sort(key=lambda r: (r[1], r[0]))
+    return values_sql(
+        rows[:10], [("vec_id", "BIGINT"), ("adc_dist", "DOUBLE")]
+    )

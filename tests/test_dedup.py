@@ -236,3 +236,51 @@ def test_connected_components_chain_triangle_pair(spark):
     )
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_pq_index_self_retrieval_and_recall(spark):
+    """PQ guarantees: a codebook-member query has ADC distance exactly 0
+    to its own code (top-1 self-retrieval); recall@10 vs brute cosine
+    stays useful at 32x compression; codes are m bytes wide."""
+    from geokitten_spark.operators.ann import PQIndex, brute_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    idx = PQIndex(emb, m=8)
+
+    # codes shape: every vector got m codes in [0, 256)
+    sample = idx.codes.limit(20).collect()
+    assert all(len(r["codes"]) == 8 for r in sample)
+    assert all(0 <= c < 256 for r in sample for c in r["codes"])
+
+    # an indexed vector retrieves itself at rank 1
+    q0 = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    top = idx.search(q0, k=10).collect()
+    assert top[0]["vec_id"] == 0
+
+    # zero-error invariant: when the corpus fits the codebook (<= 256
+    # vectors -> singleton Lloyd clusters), a member's self-ADC distance
+    # is exactly 0
+    small = emb.filter("vec_id < 100")
+    idx_small = PQIndex(small, m=8)
+    tiny = idx_small.search(q0, k=1).collect()
+    assert tiny[0]["vec_id"] == 0 and tiny[0]["adc_dist"] == 0.0
+
+    # recall@10 vs exact cosine for a non-codebook query
+    qv = [float(x) for x in emb.orderBy(F.col("vec_id").desc()).first()["embedding"]]
+    exact = {r["vec_id"] for r in brute_topk(emb, qv, k=10).collect()}
+    approx = {r["vec_id"] for r in idx.search(qv, k=10).collect()}
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5, f"recall@10 {recall}"
+
+
+def test_pq_codes_partitioning_independent(spark):
+    """Encode is a pure function of the vector: same codes at any
+    parallelism (Arrow batch boundaries don't leak into argmin)."""
+    from geokitten_spark.operators.ann import PQIndex
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    a = PQIndex(emb.repartition(1), m=8)
+    b = PQIndex(emb.repartition(7), m=8)
+    ca = {r["vec_id"]: r["codes"] for r in a.codes.collect()}
+    cb = {r["vec_id"]: r["codes"] for r in b.codes.collect()}
+    assert ca == cb
