@@ -65,3 +65,42 @@ def test_range_partition_contiguous_cells(spark):
     assert len(ranges) > 1
     for prev, cur in zip(ranges, ranges[1:]):
         assert prev.hi <= cur.lo  # non-overlapping contiguous ranges
+
+
+def test_raster_to_vector_to_geojson_sink(spark, tmp_path):
+    """The full raster→vector lane: tile aggregate → cell polygons
+    (tile_vectorize) → GeoJSON FeatureCollection on disk → re-scan parity.
+    This is the north-star "rasterize tile aggregates back to vector
+    tiles" realized end to end including the file sink."""
+    import json
+
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.functions.cells_udfs import grid_cell_col
+    from geokitten_spark.operators.tile import tile_aggregate, tile_vectorize
+    from geokitten_spark.sources.geojson import read_geojson_dir, write_geojson
+    from tests.conftest import SF_SMOKE
+
+    docs = web_documents(spark, SF_SMOKE).withColumn(
+        "cell_id", grid_cell_col(F.col("lon"), F.col("lat"), 3)
+    )
+    vec = tile_vectorize(tile_aggregate(docs))
+    pdf = vec.toPandas()
+    assert len(pdf) > 0
+
+    out = str(tmp_path / "tiles" / "tiles.geojson")
+    src = vec.selectExpr(
+        "CAST(cell_id AS STRING) AS feature_id",
+        "geometry_wkt",
+        "to_json(named_struct('n_docs', n_docs)) AS properties",
+    )
+    n = write_geojson(src, out)
+    assert n == len(pdf)
+
+    back = read_geojson_dir(spark, str(tmp_path / "tiles")).toPandas()
+    assert len(back) == n
+    got = {
+        fid: json.loads(p)["n_docs"]
+        for fid, p in zip(back["feature_id"], back["properties"])
+    }
+    want = {str(r["cell_id"]): r["n_docs"] for _, r in pdf.iterrows()}
+    assert got == want
