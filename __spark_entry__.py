@@ -852,6 +852,29 @@ def q_geohash_tile_agg(spark, sf_dir):
     )
 
 
+def q_geohash_rollup(spark, sf_dir):
+    """Multi-precision geohash rollup from ONE encode: the prefix property
+    makes coarser precisions a plain substr groupBy — no re-encode, no
+    second Python stage. Union of precisions 2..4."""
+    from geokitten_spark.functions.cells_udfs import geohash_cell
+
+    docs = _web_docs(spark, sf_dir)
+    h4 = docs.select(
+        geohash_cell(4)(F.col("lon"), F.col("lat")).alias("gh")
+    ).cache()
+    parts = [
+        h4.select(F.substring("gh", 1, p).alias("geohash"))
+        .groupBy("geohash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("precision", F.lit(p).cast("int"))
+        for p in (2, 3, 4)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_admin_standardize(spark, sf_dir):
     """Entry-point-1 standardization over admin polygons: areas + interior
     points of the standardized geometries — rows-only (pytest covers
@@ -1230,6 +1253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_tile_agg": q_s2_tile_agg,
         "hex_tile_agg": q_hex_tile_agg,
         "geohash_tile_agg": q_geohash_tile_agg,
+        "geohash_rollup": q_geohash_rollup,
         "admin_standardize": q_admin_standardize,
         "subtract_overlap": q_subtract_overlap,
         "kml_roundtrip": q_kml_roundtrip,
@@ -1778,4 +1802,14 @@ def oracle_sql() -> dict[str, str]:
          AND v.event_type = 'view' AND c.event_type = 'click'
          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
     """
+    # rollup oracle: pure SQL over the precision-4 VALUES table — the
+    # independent expected values roll up in DuckDB exactly as the Spark
+    # side rolls up its one encode
+    gh4 = _ora.geohash_tile_agg_sql()
+    out["geohash_rollup"] = " UNION ALL ".join(
+        f"SELECT substr(geohash, 1, {p}) AS geohash, "
+        f"CAST(SUM(n_docs) AS BIGINT) AS n_docs, CAST({p} AS INT) AS precision "
+        f"FROM ({gh4}) GROUP BY 1"
+        for p in (2, 3, 4)
+    )
     return out
