@@ -859,13 +859,18 @@ def q_geohash_rollup(spark, sf_dir):
     from geokitten_spark.functions.cells_udfs import geohash_cell
 
     docs = _web_docs(spark, sf_dir)
-    h4 = docs.select(
-        geohash_cell(4)(F.col("lon"), F.col("lat")).alias("gh")
-    ).cache()
+    # ONE row-level aggregate at the finest precision; the coarser levels
+    # roll up from that tiny table (O(cells), not O(rows)) — the shape
+    # that holds at 10^12 rows: one encode, one big shuffle, substr math
+    # on aggregates after
+    h4 = (
+        docs.select(geohash_cell(4)(F.col("lon"), F.col("lat")).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n4"))
+    )
     parts = [
-        h4.select(F.substring("gh", 1, p).alias("geohash"))
-        .groupBy("geohash")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        h4.groupBy(F.substring("gh", 1, p).alias("geohash"))
+        .agg(F.sum("n4").cast("long").alias("n_docs"))
         .withColumn("precision", F.lit(p).cast("int"))
         for p in (2, 3, 4)
     ]
