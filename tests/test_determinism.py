@@ -93,3 +93,32 @@ def test_extract_invariant_per_url(spark):
     bad = docs.filter(extract_text(F.col("html")) != F.col("text"))
     assert bad.count() == 0
     assert docs.count() > 0
+
+
+def test_new_query_results_shuffle_partition_independent(spark):
+    """Round-2 queries with window/dedup/UDF stages return identical rows
+    at shuffle.partitions 4 vs 32 (partition-dependence is the classic
+    failure mode for window ranks, Arrow batch kernels, and argmin
+    quantizers)."""
+    import __spark_entry__ as entrymod
+
+    Q = entrymod.queries()
+    names = [
+        "corpus_filter", "pii_redact", "geohash_rollup", "simplify_tiles",
+        "hull_compactness", "ann_pq_topk", "window_lag_delta",
+        "tpch_q17_scalar_subquery",
+    ]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("4", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                pdf = Q[n](spark, SF_SMOKE).toPandas()
+                pdf = pdf[sorted(pdf.columns)].astype(str)
+                key = frozenset(map(tuple, pdf.itertuples(index=False)))
+                results.setdefault(n, []).append(key)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    for n, (a, b) in results.items():
+        assert a == b and len(a) > 0, n
