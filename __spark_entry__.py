@@ -636,11 +636,14 @@ def q_ann_cosine_topk(spark, sf_dir):
     # distributed top-k: orderBy+limit plans TakeOrderedAndProject (per-
     # partition top-k + merge), NOT a single-partition global window; the
     # rank column is then derived on the k surviving rows only. The window
-    # partitions by a constant — same single partition (10 rows, by
-    # construction), but with an explicit partitionSpec so WindowExec
-    # doesn't log the "No Partition Defined" warning into the bench log.
+    # partitions by spark_partition_id(): constant 0 on the single
+    # post-limit partition, but NON-FOLDABLE — a literal partition key
+    # gets constant-folded away and WindowExec still logs the "No
+    # Partition Defined" warning into the bench log.
     topk = scored.orderBy(F.col("sim").desc(), F.col("vec_id").asc()).limit(10)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
     return (
         topk.withColumn("rank", F.row_number().over(w)).select("vec_id", "rank")
     )
