@@ -1095,6 +1095,49 @@ def q_stream_interval_join(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_geo_tiles(spark, sf_dir):
+    """The flagship tiling as an INCREMENTAL STREAM: documents arrive as
+    microbatches, the url→geocode→grid-cell derivation runs as codegen
+    expressions on the stream, and the complete-mode per-cell counts must
+    equal the batch web_tile_agg — same oracle, zero new SQL."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from geokitten_spark.fixtures import derive_web_documents
+    from geokitten_spark.functions.cells_udfs import grid_cell_col
+    from geokitten_spark.streaming import run_to_memory
+
+    src = os.path.join(tempfile.gettempdir(), f"gk_geo_{uuid.uuid4().hex[:8]}")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tiled = derive_web_documents(stream).select(
+        grid_cell_col(F.col("lon"), F.col("lat"), 7).alias("cell_id")
+    )
+    agg = tiled.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    name = f"q_geo_{uuid.uuid4().hex[:8]}"
+    run_to_memory(agg, name, os.path.join(src, "_ckpt"), output_mode="complete")
+    return spark.table(name)
+
+
 def q_stream_stateful(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-user event count + last ts, drained with availableNow over a
@@ -1271,6 +1314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
         "stream_interval_join": q_stream_interval_join,
+        "stream_geo_tiles": q_stream_geo_tiles,
         "stream_stateful": q_stream_stateful,
         "geo_aggregates": q_geo_aggregates,
         "simplify_tiles": q_simplify_tiles,
@@ -1810,6 +1854,8 @@ def oracle_sql() -> dict[str, str]:
          AND v.event_type = 'view' AND c.event_type = 'click'
          AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
     """
+    # the incremental tiling stream == the batch tile aggregate
+    out["stream_geo_tiles"] = out["web_tile_agg"]
     # rollup oracle: pure SQL over the precision-4 VALUES table — the
     # independent expected values roll up in DuckDB exactly as the Spark
     # side rolls up its one encode

@@ -57,7 +57,14 @@ def web_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: doc_id, url, warc_ts, html (binary), text (title+\\n+body),
     lang, lon, lat. ``extract(html) == text`` holds byte-for-byte.
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return derive_web_documents(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def derive_web_documents(docs: DataFrame) -> DataFrame:
+    """The webdocs derivation as pure column expressions over a documents
+    table — works identically on a BATCH or a STREAMING DataFrame (the
+    geocode is codegen, no stateful ops), which is what lets the flagship
+    tiling run incrementally (q_stream_geo_tiles)."""
     title = F.concat(F.lit("Doc "), F.col("doc_id").cast("string"))
     page_text = F.concat(title, F.lit("\n"), F.col("text"))
     html = F.concat(
