@@ -348,6 +348,41 @@ def q_corpus_filter(spark, sf_dir):
     )
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (the key-normalization step before any
+    URL-keyed crawl dedup): each doc contributes a messy variant
+    (uppercase scheme/host, default port, scrambled query order,
+    fragment) and a clean one of the same resource — canonicalization
+    must collapse them 2→1 per doc. Pure string expressions, codegen."""
+    from geokitten_spark.functions.geocode import url_canonicalize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    messy = F.concat(
+        F.lit("HTTP://Site"), (did % 50).cast("string"),
+        F.lit(".COM:80/p"), (did % 7).cast("string"),
+        F.lit("?b="), (did % 5).cast("string"),
+        F.lit("&a="), (did % 3).cast("string"),
+        F.lit("#frag"),
+    )
+    clean = F.concat(
+        F.lit("http://site"), (did % 50).cast("string"),
+        F.lit(".com/p"), (did % 7).cast("string"),
+        F.lit("?a="), (did % 3).cast("string"),
+        F.lit("&b="), (did % 5).cast("string"),
+    )
+    urls = docs.select(messy.alias("url")).unionAll(docs.select(clean.alias("url")))
+    canon = urls.select(
+        "url", url_canonicalize(F.col("url")).alias("curl")
+    )
+    host = F.regexp_extract(F.col("curl"), r"^https?://([^/]+)", 1)
+    return canon.groupBy(host.alias("host")).agg(
+        F.countDistinct("url").alias("n_raw"),
+        F.countDistinct("curl").alias("n_canon"),
+        F.min(F.md5(F.col("curl"))).alias("min_md5"),
+    )
+
+
 def q_cube_docs(spark, sf_dir):
     """CUBE grouping sets over (lang, source): multi-dimensional tile-style
     rollup on the documents table.
@@ -1267,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q19_or_pushdown": q_tpch_q19_or_pushdown,
         "window_lag_delta": q_window_lag_delta,
         "pii_redact": q_pii_redact,
+        "url_canonicalize": q_url_canonicalize,
         "corpus_filter": q_corpus_filter,
         "cube_docs": q_cube_docs,
         "json_props": q_json_props,
@@ -1349,7 +1385,11 @@ def oracle_sql() -> dict[str, str]:
         stratified_sample_sql,
         sample_per_group_sql,
     )
-    from geokitten_spark.functions.geocode import url_host_sql, haversine_km_sql
+    from geokitten_spark.functions.geocode import (
+        url_host_sql,
+        haversine_km_sql,
+        url_canonicalize_sql,
+    )
     from geokitten_spark.fixtures import (
         admin_rects_sql_parts,
         neardup_corpus_cte,
@@ -1514,6 +1554,30 @@ def oracle_sql() -> dict[str, str]:
                    round(MAX(ma3), 6) AS max_ma3,
                    COUNT(delta) AS n_deltas
             FROM per_row GROUP BY event_type
+        """,
+        "url_canonicalize": f"""
+            WITH urls AS (
+                SELECT 'HTTP://Site' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.COM:80/p' || CAST(doc_id % 7 AS VARCHAR)
+                       || '?b=' || CAST(doc_id % 5 AS VARCHAR)
+                       || '&a=' || CAST(doc_id % 3 AS VARCHAR)
+                       || '#frag' AS url
+                FROM documents
+                UNION ALL
+                SELECT 'http://site' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.com/p' || CAST(doc_id % 7 AS VARCHAR)
+                       || '?a=' || CAST(doc_id % 3 AS VARCHAR)
+                       || '&b=' || CAST(doc_id % 5 AS VARCHAR) AS url
+                FROM documents
+            ),
+            canon AS (
+                SELECT url, {url_canonicalize_sql('url')} AS curl FROM urls
+            )
+            SELECT regexp_extract(curl, '^https?://([^/]+)', 1) AS host,
+                   COUNT(DISTINCT url) AS n_raw,
+                   COUNT(DISTINCT curl) AS n_canon,
+                   MIN(md5(curl)) AS min_md5
+            FROM canon GROUP BY 1
         """,
         "corpus_filter": f"""
             WITH scored AS (

@@ -28,6 +28,8 @@ __all__ = [
     "url_path_sql",
     "haversine_km",
     "haversine_km_sql",
+    "url_canonicalize",
+    "url_canonicalize_sql",
 ]
 
 _MAX32 = 4294967295.0  # 0xFFFFFFFF
@@ -138,3 +140,47 @@ def haversine_km_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
         f"sin({dlon} / 2) * sin({dlon} / 2)"
     )
     return f"{2.0 * _EARTH_R_KM} * asin(sqrt({a}))"
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-dedup key normalization)
+# ---------------------------------------------------------------------------
+# The web-pipeline primitive that precedes any URL-keyed dedup/join: the
+# same resource crawled as HTTP://Example.COM:80/a?b=2&a=1#frag and
+# http://example.com/a?a=1&b=2 must produce one key. Pure string
+# expressions (Java-regex ∩ RE2 subset + split/array_sort), so the chain
+# is whole-stage codegen in Spark AND byte-identical in the DuckDB twin.
+
+def url_canonicalize(url: Column) -> Column:
+    u = F.regexp_replace(url, r"#.*$", "")  # strip fragment
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r":(80|443)$", "")  # default ports
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    canon_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), canon_q)),
+    )
+
+
+def url_canonicalize_sql(url_expr: str) -> str:
+    u = f"regexp_replace({url_expr}, '#.*$', '', 'g')"
+    scheme = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    host_raw = f"lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    host = f"regexp_replace({host_raw}, ':(80|443)$', '', 'g')"
+    rest = f"regexp_replace({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+', '', 'g')"
+    path_raw = f"regexp_extract({rest}, '^([^?]*)', 1)"
+    path = f"CASE WHEN {path_raw} = '' THEN '/' ELSE {path_raw} END"
+    query = f"regexp_extract({rest}, '\\?(.*)$', 1)"
+    canon_q = f"array_to_string(list_sort(string_split({query}, '&')), '&')"
+    return (
+        f"({scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {query} = '' THEN '' ELSE '?' || {canon_q} END)"
+    )
