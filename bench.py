@@ -203,7 +203,41 @@ def run_once(cpus: int, flagship_only: bool = False) -> dict:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": cpus,
         **extra,
+        **cpu_controls(),
     }
+
+
+def cpu_controls() -> dict:
+    """Host-noise controls embedded in every bench record: a fixed
+    single-thread md5 chain (~1.0 s on this box unloaded) and the
+    multicore slowdown factor of the same work on all cores at once
+    (1.0 = all vCPUs genuinely available; hypervisor-steal storms push it
+    to 2-4x and inflate every parallel query by the same factor — see
+    BENCH/BASELINE.md "noise floor")."""
+    import concurrent.futures as cf
+
+    t0 = time.monotonic()
+    _md5_chain(1_500_000)
+    single = time.monotonic() - t0
+    n_workers = os.cpu_count() or 8
+    t0 = time.monotonic()
+    # separate PROCESSES (hashlib holds the GIL for sub-2KB inputs)
+    with cf.ProcessPoolExecutor(n_workers) as ex:
+        list(ex.map(_md5_chain, [1_500_000] * n_workers))
+    multi = time.monotonic() - t0
+    return {
+        "cpu_control_sec": round(single, 3),
+        "cpu_multicore_slowdown": round(multi / single, 2),
+    }
+
+
+def _md5_chain(n: int) -> bytes:
+    import hashlib
+
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.md5(h).digest()
+    return h
 
 
 # ---------------------------------------------------------------------------
