@@ -530,6 +530,14 @@ def main():
                 for q, ratio in vs.items()
                 if ratio > 1.5 and result["queries"][q] - r1[q] > 0.5
             )
+            mc = result.get("cpu_multicore_slowdown", 1.0)
+            if result["regressions_vs_r1"] and mc > 1.5:
+                result["regressions_note"] = (
+                    f"multicore slowdown {mc}x measured in-run (hypervisor "
+                    "steal): per-query ratios are inflated by host noise, "
+                    "not code; compare against cpu_multicore_slowdown "
+                    "across rounds"
+                )
         except Exception:
             pass
     print(json.dumps(result))
