@@ -1016,6 +1016,23 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_media_frames(spark, sf_dir):
+    """Multimodal frame sampling: every-5th-frame features per video row
+    (byte-rotated deterministic decode). Oracle = the numpy chain on the
+    driver (oracles.media_frames_sql)."""
+    from geokitten_spark.functions.multimodal import (
+        frame_sample_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, sf_dir, n_rows=100)
+    frames = frame_sample_features(media, every_k=5)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.round(F.avg(F.element_at("embedding", 26)), 6).alias("avg_dim25"),
+    )
+
+
 def q_sessionize_stream_twin(spark, sf_dir):
     """Streaming face (rows-only): watermark + tumbling window aggregate
     driven through Structured Streaming availableNow on the events table,
@@ -1346,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kml_roundtrip": q_kml_roundtrip,
         "geojson_roundtrip": q_geojson_roundtrip,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "stream_hourly": q_sessionize_stream_twin,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
@@ -1895,6 +1913,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_neardup_lsh": _ora.embed_neardup_lsh_sql(),
         "geojson_roundtrip": _ora.geojson_roundtrip_sql(),
         "media_features": _ora.media_features_sql(),
+        "media_frames": _ora.media_frames_sql(),
         "kml_roundtrip": _ora.kml_roundtrip_sql(),
         "simplify_tiles": _ora.simplify_tiles_sql(),
         "hull_compactness": _ora.hull_compactness_sql(),

@@ -562,3 +562,38 @@ def ann_pq_topk_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return values_sql(
         rows[:10], [("vec_id", "BIGINT"), ("adc_dist", "DOUBLE")]
     )
+
+
+@lru_cache(maxsize=4)
+def media_frames_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (media_id, n_frames, avg_dim25) for q_media_frames: the
+    byte-rotate→decode→histogram chain per sampled frame, folding the
+    per-media average in frame order (the within-row order the
+    mapInPandas stage emits)."""
+    import pyarrow.parquet as pq
+
+    from .functions.multimodal import _decode, _features_of
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    doc_ids = tbl.column("doc_id").to_pylist()[:100]
+    texts = tbl.column("text").to_pylist()[:100]
+
+    rows = []
+    for doc_id, text in zip(doc_ids, texts):
+        if doc_id % 3 != 2:  # only video rows
+            continue
+        w = doc_id % 64 + 16
+        h = doc_id % 48 + 16
+        n_frames_meta = doc_id % 30 + 1
+        raw = text.encode("utf-8")
+        s = 0.0
+        n = 0
+        for f in range(0, n_frames_meta, 5):
+            rot = raw[f % max(1, len(raw)):] + raw[: f % max(1, len(raw))]
+            feat = _features_of(_decode(rot, w, h, fake=True))
+            s += float(np.float32(feat[25]))
+            n += 1
+        rows.append((doc_id, n, _spark_round(s / n, 6)))
+    return values_sql(
+        rows, [("media_id", "BIGINT"), ("n_frames", "BIGINT"), ("avg_dim25", "DOUBLE")]
+    )
