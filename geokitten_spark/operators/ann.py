@@ -12,12 +12,14 @@ Two tiers (training-data-pipeline brief):
   from a deterministic sample; assignment and search are JVM-side array
   expressions (zip_with/aggregate) — no Python in the scan path.
 * ``PQIndex``      — product quantization: vectors L2-normalize, split
-  into M subspaces, each subvector maps to 1 byte (nearest of ≤256
-  data-derived codebook entries) — M bytes per vector, a 32× compression
-  at d=64/M=8 that makes a 10^12-vector scan memory-feasible. Search is
-  asymmetric distance computation: the query's per-subspace distance
-  table broadcasts (one row, M·256 doubles) and scoring is a pure-JVM
-  aggregate over the codes — no Python, no decompression.
+  into M subspaces, each subvector maps to a byte-valued code (nearest of
+  ≤256 data-derived codebook entries) — M logical bytes per vector (the
+  column type is array<int>; parquet bit-packs the 0-255 values to ~1
+  byte each), a ~32× compression at d=64 float32 / M=8 that makes a
+  10^12-vector scan memory-feasible. Search is asymmetric distance
+  computation: the query's per-subspace distance table broadcasts (one
+  row, M·256 doubles) and scoring is a pure-JVM aggregate over the codes
+  — no Python, no decompression.
 """
 
 from __future__ import annotations
