@@ -918,6 +918,40 @@ def q_geohash_rollup(spark, sf_dir):
     return out
 
 
+def q_cell_join_bucketed(spark, sf_dir):
+    """Co-located cell equi-join: both sides written bucketed+sorted on
+    cell_id (the one shuffle paid at write time), then joined
+    EXCHANGE-FREE — the plan shape every downstream cell join gets for
+    free at 10^12 rows (zip-partitions SMJ; exchange-absence asserted in
+    tests/test_bucketize.py). Output: per-lang weighted doc counts."""
+    import uuid
+
+    from geokitten_spark.functions.cells_udfs import grid_cell_col
+    from geokitten_spark.operators.bucketize import read_table, write_bucketed
+
+    tag = uuid.uuid4().hex[:8]
+    docs = _web_docs(spark, sf_dir).select(
+        "doc_id", "lang", grid_cell_col(F.col("lon"), F.col("lat"), 5).alias("cell_id")
+    )
+    poi = docs.select("cell_id").distinct().withColumn(
+        "poi_weight", (F.col("cell_id") % 97).cast("long")
+    )
+    write_bucketed(docs, f"gk_docs_{tag}", bucket_col="cell_id")
+    write_bucketed(poi, f"gk_poi_{tag}", bucket_col="cell_id")
+    # merge hint pins the zip-partitions SMJ this query showcases (at the
+    # oracle SF the poi side is tiny, so Catalyst would otherwise
+    # broadcast — also fine, but not the plan under demonstration): with
+    # the bucketed layout the ONLY Exchange in the whole plan is the
+    # final per-lang aggregate
+    j = read_table(spark, f"gk_docs_{tag}").hint("merge").join(
+        read_table(spark, f"gk_poi_{tag}"), "cell_id"
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("poi_weight").cast("long").alias("total_weight"),
+    )
+
+
 def q_admin_standardize(spark, sf_dir):
     """Entry-point-1 standardization over admin polygons: areas + interior
     points of the standardized geometries — rows-only (pytest covers
@@ -1358,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_tile_agg": q_hex_tile_agg,
         "geohash_tile_agg": q_geohash_tile_agg,
         "geohash_rollup": q_geohash_rollup,
+        "cell_join_bucketed": q_cell_join_bucketed,
         "admin_standardize": q_admin_standardize,
         "subtract_overlap": q_subtract_overlap,
         "kml_roundtrip": q_kml_roundtrip,
@@ -1939,6 +1974,22 @@ def oracle_sql() -> dict[str, str]:
     """
     # the incremental tiling stream == the batch tile aggregate
     out["stream_geo_tiles"] = out["web_tile_agg"]
+    # the bucketed co-located join == a plain equi-join in DuckDB (the
+    # bucketing changes the PLAN, never the rows)
+    out["cell_join_bucketed"] = f"""
+        {cte},
+        cells AS (
+            SELECT doc_id, lang, {grid_cell_sql('lon', 'lat', 5)} AS cell_id
+            FROM webdocs
+        ),
+        poi AS (
+            SELECT DISTINCT cell_id, CAST(cell_id % 97 AS BIGINT) AS poi_weight
+            FROM cells
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(poi_weight) AS BIGINT) AS total_weight
+        FROM cells JOIN poi USING (cell_id) GROUP BY lang
+    """
     # rollup oracle: pure SQL over the precision-4 VALUES table — the
     # independent expected values roll up in DuckDB exactly as the Spark
     # side rolls up its one encode
