@@ -561,6 +561,33 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (TTR, top n-gram mass, longest
+    same-word run), rolled up per source language.
+
+    Per-doc signals are pure array expressions — map-only at 10^12 docs;
+    the single shuffle is the per-lang rollup. Corpus-level shares divide
+    sums of exact integer numerators (not averages of per-doc doubles) so
+    the result is bit-stable under any partitioning/merge order."""
+    from geokitten_spark.functions.text import repetition_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = repetition_cols(F.col("text"))
+    per_doc = docs.select("lang", *[v.alias(k) for k, v in r.items()])
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_distinct").cast("double") / F.sum("n_words"), 6).alias("ttr"),
+        F.round(
+            F.sum("top_unigram").cast("double") / F.sum("n_words"), 6
+        ).alias("top_unigram_share"),
+        F.round(
+            F.sum("top_bigram").cast("double") / F.sum("n_bigrams"), 6
+        ).alias("top_bigram_share"),
+        F.max("max_run").cast("long").alias("max_run"),
+        F.sum(F.col("rep_flagged").cast("long")).cast("long").alias("n_flagged"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact/near dedup by canonical 40-char-prefix fingerprint: dup groups."""
     from geokitten_spark.functions.text import fingerprint_col
@@ -1367,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pip_rect": q_web_pip_rect,
         "web_knn": q_web_knn,
         "lang_quality": q_lang_quality,
+        "quality_repetition": q_quality_repetition,
         "domain_stats": q_domain_stats,
         "geo_distance": q_geo_distance,
         "token_stats": q_token_stats,
@@ -1433,6 +1461,7 @@ def oracle_sql() -> dict[str, str]:
         fingerprint_sql,
         rolling_fingerprint_sql,
         redact_pii_sql,
+        repetition_percell_sql,
     )
     from geokitten_spark.operators.sampling import (
         stratified_sample_sql,
@@ -1785,6 +1814,18 @@ def oracle_sql() -> dict[str, str]:
                    round(AVG(quality_score), 3) AS avg_quality,
                    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
             FROM per_doc GROUP BY pred_lang
+        """,
+        "quality_repetition": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   round(CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_words), 6) AS ttr,
+                   round(CAST(SUM(top_unigram) AS DOUBLE) / SUM(n_words), 6)
+                       AS top_unigram_share,
+                   round(CAST(SUM(top_bigram) AS DOUBLE) / SUM(n_bigrams), 6)
+                       AS top_bigram_share,
+                   CAST(MAX(max_run) AS BIGINT) AS max_run,
+                   CAST(COUNT(*) FILTER (rep_flagged) AS BIGINT) AS n_flagged
+            FROM ({repetition_percell_sql()}) pd
+            GROUP BY lang
         """,
         "token_stats": f"""
             SELECT lang,

@@ -325,3 +325,159 @@ def redact_pii_sql(text_expr: str) -> str:
     for pat, repl in _PII_PATTERNS:
         out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality filtering)
+# ---------------------------------------------------------------------------
+# Per-document repetition measures used by web-corpus quality filters
+# (Gopher / RefinedWeb style): type-token ratio, top-unigram and
+# top-bigram mass, and the longest consecutive same-word run. All four
+# are PURE ARRAY EXPRESSIONS on the Spark side — the word array never
+# leaves the row, so at 10^12 documents this is a map-only stage with
+# zero shuffle (the per-corpus rollup is the only exchange).
+#
+# Spark computes max n-gram multiplicity as a linear fold over the
+# SORTED gram array (longest equal-adjacent run == max multiplicity);
+# the DuckDB oracle computes the same number via unnest + GROUP BY.
+# Generalizes the reference's per-row standardization surface
+# (gdf_standardization.py) into columnar quality transforms.
+
+def split_words(text: Column) -> Column:
+    """Non-empty tokens of a single-space-separated document."""
+    return F.filter(F.split(text, " "), lambda x: x != F.lit(""))
+
+
+def split_words_sql(text_expr: str) -> str:
+    return f"list_filter(string_split({text_expr}, ' '), x -> x <> '')"
+
+
+def longest_equal_run(arr: Column) -> Column:
+    """Longest run of equal adjacent elements — linear ``aggregate`` fold,
+    no explode, no shuffle. 0 for an empty array. Applied to a sorted
+    array this yields the max element multiplicity."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(arr, zero, step, lambda acc: acc["best"])
+
+
+def word_bigrams(words: Column) -> Column:
+    """Adjacent word pairs as 'w1 w2' strings (array expression)."""
+    grams = F.transform(
+        words,
+        lambda w, i: F.when(
+            i < F.size(words) - 1, F.concat(w, F.lit(" "), F.get(words, i + 1))
+        ),
+    )
+    return F.filter(grams, lambda x: x.isNotNull())
+
+
+def word_bigrams_sql(words_expr: str) -> str:
+    w = words_expr
+    return (
+        f"list_filter(list_transform({w}, (w, i) -> "
+        f"CASE WHEN i < len({w}) THEN w || ' ' || ({w})[i+1] END), x -> x IS NOT NULL)"
+    )
+
+
+# Flag thresholds tuned on the synthetic web corpus so the flag set is a
+# proper minority (Gopher uses 0.2/0.18-style cutoffs on real crawl data).
+REP_TOP_UNIGRAM_MAX = 0.14
+REP_TTR_MIN = 0.32
+REP_MAX_RUN = 3
+
+
+def repetition_cols(text: Column) -> dict:
+    """Per-doc repetition signals as named Columns.
+
+    Keys: ``n_words``, ``n_distinct``, ``top_unigram``, ``top_bigram``,
+    ``n_bigrams``, ``max_run``, ``rep_flagged``."""
+    ws = split_words(text)
+    bg = word_bigrams(ws)
+    n = F.size(ws).cast("long")
+    n_big = F.size(bg).cast("long")
+    n_distinct = F.size(F.array_distinct(ws)).cast("long")
+    top_uni = longest_equal_run(F.array_sort(ws))
+    top_big = longest_equal_run(F.array_sort(bg))
+    max_run = longest_equal_run(ws)
+    flagged = (n > 0) & (
+        (top_uni.cast("double") / n > REP_TOP_UNIGRAM_MAX)
+        | (n_distinct.cast("double") / n < REP_TTR_MIN)
+        | (max_run >= REP_MAX_RUN)
+    )
+    return {
+        "n_words": n,
+        "n_distinct": n_distinct,
+        "top_unigram": top_uni,
+        "top_bigram": top_big,
+        "n_bigrams": n_big,
+        "max_run": max_run,
+        "rep_flagged": flagged,
+    }
+
+
+def repetition_percell_sql() -> str:
+    """DuckDB twin: per-doc repetition signals over ``documents`` as a CTE
+    chain (same numbers as :func:`repetition_cols`). Yields a relation
+    ``(doc_id, lang, n_words, n_distinct, top_unigram, top_bigram,
+    n_bigrams, max_run, rep_flagged)``."""
+    ws = split_words_sql("text")
+    return f"""
+        WITH w0 AS (
+            SELECT doc_id, lang, {ws} AS ws FROM documents
+        ), w1 AS (
+            SELECT doc_id, lang, ws, {word_bigrams_sql('ws')} AS bg FROM w0
+        ), uni AS (
+            SELECT doc_id, MAX(c) AS top_unigram FROM (
+                SELECT doc_id, w, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(ws) AS w FROM w1) GROUP BY 1, 2
+            ) GROUP BY 1
+        ), big AS (
+            SELECT doc_id, MAX(c) AS top_bigram FROM (
+                SELECT doc_id, g, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(bg) AS g FROM w1) GROUP BY 1, 2
+            ) GROUP BY 1
+        ), runs AS (
+            SELECT doc_id, lang, len(ws) AS n_words, len(bg) AS n_bigrams,
+                   len(list_distinct(ws)) AS n_distinct,
+                   list_concat(
+                       list_filter(list_transform(ws, (w, i) ->
+                           CASE WHEN i = 1 OR ws[i-1] <> w THEN i END),
+                           x -> x IS NOT NULL),
+                       [len(ws) + 1]) AS starts
+            FROM w1
+        ), perdoc AS (
+            SELECT r.doc_id, r.lang,
+                   CAST(r.n_words AS BIGINT) AS n_words,
+                   CAST(r.n_distinct AS BIGINT) AS n_distinct,
+                   CAST(COALESCE(u.top_unigram, 0) AS BIGINT) AS top_unigram,
+                   CAST(COALESCE(b.top_bigram, 0) AS BIGINT) AS top_bigram,
+                   CAST(r.n_bigrams AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(list_max(list_transform(r.starts, (s, j) ->
+                       CASE WHEN j < len(r.starts) THEN r.starts[j+1] - s END)), 0)
+                       AS BIGINT) AS max_run
+            FROM runs r
+            LEFT JOIN uni u ON r.doc_id = u.doc_id
+            LEFT JOIN big b ON r.doc_id = b.doc_id
+        )
+        SELECT *,
+               (n_words > 0 AND (
+                    CAST(top_unigram AS DOUBLE) / n_words > {REP_TOP_UNIGRAM_MAX}
+                    OR CAST(n_distinct AS DOUBLE) / n_words < {REP_TTR_MIN}
+                    OR max_run >= {REP_MAX_RUN})) AS rep_flagged
+        FROM perdoc
+    """

@@ -1,0 +1,99 @@
+"""Unit tests for the Gopher-style repetition signals (functions/text.py).
+
+The fold (longest_equal_run) is the pure-Catalyst workhorse: applied to a
+sorted gram array it yields max multiplicity, applied raw it yields the
+longest consecutive run. Verified here against a plain-Python reference
+on crafted edges and random word soups.
+"""
+
+import random
+from collections import Counter
+
+import pyspark.sql.functions as F
+
+from geokitten_spark.functions.text import (
+    REP_MAX_RUN,
+    longest_equal_run,
+    repetition_cols,
+    split_words,
+    word_bigrams,
+)
+
+
+def _py_max_run(ws):
+    best = run = 0
+    prev = None
+    for w in ws:
+        run = run + 1 if w == prev else 1
+        best = max(best, run)
+        prev = w
+    return best
+
+
+def _py_signals(text):
+    ws = [w for w in text.split(" ") if w]
+    bg = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+    return {
+        "n_words": len(ws),
+        "n_distinct": len(set(ws)),
+        "top_unigram": max(Counter(ws).values()) if ws else 0,
+        "top_bigram": max(Counter(bg).values()) if bg else 0,
+        "n_bigrams": len(bg),
+        "max_run": _py_max_run(ws),
+    }
+
+
+def _spark_signals(spark, texts):
+    r = repetition_cols(F.col("text"))
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    return df.select(*[v.alias(k) for k, v in r.items()]).collect()
+
+
+def test_crafted_edges(spark):
+    texts = [
+        "x x x y z",      # run of 3, flagged via max_run >= REP_MAX_RUN
+        "",                # empty doc
+        "solo",            # single word, no bigrams
+        "a b a b a b",     # alternating: top bigram 'a b' x3, run 1
+        "  padded   doc ", # stray spaces collapse to empty tokens
+    ]
+    rows = _spark_signals(spark, texts)
+    for text, row in zip(texts, rows):
+        exp = _py_signals(text)
+        for k, v in exp.items():
+            assert row[k] == v, f"{text!r}: {k} {row[k]} != {v}"
+    assert rows[0]["rep_flagged"] is True and REP_MAX_RUN <= 3
+    assert rows[1]["rep_flagged"] is False  # empty doc never flagged
+    assert rows[3]["top_bigram"] == 3 and rows[3]["max_run"] == 1
+
+
+def test_random_word_soup_matches_python(spark):
+    rng = random.Random(1234)
+    vocab = ["the", "spark", "batch", "row", "x", "y"]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40)))
+        for _ in range(60)
+    ]
+    rows = _spark_signals(spark, texts)
+    for text, row in zip(texts, rows):
+        exp = _py_signals(text)
+        for k, v in exp.items():
+            assert row[k] == v, f"{text!r}: {k} {row[k]} != {v}"
+
+
+def test_fold_equals_multiplicity_on_sorted(spark):
+    df = spark.createDataFrame(
+        [(["b", "a", "b", "c", "b"],), ([],), (["z"],)],
+        "arr array<string>",
+    )
+    got = df.select(
+        longest_equal_run(F.array_sort(F.col("arr"))).alias("mult"),
+        longest_equal_run(F.col("arr")).alias("run"),
+    ).collect()
+    assert [(r["mult"], r["run"]) for r in got] == [(3, 1), (0, 0), (1, 1)]
+
+
+def test_bigrams_of_split(spark):
+    df = spark.createDataFrame([("a b c",)], "text string")
+    got = df.select(word_bigrams(split_words(F.col("text"))).alias("bg")).first()
+    assert got["bg"] == ["a b", "b c"]
