@@ -588,6 +588,15 @@ def q_quality_repetition(spark, sf_dir):
     )
 
 
+def q_dedup_span_coverage(spark, sf_dir):
+    """Duplicated 8-gram span coverage per language (RefinedWeb-style
+    corpus diagnostic): two 8-byte-key shuffles, exact integer flags."""
+    from geokitten_spark.operators.dedup import span_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return span_coverage(docs, shingle_n=8)
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact/near dedup by canonical 40-char-prefix fingerprint: dup groups."""
     from geokitten_spark.functions.text import fingerprint_col
@@ -1399,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_distance": q_geo_distance,
         "token_stats": q_token_stats,
         "dedup_exact": q_dedup_exact,
+        "dedup_span_coverage": q_dedup_span_coverage,
         "sample_stratified": q_sample_stratified,
         "sample_per_group": q_sample_per_group,
         "fingerprint_rolling": q_fingerprint_rolling,
@@ -1482,6 +1492,7 @@ def oracle_sql() -> dict[str, str]:
         simhash_neardup_sql,
         ngram_jaccard_sql,
         connected_components_sql,
+        span_coverage_sql,
     )
     from geokitten_spark import oracles as _ora
 
@@ -1815,6 +1826,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
             FROM per_doc GROUP BY pred_lang
         """,
+        "dedup_span_coverage": span_coverage_sql(shingle_n=8),
         "quality_repetition": f"""
             SELECT lang, COUNT(*) AS n_docs,
                    round(CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_words), 6) AS ttr,

@@ -257,6 +257,97 @@ def minhash_neardup_sql(
 
 
 # ---------------------------------------------------------------------------
+# Duplicated-span coverage (RefinedWeb-style corpus diagnostics)
+# ---------------------------------------------------------------------------
+
+def span_coverage(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Per-group duplicated-span coverage: the fraction of each document's
+    distinct word ``shingle_n``-grams that also occur in at least one OTHER
+    document, rolled up per ``group_col``.
+
+    The corpus-health metric behind RefinedWeb/Dolma-style exact substring
+    dedup decisions. Scale shape: shingles are hashed to 60-bit BIGINTs
+    BEFORE the explode so the two shuffles (document-frequency groupBy and
+    the join back) move 8-byte keys, never strings; the df aggregate is
+    partial (map-side combine) and AQE can broadcast the join side if a
+    filter shrinks it. Docs with fewer than ``shingle_n`` words have no
+    shingles and are excluded from the rollup in both engines.
+
+    Returns (group, n_docs, total_shingles, dup_shingles, dup_share,
+    n_docs_majority_dup) where the majority flag is the exact integer
+    predicate 2*dup > total (no float threshold).
+    """
+    n_words = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hashed = F.transform(
+        word_shingles(F.col(text_col), shingle_n), lambda s: hash60(s)
+    )
+    exploded = (
+        docs.filter(n_words >= shingle_n)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).alias("grp"),
+            F.explode(hashed).alias("sh"),
+        )
+    )
+    df_counts = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        exploded.join(df_counts, "sh")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    return per_doc.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_sh").cast("long").alias("total_shingles"),
+        F.sum("n_dup").cast("long").alias("dup_shingles"),
+        F.round(F.sum("n_dup").cast("double") / F.sum("n_sh"), 6).alias("dup_share"),
+        F.sum((2 * F.col("n_dup") > F.col("n_sh")).cast("long"))
+        .cast("long")
+        .alias("n_docs_majority_dup"),
+    )
+
+
+def span_coverage_sql(*, group_col: str = "lang", shingle_n: int = 8) -> str:
+    """DuckDB twin of :func:`span_coverage` over the ``documents`` view."""
+    sh = word_shingles_sql("w", shingle_n)
+    h = hash60_sql("s")
+    return f"""
+        WITH shingled AS (
+            SELECT doc_id, {group_col} AS grp,
+                   list_transform({sh}, s -> {h}) AS shs
+            FROM (SELECT doc_id, {group_col},
+                         regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= {shingle_n}
+        ),
+        exploded AS (SELECT doc_id, grp, unnest(shs) AS sh FROM shingled),
+        dfreq AS (SELECT sh, COUNT(*) AS df FROM exploded GROUP BY sh),
+        per_doc AS (
+            SELECT e.doc_id, e.grp, COUNT(*) AS n_sh,
+                   SUM(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+            FROM exploded e JOIN dfreq d ON e.sh = d.sh
+            GROUP BY 1, 2
+        )
+        SELECT grp AS {group_col}, COUNT(*) AS n_docs,
+               CAST(SUM(n_sh) AS BIGINT) AS total_shingles,
+               CAST(SUM(n_dup) AS BIGINT) AS dup_shingles,
+               round(CAST(SUM(n_dup) AS DOUBLE) / SUM(n_sh), 6) AS dup_share,
+               CAST(SUM(CASE WHEN 2 * n_dup > n_sh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_majority_dup
+        FROM per_doc GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -284,3 +284,30 @@ def test_pq_codes_partitioning_independent(spark):
     ca = {r["vec_id"]: r["codes"] for r in a.codes.collect()}
     cb = {r["vec_id"]: r["codes"] for r in b.codes.collect()}
     assert ca == cb
+
+
+def test_span_coverage_crafted_corpus(spark):
+    """8-gram span coverage: a cloned span is counted as duplicated in
+    both docs, unique spans are not, sub-8-word docs are excluded."""
+    from geokitten_spark.operators.dedup import span_coverage
+
+    span = " ".join(f"w{i}" for i in range(8))            # one shared 8-gram
+    uniq_a = " ".join(f"a{i}" for i in range(8))
+    uniq_b = " ".join(f"b{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} tail1", "en"),   # shingles: 2 (span.., pos1..) — only exact span dup'd
+            (2, f"{span} tail2", "en"),
+            (3, uniq_a + " " + uniq_b, "en"),  # 9 shingles, none duplicated
+            (4, "too short", "en"),       # < 8 words: excluded
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = span_coverage(docs, shingle_n=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    # docs 1,2 have 2 shingles each (w0..w7, w1..tailX); only w0..w7 is shared
+    assert r["n_docs"] == 3
+    assert r["total_shingles"] == 2 + 2 + 9
+    assert r["dup_shingles"] == 2          # the shared span, once per doc
+    assert r["n_docs_majority_dup"] == 0   # 1 of 2 shingles: not a majority
