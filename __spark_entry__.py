@@ -246,6 +246,107 @@ def q_tpch_q19_or_pushdown(spark, sf_dir):
     )
 
 
+def q_tpch_q4_exists(spark, sf_dir):
+    """EXISTS decorrelation (TPC-H Q4 shape): orders from 1996 with at
+    least one line shipped >30 days after the order date, counted per
+    priority. Spark expresses the correlated EXISTS as a left-semi join
+    with a mixed equi + range condition — the equi part keys the shuffle,
+    the range part is evaluated post-match, so the plan is a plain
+    hash-semi-join, no nested-loop."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_tpch_q10_returns(spark, sf_dir):
+    """Top-20 customers by revenue on returned lineitems (TPC-H Q10
+    shape): 4-table join with broadcast dims, deterministic tie-break."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_tpch_q16_supplier_cnt(spark, sf_dir):
+    """Distinct-supplier count per (brand, size band) with a NOT IN
+    exclusion subquery (TPC-H Q16 shape; lineitem is the part-supplier
+    link). The NOT IN side is a tiny aggregate → broadcast anti-join."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        (F.col("p_brand") != "Brand#11") & (F.col("p_type") != "PROMO")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    bad = s.filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    link = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+    )
+    return (
+        link.select(
+            "p_brand",
+            (F.floor(F.col("p_size") / 10) * 10).cast("long").alias("size_band"),
+            "l_suppkey",
+        )
+        .groupBy("p_brand", "size_band")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q22_dormant(spark, sf_dir):
+    """Scalar-subquery threshold + NOT EXISTS (TPC-H Q22 shape): customers
+    with above-average balance and no orders after 2000-01-01, per market
+    segment. Balances are compared in exact integer cents so the global
+    average (exact integer sum / count) is bit-identical in both engines
+    regardless of aggregation order."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    avg_cents = c.filter(F.col("cents") > 0).agg(
+        F.avg("cents").alias("avg_cents")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_cents))
+        .filter(F.col("cents") > F.col("avg_cents"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+
+
 def q_window_lag_delta(spark, sf_dir):
     """Window-frame showcase: per-user event stream ordered by (ts,
     event_id) — LAG delta and a 3-row moving average, folded to a per-type
@@ -1387,6 +1488,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q12_case_agg": q_tpch_q12_case_agg,
         "tpch_q14_promo_share": q_tpch_q14_promo_share,
         "tpch_q19_or_pushdown": q_tpch_q19_or_pushdown,
+        "tpch_q4_exists": q_tpch_q4_exists,
+        "tpch_q10_returns": q_tpch_q10_returns,
+        "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
+        "tpch_q22_dormant": q_tpch_q22_dormant,
         "window_lag_delta": q_window_lag_delta,
         "pii_redact": q_pii_redact,
         "url_canonicalize": q_url_canonicalize,
@@ -1632,6 +1737,54 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "tpch_q4_exists": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders o
+            WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q10_returns": """
+            SELECT c_custkey, c_name, n_name,
+                   round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "tpch_q16_supplier_cnt": """
+            SELECT p_brand,
+                   CAST(FLOOR(p_size / 10) * 10 AS BIGINT) AS size_band,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 1000)
+            GROUP BY 1, 2
+        """,
+        "tpch_q22_dormant": """
+            WITH cents AS (
+                SELECT c_custkey, c_mktsegment,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer
+            ),
+            thresh AS (SELECT AVG(cents) AS avg_cents FROM cents WHERE cents > 0)
+            SELECT c_mktsegment, COUNT(*) AS n_cust,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents
+            FROM cents, thresh
+            WHERE cents > avg_cents
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = cents.c_custkey
+                                AND o.o_orderdate >= '2000-01-01')
+            GROUP BY c_mktsegment
         """,
         "window_lag_delta": """
             WITH per_row AS (
