@@ -621,6 +621,24 @@ def q_web_pip_rect(spark, sf_dir):
     )
 
 
+def q_web_pip_rect_part(spark, sf_dir):
+    """J2c: the NO-BROADCAST partitioned PIP join (distributed cell cover,
+    polygon-travels-to-border-cells refine) — the path for boundary sets
+    too large to broadcast. Same rectangles, same oracle predicate as
+    web_pip_rect; results must be identical."""
+    from geokitten_spark.fixtures import admin_rects_pdf
+    from geokitten_spark.operators.pip_join import partitioned_pip_join
+
+    docs = _web_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    bnd = spark.createDataFrame(admin_rects_pdf())
+    out = partitioned_pip_join(
+        docs, bnd, id_col="n_nationkey", wkt_col="geometry_wkt", res=7
+    )
+    return out.groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
 def q_web_knn(spark, sf_dir):
     """J4: kRing kNN (k=3, grid res 5, ring 1) over the 'de' docs."""
     from geokitten_spark.operators.knn import knn_join
@@ -1506,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_tile_rollup": q_web_tile_rollup,
         "tile_vectorize": q_tile_vectorize,
         "web_pip_rect": q_web_pip_rect,
+        "web_pip_rect_part": q_web_pip_rect_part,
         "web_knn": q_web_knn,
         "lang_quality": q_lang_quality,
         "quality_repetition": q_quality_repetition,
@@ -1942,6 +1961,16 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "web_pip_rect": f"""
+            {cte}
+            SELECT n.n_nationkey AS n_nationkey, COUNT(*) AS n_docs,
+                   MIN(d.doc_id) AS min_doc_id
+            FROM webdocs d
+            JOIN nation n
+              ON d.lon > {rect['lon0']} AND d.lon < {rect['lon1']}
+             AND d.lat > {rect['lat0']} AND d.lat < {rect['lat1']}
+            GROUP BY 1
+        """,
+        "web_pip_rect_part": f"""
             {cte}
             SELECT n.n_nationkey AS n_nationkey, COUNT(*) AS n_docs,
                    MIN(d.doc_id) AS min_doc_id

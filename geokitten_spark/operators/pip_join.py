@@ -438,3 +438,129 @@ class PolygonCover:
 
         refined = cand.mapInPandas(refine, schema=refine_schema)
         return fast.unionByName(refined)
+
+
+def partitioned_pip_join(
+    docs: DataFrame,
+    boundaries: DataFrame,
+    *,
+    id_col: str,
+    wkt_col: str,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int = 10,
+    how: str = "inner",
+    doc_key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exact PIP join with NO driver-side index and NO broadcast of the
+    boundary set — the scale path for boundary tables too large to
+    broadcast (millions of polygons), where ``pip_join`` /
+    ``cover_refine_pip_join`` cannot be used.
+
+    Scale design: the cell cover of every polygon is computed IN THE
+    EXECUTORS (``mapInPandas`` over the boundaries DataFrame, same
+    ``_cover_cells`` kernel as the broadcast path, one polygon at a time).
+    Fully-inside cover cells become a distributed ``(cell, id)`` table;
+    boundary cells carry the polygon WKT with them, so after the single
+    equi-join shuffle on the cell id the exact ray-cast refine runs
+    co-located — the polygon travels to its border cells, never the whole
+    boundary set to every executor. Geometry duplication is
+    O(perimeter-cells), the same spatial-partitioning trade Sedona/
+    GeoSpark make. The docs side shuffles once, keyed on the SAME packed
+    grid cell id the tiling aggregates use, so the exchange is reusable
+    downstream; a hot cell is an AQE-skew/salting problem, not an
+    operator redesign.
+
+    Results are identical to ``pip_join`` (same cover kernel, same
+    ray-cast refine): a (doc, polygon) pair matches through exactly one
+    of the two paths because a polygon's inside/border cell sets are
+    disjoint and a doc has one res-``res`` cell.
+
+    ``how='left'`` keeps unmatched docs once with a null ``id_col``
+    (requires ``doc_key_cols``, as in ``cover_refine_pip_join``).
+    """
+    from ..functions.cells_udfs import grid_cell_col
+
+    id_field = boundaries.schema[id_col]
+    cover_schema = StructType(
+        [
+            StructField("__cell", LongType()),
+            StructField(id_col, id_field.dataType),
+            StructField("__wkt", StringType(), True),
+        ]
+    )
+
+    def build_cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                g = parse_wkt(row[wkt_col])
+                in_cells, _, bd_cells, _ = _cover_cells([g], [row[id_col]], res)
+                n_in, n_bd = len(in_cells), len(bd_cells)
+                if n_in + n_bd == 0:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "__cell": np.concatenate([in_cells, bd_cells]),
+                        id_col: [row[id_col]] * (n_in + n_bd),
+                        "__wkt": [None] * n_in + [row[wkt_col]] * n_bd,
+                    }
+                )
+
+    cover = boundaries.mapInPandas(build_cover, schema=cover_schema)
+
+    tagged = docs.withColumn(
+        "__cell", grid_cell_col(F.col(lon_col), F.col(lat_col), res)
+    )
+    # ONE join against the whole cover, then route rows by the border flag
+    # (__wkt null = fully-inside cell → direct match). The two branches
+    # share an identical scan+join subtree, so when the planner picks a
+    # shuffle join at scale, ReuseExchange dedupes the docs exchange — one
+    # shuffle of the docs table total.
+    joined = tagged.join(cover, on="__cell").drop("__cell")
+    fast = joined.filter(F.col("__wkt").isNull()).drop("__wkt")
+    cand = joined.filter(F.col("__wkt").isNotNull())
+    refine_schema = StructType(
+        docs.schema.fields + [StructField(id_col, id_field.dataType, True)]
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ring_cache: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lons = pdf[lon_col].to_numpy(np.float64)
+            lats = pdf[lat_col].to_numpy(np.float64)
+            keep = np.zeros(len(pdf), dtype=bool)
+            wkts = pdf["__wkt"]
+            # group candidate rows by polygon; parse each polygon once
+            # (cache survives across batches of the same task)
+            for wkt, grp in pdf.groupby("__wkt", sort=False).groups.items():
+                rings_parts = ring_cache.get(wkt)
+                if rings_parts is None:
+                    g = parse_wkt(wkt)
+                    rings_parts = [
+                        [np.asarray(r, dtype=np.float64)[:, :2] for r in rings]
+                        for rings in g.parts
+                    ]
+                    if len(ring_cache) < 4096:  # bound executor memory
+                        ring_cache[wkt] = rings_parts
+                idx = np.asarray(grp)
+                inside_m = np.zeros(len(idx), dtype=bool)
+                for rings in rings_parts:
+                    inside_m |= points_in_rings(lons[idx], lats[idx], rings)
+                keep[idx[inside_m]] = True
+            out = pdf.loc[keep, [c for c in pdf.columns if c != "__wkt"]].copy()
+            yield out
+
+    refined = cand.mapInPandas(refine, schema=refine_schema)
+    matched = fast.unionByName(refined)
+    if how == "inner":
+        return matched
+    if how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if not doc_key_cols:
+        raise ValueError("how='left' requires doc_key_cols (a unique doc key)")
+    unmatched = docs.join(
+        matched.select(*doc_key_cols).distinct(), on=doc_key_cols, how="left_anti"
+    ).withColumn(id_col, F.lit(None).cast(id_field.dataType))
+    return matched.unionByName(unmatched)

@@ -122,3 +122,43 @@ def test_new_query_results_shuffle_partition_independent(spark):
         spark.conf.set("spark.sql.shuffle.partitions", old)
     for n, (a, b) in results.items():
         assert a == b and len(a) > 0, n
+
+
+def test_partitioned_pip_matches_brute(spark):
+    """partitioned_pip_join (no broadcast, distributed cover, co-located
+    refine) must equal pip_join exactly — inner AND left — on the
+    overlapping 24-gon fixture where docs hit 1-4 candidate polygons."""
+    from geokitten_spark.fixtures import web_documents, bench_boundaries_pdf
+    from geokitten_spark.operators.pip_join import pip_join, partitioned_pip_join
+
+    docs = web_documents(spark, SF_SMOKE).select("doc_id", "lon", "lat")
+    bnd_pdf = bench_boundaries_pdf()
+    bnd = spark.createDataFrame(bnd_pdf[["region_key", "geometry_wkt"]])
+
+    brute = pip_join(docs, bnd_pdf, id_col="region_key", wkt_col="geometry_wkt")
+    part = partitioned_pip_join(
+        docs, bnd, id_col="region_key", wkt_col="geometry_wkt", res=9
+    )
+    b = sorted((r.doc_id, r.region_key) for r in brute.collect())
+    p = sorted((r.doc_id, r.region_key) for r in part.collect())
+    assert b == p and len(b) > 0
+
+    brute_l = pip_join(
+        docs, bnd_pdf, id_col="region_key", wkt_col="geometry_wkt", how="left"
+    )
+    part_l = partitioned_pip_join(
+        docs, bnd, id_col="region_key", wkt_col="geometry_wkt", res=9,
+        how="left", doc_key_cols=["doc_id"],
+    )
+    bl = sorted((r.doc_id, r.region_key) for r in brute_l.collect())
+    pl = sorted((r.doc_id, r.region_key) for r in part_l.collect())
+    assert bl == pl
+    assert any(k is None for _, k in pl)  # unmatched docs retained
+
+    # partitioning-independence: same rows when the boundary table is
+    # split across many partitions (cover build is per-polygon pure)
+    part7 = partitioned_pip_join(
+        docs, bnd.repartition(7), id_col="region_key", wkt_col="geometry_wkt", res=9
+    )
+    p7 = sorted((r.doc_id, r.region_key) for r in part7.collect())
+    assert p7 == b
