@@ -639,6 +639,15 @@ def q_web_pip_rect_part(spark, sf_dir):
     )
 
 
+def q_grid_dbscan(spark, sf_dir):
+    """Grid-density clustering (DBSCAN-style): dense res-4 cells (>=4 docs)
+    merged over 8-neighbor adjacency; cluster id = min cell id."""
+    from geokitten_spark.operators.cluster import grid_dbscan
+
+    docs = _web_docs(spark, sf_dir).select("lon", "lat")
+    return grid_dbscan(docs, res=4, min_pts=4)
+
+
 def q_web_knn(spark, sf_dir):
     """J4: kRing kNN (k=3, grid res 5, ring 1) over the 'de' docs."""
     from geokitten_spark.operators.knn import knn_join
@@ -714,6 +723,34 @@ def q_dedup_span_coverage(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return span_coverage(docs, shingle_n=8)
+
+
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment from the doc id — a pure
+    map-only expression (no RNG state, resume/replication stable)."""
+    from geokitten_spark.operators.sampling import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("split", split_assign(F.col("doc_id"), _SPLITS))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def q_contamination_check(spark, sf_dir):
+    """Benchmark-contamination scan: 8-gram overlap of every training doc
+    against the held-out eval slice (doc_id % 101 == 0), per language."""
+    from geokitten_spark.operators.dedup import contamination_check
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return contamination_check(docs, shingle_n=8)
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1526,6 +1563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pip_rect": q_web_pip_rect,
         "web_pip_rect_part": q_web_pip_rect_part,
         "web_knn": q_web_knn,
+        "grid_dbscan": q_grid_dbscan,
         "lang_quality": q_lang_quality,
         "quality_repetition": q_quality_repetition,
         "domain_stats": q_domain_stats,
@@ -1533,6 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_span_coverage": q_dedup_span_coverage,
+        "split_assign": q_split_assign,
+        "contamination_check": q_contamination_check,
         "sample_stratified": q_sample_stratified,
         "sample_per_group": q_sample_per_group,
         "fingerprint_rolling": q_fingerprint_rolling,
@@ -1600,6 +1640,7 @@ def oracle_sql() -> dict[str, str]:
     from geokitten_spark.operators.sampling import (
         stratified_sample_sql,
         sample_per_group_sql,
+        split_assign_sql,
     )
     from geokitten_spark.functions.geocode import (
         url_host_sql,
@@ -1617,7 +1658,9 @@ def oracle_sql() -> dict[str, str]:
         ngram_jaccard_sql,
         connected_components_sql,
         span_coverage_sql,
+        contamination_check_sql,
     )
+    from geokitten_spark.operators.cluster import grid_dbscan_sql
     from geokitten_spark import oracles as _ora
 
     cte = _webdocs_cte()
@@ -1970,6 +2013,10 @@ def oracle_sql() -> dict[str, str]:
              AND d.lat > {rect['lat0']} AND d.lat < {rect['lat1']}
             GROUP BY 1
         """,
+        "grid_dbscan": f"""
+            {cte}
+            {grid_dbscan_sql("SELECT lon, lat FROM webdocs", res=4, min_pts=4)}
+        """,
         "web_pip_rect_part": f"""
             {cte}
             SELECT n.n_nationkey AS n_nationkey, COUNT(*) AS n_docs,
@@ -2009,6 +2056,12 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc GROUP BY pred_lang
         """,
         "dedup_span_coverage": span_coverage_sql(shingle_n=8),
+        "split_assign": f"""
+            SELECT lang, {split_assign_sql('doc_id', _SPLITS)} AS split,
+                   COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+            FROM documents GROUP BY 1, 2
+        """,
+        "contamination_check": contamination_check_sql(shingle_n=8),
         "quality_repetition": f"""
             SELECT lang, COUNT(*) AS n_docs,
                    round(CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_words), 6) AS ttr,

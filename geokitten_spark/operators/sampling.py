@@ -32,6 +32,8 @@ __all__ = [
     "stratified_sample_sql",
     "sample_per_group",
     "sample_per_group_sql",
+    "split_assign",
+    "split_assign_sql",
 ]
 
 _BUCKETS = 1_000_000
@@ -56,6 +58,41 @@ def hash_sample(df: DataFrame, key_col: str, fraction: float, *, salt: str = "s"
 def hash_sample_sql(key_expr: str, fraction: float, *, salt: str = "s") -> str:
     """The WHERE-clause twin for DuckDB."""
     return f"{_bucket_sql(key_expr, salt)} < {int(fraction * _BUCKETS)}"
+
+
+def split_assign(
+    key: Column, splits: list[tuple[str, float]], *, salt: str = "split"
+) -> Column:
+    """Deterministic train/val/test split label from a stable key.
+
+    A pure per-row expression (map-only at 10^12 rows; no shuffle, no RNG
+    state): the key hashes into a bucket, consecutive bucket ranges map to
+    the named splits in order. Fractions must sum to 1. Resume-safe and
+    replication-stable: the same row lands in the same split on every
+    run, any cluster size, any partitioning.
+    """
+    assert abs(sum(f for _, f in splits) - 1.0) < 1e-9
+    b = _bucket(key, salt)
+    out = None
+    hi = 0
+    for name, frac in splits[:-1]:
+        hi += int(frac * _BUCKETS)
+        clause = b < hi
+        out = F.when(clause, F.lit(name)) if out is None else out.when(clause, F.lit(name))
+    last = splits[-1][0]
+    return F.lit(last) if out is None else out.otherwise(F.lit(last))
+
+
+def split_assign_sql(
+    key_expr: str, splits: list[tuple[str, float]], *, salt: str = "split"
+) -> str:
+    b = _bucket_sql(key_expr, salt)
+    whens = []
+    hi = 0
+    for name, frac in splits[:-1]:
+        hi += int(frac * _BUCKETS)
+        whens.append(f"WHEN {b} < {hi} THEN '{name}'")
+    return "CASE " + " ".join(whens) + f" ELSE '{splits[-1][0]}' END"
 
 
 def stratified_sample(

@@ -301,3 +301,39 @@ def test_geohash_neighbors_symmetric():
         for n in geohash_neighbors(h):
             assert len(n) == len(h)
             assert h in geohash_neighbors(n), (h, n)
+
+
+def test_grid_dbscan_two_blobs_and_wrap(spark):
+    """Two dense blobs separated by empty cells form two clusters; a
+    sparse cell is dropped; cells adjacent across the antimeridian merge
+    (lon wrap)."""
+    from pyspark.sql import functions as F
+    from geokitten_spark.operators.cluster import grid_dbscan
+    from geokitten_spark.cells.grid import grid_cell
+
+    res, mp = 4, 3
+    # res 4 → 22.5° cells. Blob A: two adjacent cells near (0,0);
+    # blob B: one cell far away; noise: 2 points only; wrap pair: cells at
+    # lon -179 and +179 (ix 0 and 15) same iy.
+    pts = []
+    pts += [(1.0 + 0.1 * i, 1.0) for i in range(3)]        # cell A1
+    pts += [(24.0 + 0.1 * i, 1.0) for i in range(3)]       # cell A2 (east neighbor)
+    pts += [(100.0 + 0.1 * i, -40.0) for i in range(3)]    # blob B
+    pts += [(60.0, 60.0), (60.1, 60.0)]                    # noise (< mp)
+    pts += [(-179.5, 10.0 + 0.01 * i) for i in range(3)]   # wrap west
+    pts += [(179.5, 10.0 + 0.01 * i) for i in range(3)]    # wrap east
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    out = {r["cell_id"]: r for r in grid_dbscan(df, res=res, min_pts=mp).collect()}
+
+    a1 = int(grid_cell([1.0], [1.0], res)[0])
+    a2 = int(grid_cell([24.0], [1.0], res)[0])
+    b = int(grid_cell([100.0], [-40.0], res)[0])
+    noise = int(grid_cell([60.0], [60.0], res)[0])
+    w_w = int(grid_cell([-179.5], [10.0], res)[0])
+    w_e = int(grid_cell([179.5], [10.0], res)[0])
+
+    assert noise not in out                      # below min_pts
+    assert out[a1]["cluster_id"] == out[a2]["cluster_id"] == min(a1, a2)
+    assert out[b]["cluster_id"] == b             # singleton cluster
+    assert out[w_w]["cluster_id"] == out[w_e]["cluster_id"] == min(w_w, w_e)
+    assert out[a1]["n_pts"] == 3

@@ -311,3 +311,29 @@ def test_span_coverage_crafted_corpus(spark):
     assert r["total_shingles"] == 2 + 2 + 9
     assert r["dup_shingles"] == 2          # the shared span, once per doc
     assert r["n_docs_majority_dup"] == 0   # 1 of 2 shingles: not a majority
+
+
+def test_contamination_check_crafted(spark):
+    """Eval doc (id % 101 == 0) donates its 8-gram; the train doc sharing
+    it is flagged, the unique doc is clean, sub-8-word docs are excluded,
+    and eval docs themselves never appear in the rollup."""
+    from geokitten_spark.operators.dedup import contamination_check
+
+    span = " ".join(f"w{i}" for i in range(8))
+    uniq = " ".join(f"u{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (0, span, "en"),                # eval slice
+            (1, f"{span} tail", "en"),      # contaminated: 1 of 2 shingles
+            (2, uniq, "en"),                # clean: 2 shingles, 0 hits
+            (3, "too short", "en"),         # excluded
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = contamination_check(docs, shingle_n=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 2                  # docs 1 and 2 only
+    assert r["total_shingles"] == 2 + 2
+    assert r["hit_shingles"] == 1
+    assert r["n_docs_contaminated"] == 1

@@ -59,3 +59,28 @@ def test_sample_per_group_exact_k_and_deterministic(spark):
     # groups smaller than k keep all rows
     tiny = sample_per_group(_docs(spark, n=4), "doc_id", "lang", 5)
     assert tiny.count() == 4
+
+
+def test_split_assign_deterministic_and_complete(spark):
+    """split_assign: every row gets exactly one label, proportions land
+    near the requested fractions, assignment is identical across
+    partitionings and runs (pure function of the key)."""
+    from geokitten_spark.operators.sampling import split_assign
+
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    df = spark.range(0, 5000).select(F.col("id").alias("k"))
+    out = df.select("k", split_assign(F.col("k"), splits).alias("s"))
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 5000
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+
+    a = {r["k"]: r["s"] for r in out.collect()}
+    b = {
+        r["k"]: r["s"]
+        for r in df.repartition(13)
+        .select("k", split_assign(F.col("k"), splits).alias("s"))
+        .collect()
+    }
+    assert a == b
