@@ -753,6 +753,45 @@ def q_contamination_check(spark, sf_dir):
     return contamination_check(docs, shingle_n=8)
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-5 characteristic terms per language by tf·idf with a LINEAR
+    idf (tf * N / df — no transcendental, so the score is one exact
+    integer product and one IEEE division, bit-identical in both
+    engines). Shapes: one explode, two hash aggregates (term frequency
+    per (lang, word); document frequency per word over per-doc distinct
+    words), a broadcast-able df join, and a per-lang WindowGroupLimit
+    top-k — every shuffle key is a word or a lang."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    n_docs = docs.count()
+    tf = (
+        docs.select("lang", F.explode(words).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = (
+        docs.select("doc_id", F.explode(F.array_distinct(words)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("w").asc()
+    )
+    return (
+        tf.join(df_, "w")
+        .withColumn(
+            "score",
+            F.round((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df"), 6),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "w", F.col("tf").cast("long").alias("tf"),
+                F.col("df").cast("long").alias("df"), "score", "rank")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     """Exact/near dedup by canonical 40-char-prefix fingerprint: dup groups."""
     from geokitten_spark.functions.text import fingerprint_col
@@ -1571,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_span_coverage": q_dedup_span_coverage,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "split_assign": q_split_assign,
         "contamination_check": q_contamination_check,
         "sample_stratified": q_sample_stratified,
@@ -2056,6 +2096,35 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc GROUP BY pred_lang
         """,
         "dedup_span_coverage": span_coverage_sql(shingle_n=8),
+        "tfidf_top_terms": """
+            WITH ws AS (
+                SELECT doc_id, lang,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents
+            ),
+            tf AS (
+                SELECT lang, w, COUNT(*) AS tf
+                FROM (SELECT lang, unnest(w) AS w FROM ws) GROUP BY 1, 2
+            ),
+            df AS (
+                SELECT w, COUNT(*) AS df
+                FROM (SELECT doc_id, unnest(list_distinct(w)) AS w FROM ws)
+                GROUP BY 1
+            ),
+            n AS (SELECT COUNT(*) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.lang, tf.w,
+                       CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+                       round(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df, 6) AS score
+                FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+            )
+            SELECT lang, w, tf, df, score,
+                   CAST(rank AS INT) AS rank
+            FROM (SELECT *, ROW_NUMBER() OVER
+                      (PARTITION BY lang ORDER BY score DESC, w ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 5
+        """,
         "split_assign": f"""
             SELECT lang, {split_assign_sql('doc_id', _SPLITS)} AS split,
                    COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
