@@ -648,6 +648,46 @@ def q_grid_dbscan(spark, sf_dir):
     return grid_dbscan(docs, res=4, min_pts=4)
 
 
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) file-layout key: per res-5 z-quad (the 6 high
+    interleaved bits of the res-8 morton code), doc count + the exact z
+    range — whose width == quad size proves z-sorted rows land in
+    contiguous runs (the min/max file-statistics pruning story,
+    DEPLOY.md). Pure integer expressions shared verbatim with DuckDB."""
+    from geokitten_spark.cells.grid import morton_sql
+
+    res, drop = 8, 3
+    n = 1 << res
+    docs = _web_docs(spark, sf_dir)
+    ix = F.least(
+        F.lit(n - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col("lon") + 180.0) / 360.0 * n).cast("long")
+        ),
+    )
+    iy = F.least(
+        F.lit(n - 1),
+        F.greatest(
+            F.lit(0), F.floor((F.col("lat") + 90.0) / 180.0 * n).cast("long")
+        ),
+    )
+    proj = docs.select(ix.alias("ix"), iy.alias("iy"))
+    z = F.expr(morton_sql("ix", "iy", res))
+    quad = 1 << (2 * drop)
+    return (
+        proj.withColumn("z", z)
+        .withColumn("zquad", (F.col("z") - F.col("z") % quad) / quad)
+        .withColumn("zquad", F.col("zquad").cast("long"))
+        .groupBy("zquad")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("z").alias("n_cells"),
+            F.min("z").cast("long").alias("z_min"),
+            F.max("z").cast("long").alias("z_max"),
+        )
+    )
+
+
 def q_web_knn(spark, sf_dir):
     """J4: kRing kNN (k=3, grid res 5, ring 1) over the 'de' docs."""
     from geokitten_spark.operators.knn import knn_join
@@ -1603,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pip_rect_part": q_web_pip_rect_part,
         "web_knn": q_web_knn,
         "grid_dbscan": q_grid_dbscan,
+        "zorder_layout": q_zorder_layout,
         "lang_quality": q_lang_quality,
         "quality_repetition": q_quality_repetition,
         "domain_stats": q_domain_stats,
@@ -1701,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
         contamination_check_sql,
     )
     from geokitten_spark.operators.cluster import grid_dbscan_sql
+    from geokitten_spark.cells.grid import morton_sql
     from geokitten_spark import oracles as _ora
 
     cte = _webdocs_cte()
@@ -2056,6 +2098,23 @@ def oracle_sql() -> dict[str, str]:
         "grid_dbscan": f"""
             {cte}
             {grid_dbscan_sql("SELECT lon, lat FROM webdocs", res=4, min_pts=4)}
+        """,
+        "zorder_layout": f"""
+            {cte},
+            proj AS (
+                SELECT LEAST(255, GREATEST(0,
+                           CAST(FLOOR((lon + 180.0) / 360.0 * 256) AS BIGINT))) AS ix,
+                       LEAST(255, GREATEST(0,
+                           CAST(FLOOR((lat + 90.0) / 180.0 * 256) AS BIGINT))) AS iy
+                FROM webdocs
+            ),
+            zz AS (SELECT {morton_sql('ix', 'iy', 8)} AS z FROM proj)
+            SELECT CAST((z - z % 64) / 64 AS BIGINT) AS zquad,
+                   COUNT(*) AS n_docs,
+                   CAST(COUNT(DISTINCT z) AS BIGINT) AS n_cells,
+                   CAST(MIN(z) AS BIGINT) AS z_min,
+                   CAST(MAX(z) AS BIGINT) AS z_max
+            FROM zz GROUP BY 1
         """,
         "web_pip_rect_part": f"""
             {cte}

@@ -20,6 +20,8 @@ __all__ = [
     "grid_decode",
     "grid_decode_sql",
     "grid_kring",
+    "morton_code",
+    "morton_sql",
     "RES_SHIFT",
     "X_SHIFT",
 ]
@@ -111,3 +113,37 @@ def grid_kring(cell_id, k: int = 1, wrap_lon: bool = True):
             out[:, col] = (res << RES_SHIFT) | (nx << X_SHIFT) | ny
             col += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) linearization — spatial file-layout clustering
+# ---------------------------------------------------------------------------
+# Sorting rows by the Morton code of their cell clusters spatially-near
+# rows into the same parquet files, so per-file min/max cell statistics
+# prune range scans (DEPLOY.md "file sizing"). The defining property —
+# morton(ix, iy) >> 2 == morton(ix >> 1, iy >> 1) — means a z-prefix of
+# 2k bits IS the res-k ancestor quad: hierarchical pruning for free.
+
+def morton_code(ix, iy, res: int):
+    """Bit-interleaved (iy even bits, ix odd bits) Morton code of grid
+    coordinates at resolution ``res`` (vectorized numpy)."""
+    ix = np.asarray(ix, dtype=np.int64)
+    iy = np.asarray(iy, dtype=np.int64)
+    z = np.zeros_like(ix)
+    for b in range(res):
+        z |= ((iy >> b) & 1) << (2 * b)
+        z |= ((ix >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def morton_sql(ix_expr: str, iy_expr: str, res: int) -> str:
+    """The identical interleave as portable SQL (exact power-of-two
+    integer division via ``_idiv_pow2_sql`` — runs verbatim in Spark SQL
+    and DuckDB)."""
+    terms = []
+    for b in range(res):
+        yb = _idiv_pow2_sql(iy_expr, 1 << b)
+        xb = _idiv_pow2_sql(ix_expr, 1 << b)
+        terms.append(f"(({yb}) % 2) * {1 << (2 * b)}")
+        terms.append(f"(({xb}) % 2) * {1 << (2 * b + 1)}")
+    return "(" + " + ".join(terms) + ")"

@@ -337,3 +337,27 @@ def test_grid_dbscan_two_blobs_and_wrap(spark):
     assert out[b]["cluster_id"] == b             # singleton cluster
     assert out[w_w]["cluster_id"] == out[w_e]["cluster_id"] == min(w_w, w_e)
     assert out[a1]["n_pts"] == 3
+
+
+def test_morton_prefix_property_and_sql_parity():
+    """morton(ix,iy) >> 2 == morton(ix>>1, iy>>1): a 2k-bit z-prefix IS
+    the res-k ancestor quad; DuckDB evaluation of morton_sql is
+    bit-identical to the numpy kernel."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from geokitten_spark.cells.grid import morton_code, morton_sql
+
+    rng = np.random.default_rng(11)
+    ix = rng.integers(0, 1 << 12, 1000)
+    iy = rng.integers(0, 1 << 12, 1000)
+    z = morton_code(ix, iy, 12)
+    assert np.array_equal(z >> 2, morton_code(ix >> 1, iy >> 1, 11))
+    assert np.array_equal(z >> 6, morton_code(ix >> 3, iy >> 3, 9))
+    # z-order is a bijection on the grid square
+    assert len(np.unique(morton_code(*np.meshgrid(np.arange(16), np.arange(16)), 4))) == 256
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"ix": ix, "iy": iy}))
+    got = con.sql(f"SELECT {morton_sql('ix', 'iy', 12)} AS z FROM t").df()["z"]
+    assert np.array_equal(got.to_numpy(), z)
