@@ -648,6 +648,18 @@ def q_grid_dbscan(spark, sf_dir):
     return grid_dbscan(docs, res=4, min_pts=4)
 
 
+def q_adaptive_tiles(spark, sf_dir):
+    """Density-adaptive quadtree tiling: split cells with >4 docs down to
+    res 7, keep sparse cells coarse (base res 2). Leaf counts conserve
+    the corpus total — every doc lands in exactly one leaf."""
+    from geokitten_spark.operators.tile import adaptive_tiles
+
+    docs = _web_docs(spark, sf_dir)
+    return adaptive_tiles(
+        docs, "lon", "lat", base_res=2, max_res=7, threshold=4
+    )
+
+
 def q_zorder_layout(spark, sf_dir):
     """Z-order (Morton) file-layout key: per res-5 z-quad (the 6 high
     interleaved bits of the res-8 morton code), doc count + the exact z
@@ -1644,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_knn": q_web_knn,
         "grid_dbscan": q_grid_dbscan,
         "zorder_layout": q_zorder_layout,
+        "adaptive_tiles": q_adaptive_tiles,
         "lang_quality": q_lang_quality,
         "quality_repetition": q_quality_repetition,
         "domain_stats": q_domain_stats,
@@ -1743,6 +1756,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from geokitten_spark.operators.cluster import grid_dbscan_sql
     from geokitten_spark.cells.grid import morton_sql
+    from geokitten_spark.operators.tile import adaptive_tiles_sql
     from geokitten_spark import oracles as _ora
 
     cte = _webdocs_cte()
@@ -2098,6 +2112,12 @@ def oracle_sql() -> dict[str, str]:
         "grid_dbscan": f"""
             {cte}
             {grid_dbscan_sql("SELECT lon, lat FROM webdocs", res=4, min_pts=4)}
+        """,
+        "adaptive_tiles": f"""
+            {cte}
+            SELECT * FROM (
+                {adaptive_tiles_sql("SELECT lon, lat FROM webdocs", base_res=2, max_res=7, threshold=4)}
+            ) t
         """,
         "zorder_layout": f"""
             {cte},

@@ -97,6 +97,130 @@ def tile_rollup(
     )
 
 
+def adaptive_tiles(
+    docs: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    *,
+    base_res: int,
+    max_res: int,
+    threshold: int,
+) -> DataFrame:
+    """Density-adaptive quadtree tiling: a cell SPLITS into its 4 children
+    while it holds more than ``threshold`` docs and is coarser than
+    ``max_res``; the output is the leaf tiling (res, cell_id, n_docs) —
+    coarse tiles over sparse regions, fine tiles over hotspots. The
+    variable-resolution map/serving layout every dense-city corpus needs.
+
+    Scale shape: docs are aggregated ONCE at ``max_res`` (the only
+    doc-sized shuffle — same cost as ``tile_rollup``); every coarser
+    level's counts AND the split/keep decisions run on the tiny tile
+    tables (semi/anti joins on parent cell ids). Deterministic: the leaf
+    set is a pure function of the counts.
+    """
+    if not (base_res <= max_res):
+        raise ValueError("base_res must be <= max_res")
+    finest = (
+        docs.select(
+            grid_cell_col(F.col(lon_col), F.col(lat_col), max_res).alias("cell_id")
+        )
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    # counts per level, finest -> coarsest, each derived from the previous
+    counts = {max_res: finest}
+    for r in range(max_res - 1, base_res - 1, -1):
+        counts[r] = (
+            counts[r + 1]
+            .groupBy(grid_parent_col(F.col("cell_id"), r + 1, r).alias("cell_id"))
+            .agg(F.sum("n_docs").alias("n_docs"))
+        )
+    out = []
+    split_prev = None  # cells that split at the previous (coarser) level
+    for r in range(base_res, max_res + 1):
+        t = counts[r]
+        if split_prev is not None:
+            # only children of split cells are live at this level
+            t = t.withColumn(
+                "__parent", grid_parent_col(F.col("cell_id"), r, r - 1)
+            ).join(
+                split_prev.select(F.col("cell_id").alias("__parent")),
+                on="__parent",
+                how="left_semi",
+            )
+        splits = F.col("n_docs") > threshold
+        if r < max_res:
+            out.append(
+                t.filter(~splits).select(
+                    F.lit(r).alias("res"), "cell_id", "n_docs"
+                )
+            )
+            split_prev = t.filter(splits)
+        else:
+            out.append(t.select(F.lit(r).alias("res"), "cell_id", "n_docs"))
+    result = out[0]
+    for df in out[1:]:
+        result = result.unionByName(df)
+    return result
+
+
+def adaptive_tiles_sql(
+    points_query: str, *, base_res: int, max_res: int, threshold: int
+) -> str:
+    """DuckDB twin of :func:`adaptive_tiles` over a (lon, lat) query."""
+    from ..cells.grid import grid_cell_sql
+
+    parts = [
+        f"c{max_res} AS (SELECT {grid_cell_sql('lon', 'lat', max_res)} AS cell_id, "
+        f"COUNT(*) AS n_docs FROM ({points_query}) GROUP BY 1)"
+    ]
+    for r in range(max_res - 1, base_res - 1, -1):
+        parent = _parent_sql("cell_id", r + 1, r)
+        parts.append(
+            f"c{r} AS (SELECT {parent} AS cell_id, SUM(n_docs) AS n_docs "
+            f"FROM c{r + 1} GROUP BY 1)"
+        )
+    live = [f"l{base_res} AS (SELECT * FROM c{base_res})"]
+    sel = []
+    for r in range(base_res, max_res + 1):
+        if r < max_res:
+            sel.append(
+                f"SELECT CAST({r} AS INT) AS res, cell_id, "
+                f"CAST(n_docs AS BIGINT) AS n_docs FROM l{r} "
+                f"WHERE n_docs <= {threshold}"
+            )
+            parent = _parent_sql("c.cell_id", r + 1, r)
+            live.append(
+                f"l{r + 1} AS (SELECT c.* FROM c{r + 1} c "
+                f"WHERE {parent} IN "
+                f"(SELECT cell_id FROM l{r} WHERE n_docs > {threshold}))"
+            )
+        else:
+            sel.append(
+                f"SELECT CAST({r} AS INT) AS res, cell_id, "
+                f"CAST(n_docs AS BIGINT) AS n_docs FROM l{r}"
+            )
+    return (
+        "WITH " + ",\n".join(parts + live) + "\n" + " UNION ALL ".join(sel)
+    )
+
+
+def _parent_sql(cell_expr: str, child_res: int, parent_res: int) -> str:
+    """Arithmetic parent of a packed grid id, portable SQL (exact pow-2
+    integer division)."""
+    from ..cells.grid import _idiv_pow2_sql
+
+    shift = child_res - parent_res
+    ix = _idiv_pow2_sql(f"(({cell_expr}) % {1 << RES_SHIFT})", 1 << X_SHIFT)
+    iy = f"(({cell_expr}) % {1 << X_SHIFT})"
+    pix = _idiv_pow2_sql(ix, 1 << shift)
+    piy = _idiv_pow2_sql(iy, 1 << shift)
+    return (
+        f"(CAST({parent_res} AS BIGINT) * {1 << RES_SHIFT} "
+        f"+ ({pix}) * {1 << X_SHIFT} + ({piy}))"
+    )
+
+
 def cell_cover_df(spark, boundaries_pdf: pd.DataFrame, id_col: str, wkt_col: str, level: int, use_s2: bool = True) -> DataFrame:
     """Polygon → covering-cell table (id, cell_id): the small side of the
     tiling join, computed driver-side (boundary sets are small) and usable

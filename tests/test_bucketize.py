@@ -104,3 +104,30 @@ def test_raster_to_vector_to_geojson_sink(spark, tmp_path):
     }
     want = {str(r["cell_id"]): r["n_docs"] for _, r in pdf.iterrows()}
     assert got == want
+
+
+def test_adaptive_tiles_conservation_and_leaf_purity(spark):
+    """Adaptive quadtree: leaf counts conserve the total; no leaf exceeds
+    the threshold unless it is at max_res; no leaf is a descendant of
+    another leaf (the tiling is a partition of occupied space)."""
+    from pyspark.sql import functions as F
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.operators.tile import adaptive_tiles
+    from geokitten_spark.cells.grid import grid_decode
+    from tests.conftest import SF_SMOKE
+
+    docs = web_documents(spark, SF_SMOKE)
+    n = docs.count()
+    leaves = adaptive_tiles(
+        docs, "lon", "lat", base_res=2, max_res=7, threshold=4
+    ).collect()
+    assert sum(r["n_docs"] for r in leaves) == n
+    assert all(r["n_docs"] <= 4 or r["res"] == 7 for r in leaves)
+    # descendant check: ancestor (res, ix>>d, iy>>d) of any leaf must not
+    # itself be a leaf
+    key = {(r["res"], *[int(v) for v in grid_decode(r["cell_id"])[1:]]) for r in leaves}
+    for r in leaves:
+        res, ix, iy = (int(v) for v in grid_decode(r["cell_id"]))
+        for anc in range(2, res):
+            d = res - anc
+            assert (anc, ix >> d, iy >> d) not in key
