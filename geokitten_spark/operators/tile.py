@@ -117,6 +117,13 @@ def adaptive_tiles(
     level's counts AND the split/keep decisions run on the tiny tile
     tables (semi/anti joins on parent cell ids). Deterministic: the leaf
     set is a pure function of the counts.
+
+    Note: the level-chained semi-joins make the final union's generated
+    code exceed the JVM 64KB method limit, so Spark falls back to
+    interpreted evaluation FOR THOSE STAGES — they only touch
+    #tiles-sized tables (thousands of rows), so the fallback is
+    harmless; the one doc-sized stage (the finest aggregate) stays in
+    whole-stage codegen.
     """
     if not (base_res <= max_res):
         raise ValueError("base_res must be <= max_res")
