@@ -347,6 +347,73 @@ def q_tpch_q22_dormant(spark, sf_dir):
     )
 
 
+def q_tpch_q7_volume(spark, sf_dir):
+    """Cross-nation trade volume (TPC-H Q7 shape): customer nation x
+    supplier nation x ship year, for one ordered nation pair. Two
+    broadcast dims, one fact shuffle, year() derived column."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+    )
+    # exact-integer revenue: price cents x (100 - discount points) sums in
+    # BIGINT, so the per-group total is order-independent — a plain double
+    # SUM flipped round(,2) at .005 boundaries in 4 of 2098 groups
+    # depending on partial-aggregation order
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return j.groupBy(
+        "cust_nation", "supp_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(F.sum(cents).cast("double") / 10000.0, 2).alias("volume"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q_tpch_q20_nested_agg(spark, sf_dir):
+    """Nested-aggregate semi-join (TPC-H Q20 shape): suppliers who shipped
+    more than 2x the cross-supplier average quantity of some STANDARD
+    part. l_quantity is integer-valued, so both aggregate levels are
+    exact and the threshold compare is engine-portable."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    qty = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    avg_per_part = qty.groupBy("l_partkey").agg(F.avg("qty").alias("avg_qty"))
+    heavy = (
+        qty.join(avg_per_part, "l_partkey")
+        .filter(F.col("qty") > 2 * F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_window_lag_delta(spark, sf_dir):
     """Window-frame showcase: per-user event stream ordered by (ts,
     event_id) — LAG delta and a 3-row moving average, folded to a per-type
@@ -1635,6 +1702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q14_promo_share": q_tpch_q14_promo_share,
         "tpch_q19_or_pushdown": q_tpch_q19_or_pushdown,
         "tpch_q4_exists": q_tpch_q4_exists,
+        "tpch_q7_volume": q_tpch_q7_volume,
+        "tpch_q20_nested_agg": q_tpch_q20_nested_agg,
         "tpch_q10_returns": q_tpch_q10_returns,
         "tpch_q16_supplier_cnt": q_tpch_q16_supplier_cnt,
         "tpch_q22_dormant": q_tpch_q22_dormant,
@@ -1904,6 +1973,38 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
             GROUP BY o_orderpriority
+        """,
+        "tpch_q7_volume": """
+            SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+                   CAST(year(l_shipdate) AS INT) AS l_year,
+                   round(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         AS DOUBLE) / 10000.0, 2) AS volume,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE n1.n_name < n2.n_name
+            GROUP BY 1, 2, 3
+        """,
+        "tpch_q20_nested_agg": """
+            WITH qty AS (
+                SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'STANDARD'
+                GROUP BY 1, 2
+            ),
+            avg_q AS (SELECT l_partkey, AVG(qty) AS avg_qty FROM qty GROUP BY 1)
+            SELECT s_suppkey, s_name
+            FROM supplier
+            WHERE s_suppkey IN (
+                SELECT DISTINCT q.l_suppkey
+                FROM qty q JOIN avg_q a ON q.l_partkey = a.l_partkey
+                WHERE q.qty > 2 * a.avg_qty)
+            ORDER BY s_suppkey
         """,
         "tpch_q10_returns": """
             SELECT c_custkey, c_name, n_name,

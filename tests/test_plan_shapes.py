@@ -1,0 +1,77 @@
+"""Plan-shape regression fence: the shuffle-count claims made in the
+operator docstrings (and graded at 100 TB) must hold in the actual
+physical plans. Counts are upper bounds — a refactor that ADDS an
+exchange fails loudly; AQE coalescing below the bound is fine.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from geokitten_spark.fixtures import web_documents
+from tests.conftest import SF_SMOKE
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_exchanges(df) -> int:
+    # count shuffle exchanges only (not broadcasts, not reused ones)
+    plan = _physical(df)
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+
+
+def test_tile_rollup_single_doc_shuffle(spark):
+    from geokitten_spark.operators.tile import tile_rollup
+
+    docs = web_documents(spark, SF_SMOKE)
+    df = tile_rollup(docs, "lon", "lat", [7, 5, 3])
+    # one shuffle for the finest aggregate + one for the rollup regroup of
+    # the TILE table (doc-sized data crosses the wire exactly once)
+    assert _n_exchanges(df) <= 2
+
+
+def test_span_coverage_shuffle_bound(spark):
+    from geokitten_spark.operators.dedup import span_coverage
+
+    docs = web_documents(spark, SF_SMOKE).select("doc_id", "lang", "text")
+    df = span_coverage(docs, shingle_n=8)
+    # df-count groupBy, join back, per-doc groupBy, per-lang rollup
+    assert _n_exchanges(df) <= 4
+
+
+def test_quality_repetition_map_only_before_rollup(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["quality_repetition"](spark, SF_SMOKE)
+    # per-doc signals are array expressions: the ONLY shuffle is the
+    # per-lang rollup
+    assert _n_exchanges(df) <= 1
+
+
+def test_partitioned_pip_no_driver_broadcast_and_bounded_exchanges(spark):
+    from geokitten_spark.fixtures import admin_rects_pdf
+    from geokitten_spark.operators.pip_join import partitioned_pip_join
+
+    docs = web_documents(spark, SF_SMOKE).select("doc_id", "lon", "lat")
+    bnd = spark.createDataFrame(admin_rects_pdf())
+    df = partitioned_pip_join(
+        docs, bnd, id_col="n_nationkey", wkt_col="geometry_wkt", res=7
+    )
+    plan = _physical(df)
+    # the cover is built by MapInPandas in executors — never collected
+    assert "MapInPandas" in plan
+    # docs side may shuffle at most once per branch (AQE broadcasts the
+    # tiny cover at this scale → often zero)
+    assert _n_exchanges(df) <= 2
+
+
+def test_split_assign_is_pure_projection(spark):
+    from geokitten_spark.operators.sampling import split_assign
+
+    docs = web_documents(spark, SF_SMOKE)
+    df = docs.select(
+        split_assign(F.col("doc_id"), [("a", 0.5), ("b", 0.5)]).alias("s")
+    )
+    assert _n_exchanges(df) == 0
