@@ -727,6 +727,27 @@ def q_adaptive_tiles(spark, sf_dir):
     )
 
 
+def q_tile_percentiles(spark, sf_dir):
+    """Per-tile EXACT percentiles (p50/p90 of doc length per res-4 cell):
+    Spark's `percentile` and DuckDB's `quantile_cont` share the same
+    linear-interpolation definition, and the inputs are integers, so the
+    values agree bit-for-bit. One partial+final aggregate shuffle."""
+    from geokitten_spark.functions.cells_udfs import grid_cell_col
+
+    docs = _web_docs(spark, sf_dir)
+    cell = grid_cell_col(F.col("lon"), F.col("lat"), 4)
+    return (
+        docs.select(cell.alias("cell_id"), F.length("text").alias("n_chars"))
+        .groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+    )
+
+
 def q_zorder_layout(spark, sf_dir):
     """Z-order (Morton) file-layout key: per res-5 z-quad (the 6 high
     interleaved bits of the res-8 morton code), doc count + the exact z
@@ -1726,6 +1747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_dbscan": q_grid_dbscan,
         "zorder_layout": q_zorder_layout,
         "adaptive_tiles": q_adaptive_tiles,
+        "tile_percentiles": q_tile_percentiles,
         "lang_quality": q_lang_quality,
         "quality_repetition": q_quality_repetition,
         "domain_stats": q_domain_stats,
@@ -2213,6 +2235,15 @@ def oracle_sql() -> dict[str, str]:
         "grid_dbscan": f"""
             {cte}
             {grid_dbscan_sql("SELECT lon, lat FROM webdocs", res=4, min_pts=4)}
+        """,
+        "tile_percentiles": f"""
+            {cte}
+            SELECT {grid_cell_sql('lon', 'lat', 4)} AS cell_id,
+                   COUNT(*) AS n_docs,
+                   round(quantile_cont(length(text), 0.5), 4) AS p50_chars,
+                   round(quantile_cont(length(text), 0.9), 4) AS p90_chars,
+                   CAST(MAX(length(text)) AS BIGINT) AS max_chars
+            FROM webdocs GROUP BY 1
         """,
         "adaptive_tiles": f"""
             {cte}
