@@ -1595,6 +1595,60 @@ def q_stream_geo_tiles(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_quality_gate(spark, sf_dir):
+    """Streaming twin of the repetition quality rollup: the per-doc
+    signals are stateless array expressions (the same `repetition_cols`
+    the batch query uses), so the quality gate streams as a map-only
+    stage; only the per-lang rollup holds state (complete mode). Drained
+    availableNow over a 2-file source, the result must equal the batch
+    aggregate — the SAME oracle as `quality_repetition`."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from geokitten_spark.functions.text import repetition_cols
+    from geokitten_spark.streaming import run_to_memory
+
+    src = os.path.join(tempfile.gettempdir(), f"gk_qual_{uuid.uuid4().hex[:8]}")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    r = repetition_cols(F.col("text"))
+    per_doc = stream.select("lang", *[v.alias(k) for k, v in r.items()])
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_distinct").cast("double") / F.sum("n_words"), 6).alias("ttr"),
+        F.round(
+            F.sum("top_unigram").cast("double") / F.sum("n_words"), 6
+        ).alias("top_unigram_share"),
+        F.round(
+            F.sum("top_bigram").cast("double") / F.sum("n_bigrams"), 6
+        ).alias("top_bigram_share"),
+        F.max("max_run").cast("long").alias("max_run"),
+        F.sum(F.col("rep_flagged").cast("long")).cast("long").alias("n_flagged"),
+    )
+    name = f"q_qual_{uuid.uuid4().hex[:8]}"
+    run_to_memory(agg, name, os.path.join(src, "_ckpt"), output_mode="complete")
+    return spark.table(name)
+
+
 def q_stream_stateful(spark, sf_dir):
     """Custom stateful streaming operator (applyInPandasWithState): running
     per-user event count + last ts, drained with availableNow over a
@@ -1792,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join": q_stream_interval_join,
         "stream_geo_tiles": q_stream_geo_tiles,
         "stream_stateful": q_stream_stateful,
+        "stream_quality_gate": q_stream_quality_gate,
         "geo_aggregates": q_geo_aggregates,
         "simplify_tiles": q_simplify_tiles,
         "hull_compactness": q_hull_compactness,
@@ -2342,6 +2397,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1, 2
         """,
         "contamination_check": contamination_check_sql(shingle_n=8),
+        # stream twin shares the batch oracle verbatim (stream == batch)
+        "stream_quality_gate": f"""
+            SELECT lang, COUNT(*) AS n_docs,
+                   round(CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_words), 6) AS ttr,
+                   round(CAST(SUM(top_unigram) AS DOUBLE) / SUM(n_words), 6)
+                       AS top_unigram_share,
+                   round(CAST(SUM(top_bigram) AS DOUBLE) / SUM(n_bigrams), 6)
+                       AS top_bigram_share,
+                   CAST(MAX(max_run) AS BIGINT) AS max_run,
+                   CAST(COUNT(*) FILTER (rep_flagged) AS BIGINT) AS n_flagged
+            FROM ({repetition_percell_sql()}) pd
+            GROUP BY lang
+        """,
         "quality_repetition": f"""
             SELECT lang, COUNT(*) AS n_docs,
                    round(CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_words), 6) AS ttr,
