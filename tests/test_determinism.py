@@ -107,6 +107,11 @@ def test_new_query_results_shuffle_partition_independent(spark):
         "corpus_filter", "pii_redact", "geohash_rollup", "simplify_tiles",
         "hull_compactness", "ann_pq_topk", "window_lag_delta",
         "tpch_q17_scalar_subquery",
+        # continuation-session additions: fold-based signals, df joins,
+        # component labels, top-k windows, quadtree splits
+        "quality_repetition", "dedup_span_coverage", "contamination_check",
+        "grid_dbscan", "tfidf_top_terms", "adaptive_tiles",
+        "web_pip_rect_part", "tpch_q10_returns",
     ]
     old = spark.conf.get("spark.sql.shuffle.partitions")
     results = {}
