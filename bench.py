@@ -669,12 +669,18 @@ def main():
                 if ratio > 1.5 and result["queries"][q] - r1[q] > 0.5
             )
             mc = result.get("cpu_multicore_slowdown", 1.0)
-            if result["regressions_vs_r1"] and mc > 1.5:
+            ctl = result.get("cpu_control_sec", 0.0)
+            # quiet-host reference for the single-thread md5 control is
+            # ~1.4-1.5s; a steal burst inflates the control itself, which
+            # is the cleanest cross-round normalizer (uniform per-query
+            # inflation with an inflated control == host, not code)
+            noisy = mc > 1.5 or ctl > 2.0
+            if result["regressions_vs_r1"] and noisy:
                 result["regressions_note"] = (
-                    f"multicore slowdown {mc}x measured in-run (hypervisor "
-                    "steal): per-query ratios are inflated by host noise, "
-                    "not code; compare against cpu_multicore_slowdown "
-                    "across rounds"
+                    f"host noise measured in-run (multicore slowdown {mc}x, "
+                    f"single-thread control {ctl}s vs ~1.45s quiet): "
+                    "per-query ratios are inflated by hypervisor steal, not "
+                    "code; normalize by cpu_control_sec across rounds"
                 )
         except Exception:
             pass
