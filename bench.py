@@ -483,11 +483,11 @@ def _squery_leg(cpus: int, reps: int = 1) -> dict[str, list]:
             bench_boundaries_pdf()[["region_key", "geometry_wkt"]]
         )
 
-        # the JVM-only ops (kNN, rollup) finish in ~1s at the text-sized
-        # input — pure overhead, no scaling signal — so they get a bigger
-        # points-only frame: every doc point jitter-replicated 25x
-        # (deterministic arithmetic of (doc_id, rep); generation is codegen
-        # and scales with the job)
+        # the JVM-only ops finish in ~1s at the text-sized input — pure
+        # overhead, no scaling signal — so each leg sizes its own frame:
+        # tile_rollup uses jittered(1000), the PIP leg jittered(25), and
+        # knn_join the base points frame (deterministic arithmetic of
+        # (doc_id, rep); generation is codegen and scales with the job)
         def jittered(factor):
             reps_arr = F.sequence(F.lit(0), F.lit(factor - 1))
             return points.select(

@@ -399,6 +399,9 @@ def word_bigrams_sql(words_expr: str) -> str:
 REP_TOP_UNIGRAM_MAX = 0.14
 REP_TTR_MIN = 0.32
 REP_MAX_RUN = 3
+# Gopher-style ratio filters only apply above a word-count floor: a
+# 1-word doc has top_unigram/n_words == ttr == 1.0 and would always flag.
+REP_MIN_WORDS = 20
 
 
 def repetition_cols(text: Column) -> dict:
@@ -414,7 +417,7 @@ def repetition_cols(text: Column) -> dict:
     top_uni = longest_equal_run(F.array_sort(ws))
     top_big = longest_equal_run(F.array_sort(bg))
     max_run = longest_equal_run(ws)
-    flagged = (n > 0) & (
+    flagged = (n >= REP_MIN_WORDS) & (
         (top_uni.cast("double") / n > REP_TOP_UNIGRAM_MAX)
         | (n_distinct.cast("double") / n < REP_TTR_MIN)
         | (max_run >= REP_MAX_RUN)
@@ -475,7 +478,7 @@ def repetition_percell_sql() -> str:
             LEFT JOIN big b ON r.doc_id = b.doc_id
         )
         SELECT *,
-               (n_words > 0 AND (
+               (n_words >= {REP_MIN_WORDS} AND (
                     CAST(top_unigram AS DOUBLE) / n_words > {REP_TOP_UNIGRAM_MAX}
                     OR CAST(n_distinct AS DOUBLE) / n_words < {REP_TTR_MIN}
                     OR max_run >= {REP_MAX_RUN})) AS rep_flagged

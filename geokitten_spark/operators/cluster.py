@@ -42,6 +42,7 @@ def grid_dbscan(
     lat_col: str = "lat",
     res: int = 6,
     min_pts: int = 5,
+    max_iters: int = 25,
 ) -> DataFrame:
     """Cluster dense grid cells; returns (cell_id, n_pts, cluster_id).
 
@@ -49,6 +50,12 @@ def grid_dbscan(
     kRing-1 of each other (8-neighborhood, lon wraps, lat clamps) share a
     cluster; ``cluster_id`` is the minimum cell id of the component (a
     singleton dense cell is its own cluster).
+
+    ``max_iters`` bounds the label-propagation rounds; convergence needs
+    O(component diameter) rounds, and spatial adjacency graphs can hold
+    long thin components (corridors/coastlines), so the propagation now
+    RAISES instead of returning truncated labels when the budget is
+    exhausted — raise ``max_iters`` for continent-spanning dense regions.
     """
     cells = (
         points.groupBy(
@@ -64,7 +71,7 @@ def grid_dbscan(
     edges = nb.join(
         cells.select(F.col("cell_id").alias("nb")), on="nb"
     ).select(F.col("cell_id").alias("doc_a"), F.col("nb").alias("doc_b"))
-    comp = connected_components(edges)
+    comp = connected_components(edges, max_iters=max_iters)
     return cells.join(
         comp, cells.cell_id == comp.doc_id, "left"
     ).select(

@@ -707,6 +707,7 @@ def connected_components(
     ).unionByName(pairs.select(F.col(b_col).alias("id"), F.col(a_col).alias("nb")))
     edges = sym.distinct().localCheckpoint()
     lab = edges.select("id").distinct().withColumn("comp", F.col("id"))
+    changed = 0
     for _ in range(max_iters):
         nbr = edges.join(
             lab.select(F.col("id").alias("nb"), F.col("comp")), on="nb"
@@ -722,6 +723,15 @@ def connected_components(
         lab = new_lab
         if changed == 0:
             break
+    if changed != 0:
+        # Long thin components (dense corridors/coastlines in grid_dbscan)
+        # can exceed the iteration budget; a silent exit would return
+        # labels that look valid but split one component into several.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} "
+            f"iterations ({changed} labels still improving); raise "
+            "max_iters or pre-contract the graph"
+        )
     return lab.select(F.col("id").alias("doc_id"), F.col("comp").alias("cluster_id"))
 
 

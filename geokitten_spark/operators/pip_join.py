@@ -531,7 +531,6 @@ def partitioned_pip_join(
             lons = pdf[lon_col].to_numpy(np.float64)
             lats = pdf[lat_col].to_numpy(np.float64)
             keep = np.zeros(len(pdf), dtype=bool)
-            wkts = pdf["__wkt"]
             # group candidate rows by polygon; parse each polygon once
             # (cache survives across batches of the same task)
             for wkt, grp in pdf.groupby("__wkt", sort=False).groups.items():

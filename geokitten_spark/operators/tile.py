@@ -105,6 +105,7 @@ def adaptive_tiles(
     base_res: int,
     max_res: int,
     threshold: int,
+    eager: bool = True,
 ) -> DataFrame:
     """Density-adaptive quadtree tiling: a cell SPLITS into its 4 children
     while it holds more than ``threshold`` docs and is coarser than
@@ -118,9 +119,22 @@ def adaptive_tiles(
     tables (semi/anti joins on parent cell ids). Deterministic: the leaf
     set is a pure function of the counts.
 
+    EAGERNESS TRADEOFF (``eager``, default True): with ``eager=True`` the
+    operator runs Spark jobs AT BUILD TIME via ``localCheckpoint()`` —
+    unlike its lazy siblings — and the checkpointed blocks live on
+    executors, so a lost executor makes downstream actions unrecoverable
+    until recompute-from-source is re-declared (standard localCheckpoint
+    caveat; on a cluster prefer a checkpoint dir or accept the re-run).
+    The payoff is lineage truncation: without it every union branch and
+    level semi-join re-derives the whole upstream plan (125 exchanges vs
+    1 doc shuffle, measured). Pass ``eager=False`` to keep the operator
+    fully lazy when composing it into a larger plan that is itself
+    checkpointed or when build-time job launch is unacceptable.
     """
     if not (base_res <= max_res):
         raise ValueError("base_res must be <= max_res")
+
+    ckpt = (lambda df: df.localCheckpoint()) if eager else (lambda df: df)
     # localCheckpoint (eager) after the doc-sized aggregate and after each
     # tiny per-level derivation: without it, every union branch and every
     # level's semi-join re-derives the WHOLE upstream lineage (measured:
@@ -133,16 +147,15 @@ def adaptive_tiles(
         )
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .localCheckpoint()
     )
+    finest = ckpt(finest)
     # counts per level, finest -> coarsest, each derived from the previous
     counts = {max_res: finest}
     for r in range(max_res - 1, base_res - 1, -1):
-        counts[r] = (
+        counts[r] = ckpt(
             counts[r + 1]
             .groupBy(grid_parent_col(F.col("cell_id"), r + 1, r).alias("cell_id"))
             .agg(F.sum("n_docs").alias("n_docs"))
-            .localCheckpoint()
         )
     out = []
     split_prev = None  # cells that split at the previous (coarser) level
@@ -150,16 +163,14 @@ def adaptive_tiles(
         t = counts[r]
         if split_prev is not None:
             # only children of split cells are live at this level
-            t = (
+            t = ckpt(
                 t.withColumn(
                     "__parent", grid_parent_col(F.col("cell_id"), r, r - 1)
-                )
-                .join(
+                ).join(
                     split_prev.select(F.col("cell_id").alias("__parent")),
                     on="__parent",
                     how="left_semi",
                 )
-                .localCheckpoint()
             )
         splits = F.col("n_docs") > threshold
         if r < max_res:

@@ -50,12 +50,14 @@ def _spark_signals(spark, texts):
 
 
 def test_crafted_edges(spark):
+    filler = " ".join(f"w{i}" for i in range(17))
     texts = [
-        "x x x y z",      # run of 3, flagged via max_run >= REP_MAX_RUN
+        f"x x x {filler}",  # 20 words, run of 3 -> flagged via max_run
         "",                # empty doc
         "solo",            # single word, no bigrams
         "a b a b a b",     # alternating: top bigram 'a b' x3, run 1
         "  padded   doc ", # stray spaces collapse to empty tokens
+        "x x x y z",       # run of 3 but < REP_MIN_WORDS -> NOT flagged
     ]
     rows = _spark_signals(spark, texts)
     for text, row in zip(texts, rows):
@@ -65,6 +67,10 @@ def test_crafted_edges(spark):
     assert rows[0]["rep_flagged"] is True and REP_MAX_RUN <= 3
     assert rows[1]["rep_flagged"] is False  # empty doc never flagged
     assert rows[3]["top_bigram"] == 3 and rows[3]["max_run"] == 1
+    # the word-count floor: ratio/run filters only apply at >= REP_MIN_WORDS,
+    # so short docs (which trivially have extreme ratios) never flag
+    assert rows[2]["rep_flagged"] is False
+    assert rows[5]["rep_flagged"] is False
 
 
 def test_random_word_soup_matches_python(spark):
