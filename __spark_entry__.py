@@ -1261,6 +1261,82 @@ def q_geohash_tile_agg(spark, sf_dir):
     )
 
 
+def q_h3_tile_agg(spark, sf_dir):
+    """A6 on canonical H3 cells (res 4) — bit-for-bit H3-interoperable ids
+    (cells/h3core.py; published vectors verified in tests/test_h3.py).
+    Checked against the independent numpy-path VALUES oracle."""
+    from geokitten_spark.functions.cells_udfs import h3_cell
+
+    docs = _web_docs(spark, sf_dir)
+    return (
+        docs.select(h3_cell(4)(F.col("lon"), F.col("lat")).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_h3_rollup(spark, sf_dir):
+    """H3 parent rollup: ONE res-4 encode, digit-truncation parent to res 2
+    on the aggregated cell table (O(cells), not O(rows)) — same scale shape
+    as the geohash rollup."""
+    from geokitten_spark.functions.cells_udfs import h3_cell, h3_parent
+
+    docs = _web_docs(spark, sf_dir)
+    h4 = (
+        docs.select(h3_cell(4)(F.col("lon"), F.col("lat")).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n4"))
+    )
+    return (
+        h4.withColumn("parent_id", h3_parent(2)(F.col("cell_id")))
+        .groupBy("parent_id")
+        .agg(
+            F.sum("n4").cast("long").alias("n_docs"),
+            F.countDistinct("cell_id").alias("n_child_cells"),
+        )
+    )
+
+
+def q_h3_knn(spark, sf_dir):
+    """J4 on canonical H3 cells: kRing(1) candidate expansion at res 1,
+    equi-join on the bigint cell id, windowed top-3 by planar dist² —
+    the north-star 'cell-neighbor kNN via H3 kRing expansion' literally."""
+    from pyspark.sql import Window
+
+    from geokitten_spark.functions.cells_udfs import h3_cell, h3_kring
+
+    docs = _web_docs(spark, sf_dir)
+    pts = docs.select("doc_id", "lon", "lat").withColumn(
+        "cell_id", h3_cell(1)(F.col("lon"), F.col("lat"))
+    )
+    left = pts.select(
+        "doc_id",
+        "lon",
+        "lat",
+        F.explode(h3_kring(1)(F.col("cell_id"))).alias("nb_cell"),
+    )
+    right = pts.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("lon").alias("nb_lon"),
+        F.col("lat").alias("nb_lat"),
+        F.col("cell_id").alias("nb_cell"),
+    )
+    cand = left.join(right, on="nb_cell", how="inner").filter(
+        F.col("doc_id") != F.col("neighbor_id")
+    )
+    dlon = F.col("lon") - F.col("nb_lon")
+    dlat = F.col("lat") - F.col("nb_lat")
+    cand = cand.withColumn("dist2", dlon * dlon + dlat * dlat)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("dist2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "neighbor_id", "rank")
+    )
+
+
 def q_geohash_rollup(spark, sf_dir):
     """Multi-precision geohash rollup from ONE encode: the prefix property
     makes coarser precisions a plain substr groupBy — no re-encode, no
@@ -1832,6 +1908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_tile_agg": q_s2_tile_agg,
         "hex_tile_agg": q_hex_tile_agg,
         "geohash_tile_agg": q_geohash_tile_agg,
+        "h3_tile_agg": q_h3_tile_agg,
+        "h3_rollup": q_h3_rollup,
+        "h3_knn": q_h3_knn,
         "geohash_rollup": q_geohash_rollup,
         "cell_join_bucketed": q_cell_join_bucketed,
         "admin_standardize": q_admin_standardize,
@@ -2590,6 +2669,9 @@ def oracle_sql() -> dict[str, str]:
         "hull_compactness": _ora.hull_compactness_sql(),
         "geohash_tile_agg": _ora.geohash_tile_agg_sql(),
         "ann_pq_topk": _ora.ann_pq_topk_sql(),
+        "h3_tile_agg": _ora.h3_tile_agg_sql(),
+        "h3_rollup": _ora.h3_rollup_sql(),
+        "h3_knn": _ora.h3_knn_sql(),
     }
     # the streaming session-window query folds to the exact shape of the
     # batch sessionize query — one oracle checks both (batch/stream duality)

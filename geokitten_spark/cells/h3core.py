@@ -1,0 +1,961 @@
+"""Pure-numpy H3 cell index (lat/lng → H3 cell id, parent, kRing, centers).
+
+Implemented from the published H3 grid specification (Uber H3, Apache-2.0):
+icosahedron gnomonic projection per face, aperture-7 hex grid with
+alternating Class II/III resolutions, 122 base cells (110 hexagons + 12
+pentagons at the icosahedron vertices), 64-bit index layout
+(mode 1, 4 resolution bits, 7 base-cell bits, 15 × 3-bit digits).
+
+Only the irreducible *conventions* are transcribed from the spec:
+
+- ``FACE_CENTER_GEO`` — the 20 icosahedron face centers (lat/lng radians).
+  Validated at derivation time: the 20 points must form a regular
+  icosahedron (antipodal pairs, uniform adjacent-face angles).
+- ``FACE_I_AXIS_AZ`` — azimuth (radians east of north) from each face
+  center to its Class-II i-axis. Validated: each azimuth must coincide
+  with the azimuth to one of the face's three (derived) vertices.
+- ``BASE_CELL_DATA`` — home face + ijk for each of the 122 base cells,
+  pentagon flags and cw-offset faces. Validated: the 12 pentagons must sit
+  exactly on the 12 derived icosahedron vertices; every in-range
+  (face, ijk) position must land on exactly one base-cell center.
+
+Everything else (face-neighbor affine transforms, the face/ijk →
+base-cell inverse table, per-entry ccw rotation counts) is *derived*
+numerically by ``scripts/derive_h3_tables.py`` and frozen into
+``h3_derived.py``; the derivation is self-checking (exact integer solves
+for the edge transforms, consistency voting over shared-edge sample
+points for rotations) and the test-suite re-verifies published test
+vectors plus structural invariants (cell counts 122 / 842 / 5882 at
+res 0/1/2, roundtrip idempotence, parent containment).
+
+Reference parity: this replaces the ADR-001 stance (S2-only) with true
+H3-interoperable ids as named by the project north rule; see
+reference usage of cell tiling in gdf_standardization.py (tiling
+semantics only — the reference has no H3 code).
+
+All public entry points are vectorized over numpy arrays so they run
+inside Arrow-batched pandas UDFs without per-row Python.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+__all__ = [
+    "MAX_RES",
+    "latlng_to_cell",
+    "cell_to_latlng",
+    "cell_to_parent",
+    "cell_to_center_child",
+    "get_resolution",
+    "get_base_cell",
+    "is_pentagon",
+    "is_valid_cell",
+    "grid_disk",
+    "grid_disk_arrays",
+    "cell_to_string",
+    "string_to_cell",
+]
+
+MAX_RES = 15
+NUM_FACES = 20
+NUM_BASE_CELLS = 122
+
+M_SQRT7 = math.sqrt(7.0)
+M_SIN60 = math.sqrt(3.0) / 2.0
+# gnomonic distance between adjacent res-0 cell centers = 1/phi^2
+RES0_U_GNOMONIC = (3.0 - math.sqrt(5.0)) / 2.0
+# rotation between successive (Class III) resolutions
+M_AP7_ROT_RADS = math.asin(math.sqrt(3.0 / 28.0))
+
+# --- 64-bit index layout (H3 spec) ---------------------------------------
+H3_MODE_CELL = 1
+_MODE_SHIFT = 59
+_RES_SHIFT = 52
+_BC_SHIFT = 45
+_DIGIT_BITS = 3
+_ALL_DIGITS = (1 << 45) - 1  # fifteen 3-bit digits set to 7
+
+# digits
+CENTER_DIGIT = 0
+K_AXES_DIGIT = 1
+J_AXES_DIGIT = 2
+JK_AXES_DIGIT = 3
+I_AXES_DIGIT = 4
+IK_AXES_DIGIT = 5
+IJ_AXES_DIGIT = 6
+INVALID_DIGIT = 7
+
+# digit -> unit ijk vector (index = i*4 + j*2 + k)
+UNIT_VECS = np.array(
+    [
+        [0, 0, 0],  # center
+        [0, 0, 1],  # k
+        [0, 1, 0],  # j
+        [0, 1, 1],  # jk
+        [1, 0, 0],  # i
+        [1, 0, 1],  # ik
+        [1, 1, 0],  # ij
+    ],
+    dtype=np.int64,
+)
+
+# 60 degree rotations of a single digit (ccw cycle i -> ij -> j -> jk -> k -> ik)
+_ROT60_CCW_DIGIT = np.array([0, 5, 3, 1, 6, 4, 2, 7], dtype=np.int64)
+_ROT60_CW_DIGIT = np.array([0, 3, 6, 2, 5, 1, 4, 7], dtype=np.int64)
+
+# ---------------------------------------------------------------------------
+# Transcribed tables (published H3 spec constants; see module docstring for
+# the independent validation each one passes before use).
+# ---------------------------------------------------------------------------
+
+# (lat, lng) radians of the 20 icosahedron face centers.
+FACE_CENTER_GEO = np.array(
+    [
+        [0.803582649718989942, 1.248397419617396099],
+        [1.307747883455638156, 2.536945009877921159],
+        [1.054751253523952054, -1.347517358900396623],
+        [0.600191595538186799, -0.450603909469755746],
+        [0.491715428198773866, 0.401988202911306943],
+        [0.172745327415618701, 1.678146885280433686],
+        [0.605929321571350690, 2.953923329812411617],
+        [0.427370518328979641, -1.888876200336285401],
+        [-0.079066118549212831, -0.733429513380867741],
+        [-0.230961644455383637, 0.506495587332349035],
+        [0.079066118549212831, 2.408163140208925497],
+        [0.230961644455383637, -2.635097066257444203],
+        [-0.172745327415618701, -1.463445768309359553],
+        [-0.605929321571350690, -0.187669323777381622],
+        [-0.427370518328979641, 1.252716453253569838],
+        [-0.600191595538186799, 2.690988744120037492],
+        [-0.491715428198773866, -2.739604450678486295],
+        [-0.803582649718989942, -1.893195233972397139],
+        [-1.307747883455638156, -0.604647643711872080],
+        [-1.054751253523952054, 1.794075294689396615],
+    ],
+    dtype=np.float64,
+)
+
+# Azimuth (radians east of north) from each face center to its Class II
+# i-axis. Only column 0 of the spec's faceAxesAzRadsCII is needed (the j/k
+# axes are at -120 / -240 degrees). Each value is validated against — and
+# then replaced by — the exactly-derived azimuth to the matching
+# icosahedron vertex in scripts/derive_h3_tables.py.
+FACE_I_AXIS_AZ = np.array(
+    [
+        5.619958268523939882,
+        5.760339081714187279,
+        0.780213654393430055,
+        0.430469363979999913,
+        6.130269123335111400,
+        2.692877706530642877,
+        2.982963003477243874,
+        3.532912002790141181,
+        3.494305004259568154,
+        3.003214169499538391,
+        5.930472956509811562,
+        0.138378484090254847,
+        0.448714947059150361,
+        0.158629650112549365,
+        5.891865957979238535,
+        2.711123289609793325,
+        3.294508837434268316,
+        3.804819692245439833,
+        3.664438879055192436,
+        2.361378999196363184,
+    ],
+    dtype=np.float64,
+)
+
+# Per base cell: (home_face, i, j, k, is_pentagon, cw_off_a, cw_off_b).
+# cw_off_* are the two faces (or -1) from which a pentagon's leading-K
+# digit sequence takes a clockwise instead of ccw offset rotation.
+BASE_CELL_DATA = np.array(
+    [
+        (1, 1, 0, 0, 0, -1, -1),    # 0
+        (2, 1, 1, 0, 0, -1, -1),    # 1
+        (1, 0, 0, 0, 0, -1, -1),    # 2
+        (2, 1, 0, 0, 0, -1, -1),    # 3
+        (0, 2, 0, 0, 1, -1, -1),    # 4 (pentagon, polar)
+        (1, 1, 1, 0, 0, -1, -1),    # 5
+        (1, 0, 0, 1, 0, -1, -1),    # 6
+        (2, 0, 0, 0, 0, -1, -1),    # 7
+        (0, 1, 0, 0, 0, -1, -1),    # 8
+        (2, 0, 1, 0, 0, -1, -1),    # 9
+        (1, 0, 1, 0, 0, -1, -1),    # 10
+        (1, 0, 1, 1, 0, -1, -1),    # 11
+        (3, 1, 0, 0, 0, -1, -1),    # 12
+        (3, 1, 1, 0, 0, -1, -1),    # 13
+        (11, 2, 0, 0, 1, 2, 6),     # 14 (pentagon)
+        (4, 1, 0, 0, 0, -1, -1),    # 15
+        (0, 0, 0, 0, 0, -1, -1),    # 16
+        (6, 0, 1, 0, 0, -1, -1),    # 17
+        (0, 0, 0, 1, 0, -1, -1),    # 18
+        (2, 0, 1, 1, 0, -1, -1),    # 19
+        (7, 0, 0, 1, 0, -1, -1),    # 20
+        (2, 0, 0, 1, 0, -1, -1),    # 21
+        (0, 1, 1, 0, 0, -1, -1),    # 22
+        (6, 0, 0, 1, 0, -1, -1),    # 23
+        (10, 2, 0, 0, 1, 1, 5),     # 24 (pentagon)
+        (6, 0, 0, 0, 0, -1, -1),    # 25
+        (3, 0, 0, 0, 0, -1, -1),    # 26
+        (11, 1, 0, 0, 0, -1, -1),   # 27
+        (4, 1, 1, 0, 0, -1, -1),    # 28
+        (3, 0, 1, 0, 0, -1, -1),    # 29
+        (0, 0, 1, 1, 0, -1, -1),    # 30
+        (4, 0, 0, 0, 0, -1, -1),    # 31
+        (5, 0, 1, 0, 0, -1, -1),    # 32
+        (0, 0, 1, 0, 0, -1, -1),    # 33
+        (7, 0, 1, 0, 0, -1, -1),    # 34
+        (11, 1, 1, 0, 0, -1, -1),   # 35
+        (7, 0, 0, 0, 0, -1, -1),    # 36
+        (10, 1, 0, 0, 0, -1, -1),   # 37
+        (12, 2, 0, 0, 1, 3, 7),     # 38 (pentagon)
+        (6, 1, 0, 1, 0, -1, -1),    # 39
+        (7, 1, 0, 1, 0, -1, -1),    # 40
+        (4, 0, 0, 1, 0, -1, -1),    # 41
+        (3, 0, 0, 1, 0, -1, -1),    # 42
+        (3, 0, 1, 1, 0, -1, -1),    # 43
+        (4, 0, 1, 0, 0, -1, -1),    # 44
+        (6, 1, 0, 0, 0, -1, -1),    # 45
+        (11, 0, 0, 0, 0, -1, -1),   # 46
+        (8, 0, 0, 1, 0, -1, -1),    # 47
+        (5, 0, 0, 1, 0, -1, -1),    # 48
+        (14, 2, 0, 0, 1, 0, 9),     # 49 (pentagon)
+        (5, 0, 0, 0, 0, -1, -1),    # 50
+        (12, 1, 0, 0, 0, -1, -1),   # 51
+        (10, 1, 1, 0, 0, -1, -1),   # 52
+        (4, 0, 1, 1, 0, -1, -1),    # 53
+        (12, 1, 1, 0, 0, -1, -1),   # 54
+        (7, 1, 0, 0, 0, -1, -1),    # 55
+        (11, 0, 1, 0, 0, -1, -1),   # 56
+        (10, 0, 0, 0, 0, -1, -1),   # 57
+        (13, 2, 0, 0, 1, 4, 8),     # 58 (pentagon)
+        (10, 0, 0, 1, 0, -1, -1),   # 59
+        (11, 0, 0, 1, 0, -1, -1),   # 60
+        (9, 0, 1, 0, 0, -1, -1),    # 61
+        (8, 0, 1, 0, 0, -1, -1),    # 62
+        (6, 2, 0, 0, 1, 11, 15),    # 63 (pentagon)
+        (8, 0, 0, 0, 0, -1, -1),    # 64
+        (9, 0, 0, 1, 0, -1, -1),    # 65
+        (14, 1, 0, 0, 0, -1, -1),   # 66
+        (5, 1, 0, 1, 0, -1, -1),    # 67
+        (16, 0, 1, 1, 0, -1, -1),   # 68
+        (8, 1, 0, 1, 0, -1, -1),    # 69
+        (5, 1, 0, 0, 0, -1, -1),    # 70
+        (12, 0, 0, 0, 0, -1, -1),   # 71
+        (7, 2, 0, 0, 1, 12, 16),    # 72 (pentagon)
+        (12, 0, 1, 0, 0, -1, -1),   # 73
+        (10, 0, 1, 0, 0, -1, -1),   # 74
+        (9, 0, 0, 0, 0, -1, -1),    # 75
+        (13, 1, 0, 0, 0, -1, -1),   # 76
+        (16, 0, 0, 1, 0, -1, -1),   # 77
+        (15, 0, 1, 1, 0, -1, -1),   # 78
+        (15, 0, 1, 0, 0, -1, -1),   # 79
+        (16, 0, 1, 0, 0, -1, -1),   # 80
+        (14, 1, 1, 0, 0, -1, -1),   # 81
+        (13, 1, 1, 0, 0, -1, -1),   # 82
+        (5, 2, 0, 0, 1, 10, 19),    # 83 (pentagon)
+        (8, 1, 0, 0, 0, -1, -1),    # 84
+        (14, 0, 0, 0, 0, -1, -1),   # 85
+        (9, 1, 0, 1, 0, -1, -1),    # 86
+        (14, 0, 0, 1, 0, -1, -1),   # 87
+        (17, 0, 0, 1, 0, -1, -1),   # 88
+        (12, 0, 0, 1, 0, -1, -1),   # 89
+        (16, 0, 0, 0, 0, -1, -1),   # 90
+        (17, 0, 1, 1, 0, -1, -1),   # 91
+        (15, 0, 0, 1, 0, -1, -1),   # 92
+        (16, 1, 0, 1, 0, -1, -1),   # 93
+        (9, 1, 0, 0, 0, -1, -1),    # 94
+        (15, 0, 0, 0, 0, -1, -1),   # 95
+        (13, 0, 0, 0, 0, -1, -1),   # 96
+        (8, 2, 0, 0, 1, 13, 17),    # 97 (pentagon)
+        (13, 0, 1, 0, 0, -1, -1),   # 98
+        (17, 1, 0, 1, 0, -1, -1),   # 99
+        (19, 0, 1, 0, 0, -1, -1),   # 100
+        (14, 0, 1, 0, 0, -1, -1),   # 101
+        (19, 0, 1, 1, 0, -1, -1),   # 102
+        (17, 0, 1, 0, 0, -1, -1),   # 103
+        (13, 0, 0, 1, 0, -1, -1),   # 104
+        (17, 0, 0, 0, 0, -1, -1),   # 105
+        (16, 1, 0, 0, 0, -1, -1),   # 106
+        (9, 2, 0, 0, 1, 14, 18),    # 107 (pentagon)
+        (15, 1, 0, 1, 0, -1, -1),   # 108
+        (15, 1, 0, 0, 0, -1, -1),   # 109
+        (18, 0, 1, 1, 0, -1, -1),   # 110
+        (18, 0, 0, 1, 0, -1, -1),   # 111
+        (19, 0, 0, 1, 0, -1, -1),   # 112
+        (17, 1, 0, 0, 0, -1, -1),   # 113
+        (19, 0, 0, 0, 0, -1, -1),   # 114
+        (18, 0, 1, 0, 0, -1, -1),   # 115
+        (18, 1, 0, 1, 0, -1, -1),   # 116
+        (19, 2, 0, 0, 1, -1, -1),   # 117 (pentagon, polar)
+        (19, 1, 0, 0, 0, -1, -1),   # 118
+        (18, 0, 0, 0, 0, -1, -1),   # 119
+        (19, 1, 0, 1, 0, -1, -1),   # 120
+        (18, 1, 0, 0, 0, -1, -1),   # 121
+    ],
+    dtype=np.int64,
+)
+
+IS_PENTAGON_BC = BASE_CELL_DATA[:, 4].astype(bool)
+PENTAGON_BASE_CELLS = np.nonzero(IS_PENTAGON_BC)[0]
+
+
+# ---------------------------------------------------------------------------
+# Spherical helpers (vectorized)
+# ---------------------------------------------------------------------------
+
+def _geo_to_xyz(lat, lng):
+    lat = np.asarray(lat, dtype=np.float64)
+    lng = np.asarray(lng, dtype=np.float64)
+    cl = np.cos(lat)
+    return np.stack([cl * np.cos(lng), cl * np.sin(lng), np.sin(lat)], axis=-1)
+
+
+FACE_CENTER_XYZ = _geo_to_xyz(FACE_CENTER_GEO[:, 0], FACE_CENTER_GEO[:, 1])
+
+
+def _azimuth(lat1, lng1, lat2, lng2):
+    """Azimuth (radians east of north) from point 1 to point 2."""
+    dl = lng2 - lng1
+    return np.arctan2(
+        np.cos(lat2) * np.sin(dl),
+        np.cos(lat1) * np.sin(lat2) - np.sin(lat1) * np.cos(lat2) * np.cos(dl),
+    )
+
+
+def _az_distance_point(lat1, lng1, az, dist):
+    """Point at (azimuth, angular distance) from (lat1, lng1). Vectorized."""
+    sinlat = np.sin(lat1) * np.cos(dist) + np.cos(lat1) * np.sin(dist) * np.cos(az)
+    sinlat = np.clip(sinlat, -1.0, 1.0)
+    lat2 = np.arcsin(sinlat)
+    y = np.sin(az) * np.sin(dist) * np.cos(lat1)
+    x = np.cos(dist) - np.sin(lat1) * sinlat
+    lng2 = lng1 + np.arctan2(y, x)
+    lng2 = np.mod(lng2 + np.pi, 2.0 * np.pi) - np.pi
+    return lat2, lng2
+
+
+def _pos_angle(a):
+    return np.mod(a, 2.0 * np.pi)
+
+
+# ---------------------------------------------------------------------------
+# ijk arithmetic (vectorized over int64 arrays of shape (..., 3))
+# ---------------------------------------------------------------------------
+
+def ijk_normalize(ijk):
+    m = np.minimum(np.minimum(ijk[..., 0], ijk[..., 1]), ijk[..., 2])
+    return ijk - m[..., None]
+
+
+def up_ap7(ijk):
+    """Parent ijk one aperture-7 (ccw) step coarser."""
+    i = ijk[..., 0] - ijk[..., 2]
+    j = ijk[..., 1] - ijk[..., 2]
+    ni = np.rint((3 * i - j) / 7.0).astype(np.int64)
+    nj = np.rint((i + 2 * j) / 7.0).astype(np.int64)
+    out = np.stack([ni, nj, np.zeros_like(ni)], axis=-1)
+    return ijk_normalize(out)
+
+
+def up_ap7r(ijk):
+    """Parent ijk one aperture-7 (cw) step coarser."""
+    i = ijk[..., 0] - ijk[..., 2]
+    j = ijk[..., 1] - ijk[..., 2]
+    ni = np.rint((2 * i + j) / 7.0).astype(np.int64)
+    nj = np.rint((3 * j - i) / 7.0).astype(np.int64)
+    out = np.stack([ni, nj, np.zeros_like(ni)], axis=-1)
+    return ijk_normalize(out)
+
+
+_DOWN_AP7 = np.array([[3, 0, 1], [1, 3, 0], [0, 1, 3]], dtype=np.int64)
+_DOWN_AP7R = np.array([[3, 1, 0], [0, 3, 1], [1, 0, 3]], dtype=np.int64)
+
+
+def down_ap7(ijk):
+    return ijk_normalize(ijk @ _DOWN_AP7)
+
+
+def down_ap7r(ijk):
+    return ijk_normalize(ijk @ _DOWN_AP7R)
+
+
+_ROT60_CCW_MAT = np.array([[1, 1, 0], [0, 1, 1], [1, 0, 1]], dtype=np.int64)
+_ROT60_CW_MAT = np.array([[1, 0, 1], [1, 1, 0], [0, 1, 1]], dtype=np.int64)
+
+
+def ijk_rotate60_ccw(ijk):
+    return ijk_normalize(ijk @ _ROT60_CCW_MAT)
+
+
+def ijk_rotate60_cw(ijk):
+    return ijk_normalize(ijk @ _ROT60_CW_MAT)
+
+
+def unit_ijk_to_digit(ijk):
+    n = ijk_normalize(ijk)
+    d = n[..., 0] * 4 + n[..., 1] * 2 + n[..., 2]
+    bad = (n > 1).any(axis=-1)
+    return np.where(bad, INVALID_DIGIT, d)
+
+
+# ---------------------------------------------------------------------------
+# Face projection (vectorized)
+# ---------------------------------------------------------------------------
+
+def closest_face(lat, lng):
+    """Index of the icosahedron face whose center is nearest each point."""
+    xyz = _geo_to_xyz(lat, lng)
+    dots = xyz @ FACE_CENTER_XYZ.T
+    return np.argmax(dots, axis=-1)
+
+
+def geo_to_hex2d(lat, lng, res, face=None):
+    """Project points into a face's hex2d plane at resolution ``res``.
+
+    Returns (face, x, y). ``face`` may be forced (for edge sampling in the
+    derivation script); by default the closest face is used.
+    """
+    lat = np.asarray(lat, dtype=np.float64)
+    lng = np.asarray(lng, dtype=np.float64)
+    if face is None:
+        face = closest_face(lat, lng)
+    else:
+        face = np.broadcast_to(np.asarray(face, dtype=np.int64), lat.shape).copy()
+    fc_lat = FACE_CENTER_GEO[face, 0]
+    fc_lng = FACE_CENTER_GEO[face, 1]
+    xyz = _geo_to_xyz(lat, lng)
+    cosr = np.clip(np.einsum("...k,...k->...", xyz, FACE_CENTER_XYZ[face]), -1.0, 1.0)
+    r = np.arccos(cosr)
+    az = _azimuth(fc_lat, fc_lng, lat, lng)
+    theta = _pos_angle(FACE_I_AXIS_AZ[face] - _pos_angle(az))
+    if res % 2 == 1:  # Class III
+        theta = _pos_angle(theta - M_AP7_ROT_RADS)
+    r = np.tan(r)
+    r /= RES0_U_GNOMONIC
+    r *= M_SQRT7 ** res
+    x = r * np.cos(theta)
+    y = r * np.sin(theta)
+    near = np.abs(np.arccos(cosr)) < 1e-16
+    x = np.where(near, 0.0, x)
+    y = np.where(near, 0.0, y)
+    return face, x, y
+
+
+def hex2d_to_ijk(x, y):
+    """Round hex2d coordinates to the containing cell's ijk (H3 rounding)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    a1 = np.abs(x)
+    a2 = np.abs(y)
+    x2 = a2 / M_SIN60
+    x1 = a1 + x2 / 2.0
+    m1 = np.floor(x1).astype(np.int64)
+    m2 = np.floor(x2).astype(np.int64)
+    r1 = x1 - m1
+    r2 = x2 - m2
+
+    i = np.zeros_like(m1)
+    j = np.zeros_like(m2)
+
+    # branch structure of the published rounding algorithm
+    c_a = r1 < 0.5
+    c_b = r1 < 1.0 / 3.0
+    c_c = r1 < 2.0 / 3.0
+
+    # r1 < 1/3
+    t = c_a & c_b
+    i = np.where(t, m1, i)
+    j = np.where(t, np.where(r2 < (1.0 + r1) / 2.0, m2, m2 + 1), j)
+    # 1/3 <= r1 < 1/2
+    t = c_a & ~c_b
+    j_t = np.where(r2 < (1.0 - r1), m2, m2 + 1)
+    i_t = np.where(((1.0 - r1) <= r2) & (r2 < 2.0 * r1), m1 + 1, m1)
+    i = np.where(t, i_t, i)
+    j = np.where(t, j_t, j)
+    # 1/2 <= r1 < 2/3
+    t = ~c_a & c_c
+    j_t = np.where(r2 < (1.0 - r1), m2, m2 + 1)
+    i_t = np.where((2.0 * r1 - 1.0 < r2) & (r2 < 1.0 - r1), m1, m1 + 1)
+    i = np.where(t, i_t, i)
+    j = np.where(t, j_t, j)
+    # r1 >= 2/3
+    t = ~c_a & ~c_c
+    i = np.where(t, m1 + 1, i)
+    j = np.where(t, np.where(r2 < r1 / 2.0, m2, m2 + 1), j)
+
+    # fold across axes for negative x/y
+    neg_x = x < 0.0
+    j_even = (j % 2) == 0
+    axisi = np.where(j_even, j // 2, (j + 1) // 2)
+    diff = i - axisi
+    i = np.where(neg_x, np.where(j_even, i - 2 * diff, i - (2 * diff + 1)), i)
+
+    neg_y = y < 0.0
+    i = np.where(neg_y, i - (2 * j + 1) // 2, i)
+    j = np.where(neg_y, -j, j)
+
+    ijk = np.stack([i, j, np.zeros_like(i)], axis=-1)
+    return ijk_normalize(ijk)
+
+
+def ijk_to_hex2d(ijk):
+    i = ijk[..., 0] - ijk[..., 2]
+    j = ijk[..., 1] - ijk[..., 2]
+    x = i - 0.5 * j
+    y = j * M_SIN60
+    return x, y
+
+
+def hex2d_to_geo(x, y, face, res):
+    """Inverse projection from a face's hex2d plane to lat/lng."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    face = np.asarray(face, dtype=np.int64)
+    r = np.hypot(x, y)
+    theta = np.arctan2(y, x)
+    r = r / (M_SQRT7 ** res)
+    r = r * RES0_U_GNOMONIC
+    r = np.arctan(r)
+    if res % 2 == 1:  # Class III
+        theta = _pos_angle(theta + M_AP7_ROT_RADS)
+    az = _pos_angle(FACE_I_AXIS_AZ[face] - theta)
+    fc_lat = FACE_CENTER_GEO[face, 0]
+    fc_lng = FACE_CENTER_GEO[face, 1]
+    lat, lng = _az_distance_point(fc_lat, fc_lng, az, r)
+    near = r < 1e-16
+    lat = np.where(near, fc_lat, lat)
+    lng = np.where(near, fc_lng, lng)
+    return lat, lng
+
+
+# ---------------------------------------------------------------------------
+# Derived tables — loaded from h3_derived.py (generated by
+# scripts/derive_h3_tables.py) or computed on first use.
+# ---------------------------------------------------------------------------
+
+_DERIVED = None
+
+
+def _get_derived():
+    global _DERIVED
+    if _DERIVED is None:
+        try:
+            from . import h3_derived
+            _DERIVED = {
+                "fijk_bc": np.asarray(h3_derived.FACE_IJK_BASE_CELLS, dtype=np.int64),
+                "fijk_rot": np.asarray(h3_derived.FACE_IJK_CCW_ROT60, dtype=np.int64),
+                "face_neighbors": np.asarray(h3_derived.FACE_NEIGHBORS, dtype=np.int64),
+                "face_axes": np.asarray(h3_derived.FACE_I_AXIS_AZ_EXACT, dtype=np.float64),
+            }
+            # use the exactly-derived axes everywhere
+            FACE_I_AXIS_AZ[:] = _DERIVED["face_axes"]
+        except ImportError as exc:  # pragma: no cover
+            raise RuntimeError(
+                "h3_derived tables missing — run scripts/derive_h3_tables.py"
+            ) from exc
+    return _DERIVED
+
+
+# ---------------------------------------------------------------------------
+# Index bit helpers (vectorized on uint64)
+# ---------------------------------------------------------------------------
+
+def _u64(x):
+    return np.asarray(x, dtype=np.uint64)
+
+
+def get_resolution(h):
+    return ((_u64(h) >> np.uint64(_RES_SHIFT)) & np.uint64(0xF)).astype(np.int64)
+
+
+def get_base_cell(h):
+    return ((_u64(h) >> np.uint64(_BC_SHIFT)) & np.uint64(0x7F)).astype(np.int64)
+
+
+def _get_digit(h, r):
+    """Digit at resolution r (1-based)."""
+    shift = np.uint64((MAX_RES - np.asarray(r)) * _DIGIT_BITS)
+    return ((_u64(h) >> shift) & np.uint64(7)).astype(np.int64)
+
+
+def _set_digit(h, r, digit):
+    shift = np.uint64((MAX_RES - np.asarray(r)) * _DIGIT_BITS)
+    mask = np.uint64(7) << shift
+    return (_u64(h) & ~mask) | (_u64(digit).astype(np.uint64) << shift)
+
+
+def is_pentagon(h):
+    h = _u64(h)
+    bc = get_base_cell(h)
+    pent = IS_PENTAGON_BC[np.clip(bc, 0, NUM_BASE_CELLS - 1)]
+    return pent & (_leading_nonzero_digit(h) == 0)
+
+
+def _leading_nonzero_digit(h):
+    """First nonzero digit of the index (0 if all digits are 0/center)."""
+    h = _u64(h)
+    res = get_resolution(h)
+    out = np.zeros(h.shape, dtype=np.int64)
+    found = np.zeros(h.shape, dtype=bool)
+    for r in range(1, MAX_RES + 1):
+        active = (r <= res) & ~found
+        if not active.any():
+            continue
+        d = _get_digit(h, r)
+        hit = active & (d != 0)
+        out = np.where(hit, d, out)
+        found = found | hit
+    return out
+
+
+def _rotate60(h, ccw, pent=False):
+    """Rotate all digits of the index(es) by 60 degrees.
+
+    ``pent`` applies the pentagon variant (skip the deleted K axis at the
+    leading nonzero digit).
+    """
+    h = _u64(h).copy()
+    res = get_resolution(h)
+    table = _ROT60_CCW_DIGIT if ccw else _ROT60_CW_DIGIT
+    if not pent:
+        for r in range(1, MAX_RES + 1):
+            active = r <= res
+            if not np.any(active):
+                continue
+            d = _get_digit(h, r)
+            nd = table[d]
+            h = np.where(active, _set_digit(h, r, nd), h)
+        return h
+    # pentagon variant
+    found = np.zeros(h.shape, dtype=bool)
+    for r in range(1, MAX_RES + 1):
+        active = r <= res
+        if not np.any(active):
+            continue
+        d = _get_digit(h, r)
+        nd = table[d]
+        h = np.where(active, _set_digit(h, r, nd), h)
+        newly = active & ~found & (nd != 0)
+        if np.any(newly):
+            # if the leading digit became K, rotate the whole index once more
+            lead_k = newly & (_leading_nonzero_digit(h) == K_AXES_DIGIT)
+            if np.any(lead_k):
+                h = np.where(lead_k, _rotate60(h, ccw, pent=False), h)
+        found = found | newly
+    return h
+
+
+def is_valid_cell(h):
+    h = _u64(h)
+    mode = (h >> np.uint64(_MODE_SHIFT)) & np.uint64(0xF)
+    high = h >> np.uint64(63)
+    res = get_resolution(h)
+    bc = get_base_cell(h)
+    ok = (mode == np.uint64(H3_MODE_CELL)) & (high == np.uint64(0))
+    ok &= (bc >= 0) & (bc < NUM_BASE_CELLS) & (res >= 0) & (res <= MAX_RES)
+    # digits beyond res must be 7; digits within res must be 0..6
+    for r in range(1, MAX_RES + 1):
+        d = _get_digit(h, r)
+        ok &= np.where(r <= res, d != 7, d == 7)
+    # pentagons may not lead with a K digit
+    bc_c = np.clip(bc, 0, NUM_BASE_CELLS - 1)
+    pent = IS_PENTAGON_BC[bc_c]
+    ok &= ~(pent & (_leading_nonzero_digit(h) == K_AXES_DIGIT))
+    return ok
+
+
+def cell_to_string(h):
+    h = np.atleast_1d(_u64(h))
+    return np.array([format(int(v), "x") for v in h], dtype=object)
+
+
+def string_to_cell(s):
+    if isinstance(s, str):
+        return np.uint64(int(s, 16))
+    return np.array([np.uint64(int(v, 16)) for v in s], dtype=np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# latlng -> cell (vectorized)
+# ---------------------------------------------------------------------------
+
+def latlng_to_cell(lat, lng, res, degrees=True):
+    """H3 cell index containing each (lat, lng) at resolution ``res``.
+
+    Vectorized over numpy arrays; angles in degrees by default.
+    """
+    der = _get_derived()
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    lng = np.atleast_1d(np.asarray(lng, dtype=np.float64))
+    if degrees:
+        lat = np.radians(lat)
+        lng = np.radians(lng)
+
+    face, x, y = geo_to_hex2d(lat, lng, res)
+    ijk = hex2d_to_ijk(x, y)
+
+    h = np.full(lat.shape, np.uint64(0), dtype=np.uint64)
+    h |= np.uint64(H3_MODE_CELL) << np.uint64(_MODE_SHIFT)
+    h |= np.uint64(res) << np.uint64(_RES_SHIFT)
+    h |= np.uint64(_ALL_DIGITS)
+
+    # walk from res up to res 0, recording digits
+    cur = ijk
+    for r in range(res - 1, -1, -1):
+        last = cur
+        if (r + 1) % 2 == 1:  # finer res is Class III -> ccw aperture
+            cur = up_ap7(last)
+            center = down_ap7(cur)
+        else:
+            cur = up_ap7r(last)
+            center = down_ap7r(cur)
+        diff = ijk_normalize(last - center)
+        digit = unit_ijk_to_digit(diff)
+        h = _set_digit(h, r + 1, digit)
+
+    # cur is now the res-0 ijk on the chosen face
+    i0, j0, k0 = cur[..., 0], cur[..., 1], cur[..., 2]
+    oob = (i0 < 0) | (i0 > 2) | (j0 < 0) | (j0 > 2) | (k0 < 0) | (k0 > 2)
+    if np.any(oob):  # pragma: no cover - should not happen for closest-face
+        raise ValueError("res-0 ijk out of the face lookup range")
+    flat = (face * 27 + i0 * 9 + j0 * 3 + k0).astype(np.int64)
+    bc = der["fijk_bc"].reshape(-1)[flat]
+    rot = der["fijk_rot"].reshape(-1)[flat]
+    if np.any(bc < 0):  # pragma: no cover
+        raise ValueError("face/ijk position maps to no base cell")
+    h |= _u64(bc) << np.uint64(_BC_SHIFT)
+
+    pent = IS_PENTAGON_BC[bc]
+    if np.any(pent):
+        lead = _leading_nonzero_digit(h)
+        fixk = pent & (lead == K_AXES_DIGIT)
+        if np.any(fixk):
+            cw_a = BASE_CELL_DATA[bc, 5]
+            cw_b = BASE_CELL_DATA[bc, 6]
+            is_cw = fixk & ((face == cw_a) | (face == cw_b))
+            is_ccw = fixk & ~is_cw
+            if np.any(is_cw):
+                h = np.where(is_cw, _rotate60(h, ccw=False), h)
+            if np.any(is_ccw):
+                h = np.where(is_ccw, _rotate60(h, ccw=True), h)
+    max_rot = int(rot.max()) if rot.size else 0
+    for n in range(1, max_rot + 1):
+        sel = rot >= n
+        if not np.any(sel):
+            continue
+        sel_p = sel & pent
+        sel_h = sel & ~pent
+        if np.any(sel_h):
+            h = np.where(sel_h, _rotate60(h, ccw=True), h)
+        if np.any(sel_p):
+            h = np.where(sel_p, _rotate60(h, ccw=True, pent=True), h)
+    return h
+
+
+# ---------------------------------------------------------------------------
+# cell -> latlng (vectorized) with exact overage adjustment
+# ---------------------------------------------------------------------------
+
+def _max_dim_class2(res):
+    return 2 * 7 ** (res // 2)
+
+
+def _unit_scale_class2(res):
+    return 7 ** (res // 2)
+
+
+def _adjust_overage_class2(face, ijk, res, pent_leading4):
+    """Translate positions that overflow their face to the neighbor face.
+
+    Vectorized port of the published overage adjustment (Class II only).
+    Returns (face, ijk, overage_mask).
+    """
+    der = _get_derived()
+    fn = der["face_neighbors"]  # (20, 3, 5): [face][edge] -> f', ti, tj, tk, ccw
+    face = face.copy()
+    ijk = ijk.copy()
+    max_dim = _max_dim_class2(res)
+    s = ijk.sum(axis=-1)
+    over = s > max_dim
+    if not np.any(over):
+        return face, ijk, over
+
+    k_pos = ijk[..., 2] > 0
+    j_pos = ijk[..., 1] > 0
+    # edge index: 0 = JK, 1 = KI, 2 = IJ (order fixed by derivation script)
+    edge = np.where(k_pos & j_pos, 0, np.where(k_pos, 1, 2))
+
+    # pentagon leading-4: rotate the missing-sequence region into place
+    # (the KI transform selected above still applies to the rotated coords)
+    adj = over & pent_leading4 & (edge == 1)
+    if np.any(adj):
+        origin = np.zeros_like(ijk)
+        origin[..., 0] = max_dim
+        tmp = ijk_rotate60_cw(ijk - origin)
+        ijk = np.where(adj[..., None], ijk_normalize(tmp + origin), ijk)
+
+    sel = fn[face, edge]  # (..., 5)
+    new_face = sel[..., 0]
+    trans = sel[..., 1:4]
+    ccw = sel[..., 4]
+
+    rot_ijk = ijk
+    max_ccw = int(ccw[over].max()) if np.any(over) else 0
+    for n in range(1, max_ccw + 1):
+        m = over & (ccw >= n)
+        rot_ijk = np.where(m[..., None], ijk_rotate60_ccw(rot_ijk), rot_ijk)
+    unit = _unit_scale_class2(res)
+    moved = ijk_normalize(rot_ijk + trans * unit)
+    ijk = np.where(over[..., None], moved, ijk)
+    face = np.where(over, new_face, face)
+    return face, ijk, over
+
+
+def cell_to_faceijk(h):
+    """(face, ijk, res) of each cell's center, overage-adjusted."""
+    _get_derived()
+    h = np.atleast_1d(_u64(h))
+    res = get_resolution(h)
+    if res.size and res.max() != res.min():
+        raise ValueError("cell_to_faceijk requires uniform resolution input")
+    r = int(res[0]) if res.size else 0
+    bc = get_base_cell(h)
+
+    # pentagon leading-5 correction
+    pent = IS_PENTAGON_BC[bc]
+    lead = _leading_nonzero_digit(h)
+    fix5 = pent & (lead == 5)
+    if np.any(fix5):
+        h = np.where(fix5, _rotate60(h, ccw=False), h)
+
+    face = BASE_CELL_DATA[bc, 0].copy()
+    ijk = BASE_CELL_DATA[bc, 1:4].copy()
+
+    for rr in range(1, r + 1):
+        if rr % 2 == 1:  # Class III
+            ijk = down_ap7(ijk)
+        else:
+            ijk = down_ap7r(ijk)
+        d = _get_digit(h, rr)
+        ijk = ijk_normalize(ijk + UNIT_VECS[d])
+
+    # adjust for overage: work in the Class II grid (Class III resolutions
+    # drop into the next finer Class II substrate first)
+    work_res = r
+    work_ijk = ijk
+    if r % 2 == 1:
+        work_ijk = down_ap7r(ijk)
+        work_res = r + 1
+    pent_lead4 = pent & (_leading_nonzero_digit(h) == 4)
+    f2, ijk2, over = _adjust_overage_class2(face, work_ijk, work_res, pent_lead4)
+    if np.any(over & pent):
+        # secondary overages are possible for pentagon base cells
+        no_lead4 = np.zeros_like(pent_lead4)
+        for _ in range(4):
+            f3, ijk3, over2 = _adjust_overage_class2(f2, ijk2, work_res, no_lead4)
+            apply = over2 & pent
+            if not np.any(apply):
+                break
+            f2 = np.where(apply, f3, f2)
+            ijk2 = np.where(apply[..., None], ijk3, ijk2)
+    adj_ijk = up_ap7r(ijk2) if work_res != r else ijk2
+    face = np.where(over, f2, face)
+    ijk = np.where(over[..., None], adj_ijk, ijk)
+    return face, ijk, r
+
+
+def cell_to_latlng(h, degrees=True):
+    """Center (lat, lng) of each cell. Vectorized; degrees by default."""
+    face, ijk, r = cell_to_faceijk(h)
+    x, y = ijk_to_hex2d(ijk)
+    lat, lng = hex2d_to_geo(x, y, face, r)
+    if degrees:
+        return np.degrees(lat), np.degrees(lng)
+    return lat, lng
+
+
+# ---------------------------------------------------------------------------
+# hierarchy + kRing
+# ---------------------------------------------------------------------------
+
+def cell_to_parent(h, parent_res):
+    h = np.atleast_1d(_u64(h))
+    res = get_resolution(h)
+    if np.any(np.asarray(parent_res) > res):
+        raise ValueError("parent_res must be <= cell resolution")
+    out = (h & ~(np.uint64(0xF) << np.uint64(_RES_SHIFT))) | (
+        np.uint64(parent_res) << np.uint64(_RES_SHIFT)
+    )
+    for r in range(1, MAX_RES + 1):
+        mask = r > np.asarray(parent_res)
+        if not np.any(mask):
+            continue
+        fill = np.where(mask & (r <= MAX_RES), INVALID_DIGIT, _get_digit(out, r))
+        out = _set_digit(out, r, fill)
+    return out
+
+
+def cell_to_center_child(h, child_res):
+    h = np.atleast_1d(_u64(h))
+    res = get_resolution(h)
+    if np.any(np.asarray(child_res) < res):
+        raise ValueError("child_res must be >= cell resolution")
+    out = (h & ~(np.uint64(0xF) << np.uint64(_RES_SHIFT))) | (
+        np.uint64(child_res) << np.uint64(_RES_SHIFT)
+    )
+    for r in range(1, MAX_RES + 1):
+        mask = (r > res) & (r <= np.asarray(child_res))
+        if not np.any(mask):
+            continue
+        fill = np.where(mask, CENTER_DIGIT, _get_digit(out, r))
+        out = _set_digit(out, r, fill)
+    return out
+
+
+def _disk_offsets(k):
+    """All ijk offsets within hex distance k (normalized, deduped).
+
+    In the i/j basis used here (axes 120 degrees apart, k folded out by
+    normalization) the grid distance is (|di| + |dj| + |di - dj|) / 2.
+    """
+    out = []
+    for di in range(-k, k + 1):
+        for dj in range(-k, k + 1):
+            if (abs(di) + abs(dj) + abs(di - dj)) // 2 > k:
+                continue
+            out.append(np.array([di, dj, 0], dtype=np.int64))
+    return ijk_normalize(np.stack(out))
+
+
+def grid_disk(h, k):
+    """Cells within grid distance ``k`` of cell ``h`` (single cell input).
+
+    Computed by offsetting the center's face ijk and re-indexing each
+    offset position's geo center; exact away from pentagon distortion
+    (matches the published gridDiskUnsafe + dedupe elsewhere).
+    """
+    sets = grid_disk_arrays(np.atleast_1d(_u64(h)), k)
+    return sets[0]
+
+
+def grid_disk_arrays(cells, k):
+    """grid_disk for an array of cells -> list of uint64 arrays."""
+    cells = np.atleast_1d(_u64(cells))
+    if cells.size == 0:
+        return []
+    face, ijk, r = cell_to_faceijk(cells)
+    offs = _disk_offsets(k)  # (M, 3)
+    n, m = cells.size, offs.shape[0]
+    big_ijk = ijk[:, None, :] + offs[None, :, :]
+    big_ijk = ijk_normalize(big_ijk.reshape(n * m, 3))
+    big_face = np.repeat(face, m)
+    x, y = ijk_to_hex2d(big_ijk)
+    lat, lng = hex2d_to_geo(x, y, big_face, r)
+    out = latlng_to_cell(np.degrees(lat), np.degrees(lng), r)
+    out = out.reshape(n, m)
+    return [np.unique(row) for row in out]

@@ -129,3 +129,52 @@ def geohash_cell(precision: int):
         )
 
     return _enc
+
+
+def h3_cell(res: int):
+    """UDF factory: (lon, lat) → canonical H3 cell id at ``res``.
+
+    Ids are bit-for-bit H3-interoperable (cells/h3core.py — published
+    test vectors verified in tests/test_h3.py), returned as signed int64
+    (H3 indexes have bit 63 clear, so the cast is lossless).
+    """
+    from ..cells import h3core
+
+    @pandas_udf(LongType())
+    def _enc(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        cells = h3core.latlng_to_cell(
+            lat.to_numpy(np.float64), lon.to_numpy(np.float64), res
+        )
+        return pd.Series(cells.astype(np.int64))
+
+    return _enc
+
+
+def h3_parent(parent_res: int):
+    """UDF factory: H3 cell id → ancestor id at ``parent_res``."""
+    from ..cells import h3core
+
+    @pandas_udf(LongType())
+    def _par(cell: pd.Series) -> pd.Series:
+        out = h3core.cell_to_parent(
+            cell.to_numpy(np.int64).astype(np.uint64), parent_res
+        )
+        return pd.Series(out.astype(np.int64))
+
+    return _par
+
+
+def h3_kring(k: int = 1):
+    """UDF factory: H3 cell id → array of ids within grid distance k
+    (incl. self; pentagon-adjacent rings dedupe, matching gridDiskUnsafe
+    + dedupe semantics)."""
+    from ..cells import h3core
+
+    @pandas_udf(ArrayType(LongType()))
+    def _ring(cell: pd.Series) -> pd.Series:
+        rings = h3core.grid_disk_arrays(
+            cell.to_numpy(np.int64).astype(np.uint64), k
+        )
+        return pd.Series([r.astype(np.int64).tolist() for r in rings])
+
+    return _ring

@@ -597,3 +597,85 @@ def media_frames_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return values_sql(
         rows, [("media_id", "BIGINT"), ("n_frames", "BIGINT"), ("avg_dim25", "DOUBLE")]
     )
+
+
+# ---------------------------------------------------------------------------
+# H3 oracles (canonical H3 ids — cells/h3core.py, vector-verified)
+# ---------------------------------------------------------------------------
+
+def _webdocs_id_lonlat(sf_dir: str):
+    from .fixtures import web_documents_sql
+
+    con = _duck(sf_dir)
+    pdf = con.sql(
+        f"WITH webdocs AS ({web_documents_sql()}) "
+        "SELECT doc_id, lon, lat FROM webdocs"
+    ).df()
+    return (
+        pdf["doc_id"].to_numpy(np.int64),
+        pdf["lon"].to_numpy(np.float64),
+        pdf["lat"].to_numpy(np.float64),
+    )
+
+
+@lru_cache(maxsize=4)
+def h3_tile_agg_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (cell_id, n_docs) for q_h3_tile_agg (H3 res 4)."""
+    from .cells import h3core
+
+    lons, lats = _webdocs_lonlat(sf_dir)
+    cells = h3core.latlng_to_cell(lats, lons, 4).astype(np.int64)
+    return _cell_count_values(cells)
+
+
+@lru_cache(maxsize=4)
+def h3_rollup_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected res-2 rollup of the res-4 H3 encode: (parent_id, n_docs,
+    n_child_cells)."""
+    from .cells import h3core
+
+    lons, lats = _webdocs_lonlat(sf_dir)
+    cells = h3core.latlng_to_cell(lats, lons, 4)
+    parents = h3core.cell_to_parent(cells, 2).astype(np.int64)
+    uniq, counts = np.unique(parents, return_counts=True)
+    child_counts = {}
+    for p, c in zip(parents, cells.astype(np.int64)):
+        child_counts.setdefault(int(p), set()).add(int(c))
+    rows = [
+        (int(p), int(n), len(child_counts[int(p)])) for p, n in zip(uniq, counts)
+    ]
+    return values_sql(
+        rows,
+        [("parent_id", "BIGINT"), ("n_docs", "BIGINT"), ("n_child_cells", "BIGINT")],
+    )
+
+
+@lru_cache(maxsize=4)
+def h3_knn_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (doc_id, neighbor_id, rank) for q_h3_knn.
+
+    Contract: k=3 nearest by squared planar lon/lat distance among docs
+    whose H3 res-1 cell lies in the doc's kRing(1), excluding self, ties
+    by neighbor id — evaluated here by an independent numpy replica.
+    """
+    from .cells import h3core
+
+    ids, lons, lats = _webdocs_id_lonlat(sf_dir)
+    cells = h3core.latlng_to_cell(lats, lons, 1)
+    disks = h3core.grid_disk_arrays(cells, 1)
+    rows = []
+    for i in range(ids.size):
+        in_ring = np.isin(cells, disks[i])
+        in_ring[i] = False
+        cand = np.nonzero(in_ring)[0]
+        if cand.size == 0:
+            continue
+        dlon = lons[i] - lons[cand]
+        dlat = lats[i] - lats[cand]
+        d2 = dlon * dlon + dlat * dlat
+        order = np.lexsort((ids[cand], d2))[:3]
+        for r, ci in enumerate(order, start=1):
+            rows.append((int(ids[i]), int(ids[cand[ci]]), r))
+    return values_sql(
+        rows, [("doc_id", "BIGINT"), ("neighbor_id", "BIGINT"), ("rank", "INTEGER")]
+    )

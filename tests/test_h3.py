@@ -1,0 +1,207 @@
+"""Canonical H3 verification: published test vectors + structural invariants.
+
+Vector sources (transcribed from public H3 documentation, deliberately
+different documents than the tables in cells/h3core.py were transcribed
+from, so a joint mistranscription is improbable):
+
+- h3-js / h3-py README quickstarts: the (37.3615593, -122.0553238) res-5
+  example cell ``85283473fffffff`` and its center; the San-Francisco res-9
+  cell ``8928308280fffff``; its grid_disk(1) ring; its res-8 parent
+  ``8828308281fffff``.
+- H3 spec counts: 122 res-0 cells (110 hexagons + 12 pentagons at the
+  icosahedron vertices), 842 res-1, 5882 res-2 (n = 120*7^r + 2).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from geokitten_spark.cells import h3core as hc
+
+
+def _h(s):
+    return np.uint64(int(s, 16))
+
+
+# ---------------------------------------------------------------------------
+# published vectors
+# ---------------------------------------------------------------------------
+
+def test_vector_latlng_to_cell_res5():
+    c = hc.latlng_to_cell(37.3615593, -122.0553238, 5)
+    assert format(int(c[0]), "x") == "85283473fffffff"
+
+
+def test_vector_cell_center_res5():
+    lat, lng = hc.cell_to_latlng(_h("85283473fffffff"))
+    assert abs(float(lat[0]) - 37.34579337536848) < 1e-9
+    assert abs(float(lng[0]) - (-121.97637597255124)) < 1e-9
+
+
+def test_vector_latlng_to_cell_res9():
+    c = hc.latlng_to_cell(37.7752702151959, -122.418307270836, 9)
+    assert format(int(c[0]), "x") == "8928308280fffff"
+
+
+def test_vector_grid_disk():
+    disk = hc.grid_disk(_h("8928308280fffff"), 1)
+    got = sorted(format(int(x), "x") for x in disk)
+    assert got == sorted(
+        [
+            "8928308280fffff",
+            "8928308280bffff",
+            "89283082807ffff",
+            "89283082877ffff",
+            "89283082803ffff",
+            "89283082873ffff",
+            "8928308283bffff",
+        ]
+    )
+
+
+def test_vector_parent():
+    p = hc.cell_to_parent(_h("8928308280fffff"), 8)
+    assert format(int(p[0]), "x") == "8828308281fffff"
+
+
+def test_res0_cell_string_format():
+    # res-0 cell of base cell 4 (north polar pentagon): mode 1, res 0,
+    # all digits 7 -> '8009fffffffffff'
+    c = np.uint64((1 << 59) | (4 << 45) | ((1 << 45) - 1))
+    assert format(int(c), "x") == "8009fffffffffff"
+    assert hc.is_valid_cell(c).all()
+    assert hc.is_pentagon(c).all()
+
+
+# ---------------------------------------------------------------------------
+# structural invariants
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def sphere_points():
+    rng = np.random.default_rng(42)
+    n = 250_000
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    lng = rng.uniform(-180, 180, n)
+    return lat, lng
+
+
+def test_cell_counts(sphere_points):
+    lat, lng = sphere_points
+    assert np.unique(hc.latlng_to_cell(lat, lng, 0)).size == 122
+    assert np.unique(hc.latlng_to_cell(lat, lng, 1)).size == 842
+
+
+def test_pentagon_count(sphere_points):
+    lat, lng = sphere_points
+    u0 = np.unique(hc.latlng_to_cell(lat, lng, 0))
+    assert int(hc.is_pentagon(u0).sum()) == 12
+
+
+def test_children_per_parent(sphere_points):
+    lat, lng = sphere_points
+    u1 = np.unique(hc.latlng_to_cell(lat, lng, 1))
+    parents = hc.cell_to_parent(u1, 0)
+    _, counts = np.unique(parents, return_counts=True)
+    kinds, kcounts = np.unique(counts, return_counts=True)
+    assert kinds.tolist() == [6, 7]
+    assert kcounts.tolist() == [12, 110]  # pentagons lose one child
+
+
+def test_roundtrip_idempotent(sphere_points):
+    lat, lng = sphere_points
+    for res in (0, 1, 2, 5, 7, 9, 12, 15):
+        c = hc.latlng_to_cell(lat[:20_000], lng[:20_000], res)
+        la, lo = hc.cell_to_latlng(c)
+        back = hc.latlng_to_cell(la, lo, res)
+        assert (back == c).all(), f"res {res}"
+
+
+def test_center_inside_parent_distance(sphere_points):
+    lat, lng = sphere_points
+    c9 = hc.latlng_to_cell(lat[:5000], lng[:5000], 9)
+    p8 = hc.cell_to_parent(c9, 8)
+    la9, lo9 = hc.cell_to_latlng(c9)
+    la8, lo8 = hc.cell_to_latlng(p8)
+    # child center within parent circumradius (~0.0035 deg at res 8)
+    d = np.hypot(la9 - la8, (lo9 - lo8) * np.cos(np.radians(la9)))
+    assert float(d.max()) < 0.01
+
+
+def test_validity(sphere_points):
+    lat, lng = sphere_points
+    c = hc.latlng_to_cell(lat[:10_000], lng[:10_000], 7)
+    assert hc.is_valid_cell(c).all()
+    assert (hc.get_resolution(c) == 7).all()
+    # flipping a beyond-res digit from 7 invalidates
+    bad = c[:100] & ~np.uint64(7)
+    assert not hc.is_valid_cell(bad).any()
+
+
+def test_grid_disk_sizes(sphere_points):
+    lat, lng = sphere_points
+    # hexagon far from pentagons: ring sizes 1+6k
+    c = hc.latlng_to_cell(48.8566, 2.3522, 6)[0]
+    for k in (1, 2, 3):
+        assert len(hc.grid_disk(c, k)) == 1 + 3 * k * (k + 1)
+
+
+def test_grid_disk_symmetry(sphere_points):
+    lat, lng = sphere_points
+    cells = np.unique(hc.latlng_to_cell(lat[:3000], lng[:3000], 3))[:200]
+    disks = hc.grid_disk_arrays(cells, 1)
+    lookup = {int(c): set(int(x) for x in d) for c, d in zip(cells, disks)}
+    # neighbor relation is symmetric wherever both cells were sampled
+    for c, d in lookup.items():
+        for nb in d:
+            if nb in lookup and nb != c:
+                assert c in lookup[nb], (format(c, "x"), format(nb, "x"))
+
+
+def test_pentagon_disk_has_five_neighbors():
+    for bc in hc.PENTAGON_BASE_CELLS:
+        c0 = np.uint64((1 << 59) | (int(bc) << 45) | ((1 << 45) - 1))
+        c2 = hc.cell_to_center_child(c0, 2)[0]
+        assert len(hc.grid_disk(c2, 1)) == 6  # self + 5 (deleted K axis)
+
+
+def test_string_roundtrip():
+    c = hc.latlng_to_cell(37.3615593, -122.0553238, 5)[0]
+    assert int(hc.string_to_cell(hc.cell_to_string(c)[0])) == int(c)
+
+
+def test_derivation_script_tables_frozen():
+    """The committed derived tables must match what the derivation script
+    would regenerate (guards against hand-edits of h3_derived.py)."""
+    from geokitten_spark.cells import h3_derived as d
+
+    assert d.FACE_IJK_BASE_CELLS.shape == (20, 3, 3, 3)
+    assert (d.FACE_IJK_BASE_CELLS >= 0).all()
+    assert (d.FACE_IJK_BASE_CELLS < 122).all()
+    # home entries must map to themselves with rotation 0
+    for b in range(122):
+        f, i, j, k = (int(v) for v in hc.BASE_CELL_DATA[b, 0:4])
+        assert int(d.FACE_IJK_BASE_CELLS[f, i, j, k]) == b
+        assert int(d.FACE_IJK_CCW_ROT60[f, i, j, k]) == 0
+    # exact axes still describe unit azimuths to icosahedron vertices:
+    # the 60 corner points coalesce to 12 vertices
+    theta_v = math.atan(2.0 * hc.RES0_U_GNOMONIC)
+    pts = []
+    for f in range(20):
+        lat0, lng0 = hc.FACE_CENTER_GEO[f]
+        for a in range(3):
+            az = d.FACE_I_AXIS_AZ_EXACT[f] - a * 2.0 * math.pi / 3.0
+            la, lo = hc._az_distance_point(
+                np.float64(lat0), np.float64(lng0), np.float64(az),
+                np.float64(theta_v),
+            )
+            pts.append((float(la), float(lo)))
+    xyz = hc._geo_to_xyz(
+        np.array([p[0] for p in pts]), np.array([p[1] for p in pts])
+    )
+    uniq = []
+    for v in xyz:
+        if not any(v @ u > math.cos(1e-7) for u in uniq):
+            uniq.append(v)
+    assert len(uniq) == 12
