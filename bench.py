@@ -241,6 +241,73 @@ def _md5_chain(n: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# regression fence (VERDICT r2 item 4): control-normalized cross-round
+# per-query comparison. The raw ratio test of r1/r2 could never fail on a
+# noisy host because its "noisy" escape hatch was always true; instead,
+# divide the current times by the single-thread control ratio between the
+# two rounds — uniform host slowdown (steal) inflates queries AND control
+# equally and cancels; a code regression inflates only its query.
+# ---------------------------------------------------------------------------
+
+def load_fence_baseline(repo_dir: str, sf=None):
+    """Newest BENCH_r*.json whose parsed record matches ``sf`` and carries
+    per-query times; prefers records with a cpu control."""
+    import glob
+    import re as _re
+
+    best = (None, None)
+    for path in sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))):
+        m = _re.search(r"BENCH_(r\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            parsed = json.load(open(path)).get("parsed", {})
+        except Exception:
+            continue
+        if not parsed.get("queries"):
+            continue
+        if sf is not None and parsed.get("sf") not in (None, sf):
+            continue
+        # later rounds win; within that, a record with a control beats one
+        # without (BENCH_r01 predates the controls)
+        if best[1] is None or parsed.get("cpu_control_sec") is not None:
+            best = (m.group(1), parsed)
+    return best
+
+
+def regression_fence(cur_queries, cur_ctl, base_queries, base_ctl,
+                     ratio_fence=1.5, abs_fence=0.5):
+    """(vs_ratios, regressions, note) with control-normalized times.
+
+    A query regresses when its control-normalized time exceeds the
+    baseline by BOTH ratio_fence x and abs_fence seconds. Tested
+    synthetically in tests/test_bench_fence.py: a 2x per-query slowdown
+    with equal controls is flagged; a uniform 2x slowdown accompanied by
+    a 2x control (pure host noise) is not.
+    """
+    norm = 1.0
+    note = None
+    if cur_ctl and base_ctl:
+        norm = float(cur_ctl) / float(base_ctl)
+        if abs(norm - 1.0) > 0.15:
+            note = (
+                f"cross-round times normalized by single-thread control "
+                f"ratio {norm:.2f} ({cur_ctl}s now vs {base_ctl}s baseline)"
+            )
+    vs = {}
+    regressions = []
+    for q, t in cur_queries.items():
+        t0 = base_queries.get(q)
+        if not t0:
+            continue
+        t_norm = t / norm
+        vs[q] = round(t_norm / t0, 2)
+        if vs[q] > ratio_fence and (t_norm - t0) > abs_fence:
+            regressions.append(q)
+    return vs, sorted(regressions), note
+
+
+# ---------------------------------------------------------------------------
 # --scaling: N vs 4N cores on the flagship cover-refine join (BASELINE.json
 # two-cluster-size criterion, sandbox form). Protocol (see BENCH/BASELINE.md):
 # 200M-doc parquet snapshot generated once; legs interleaved across two
@@ -649,41 +716,20 @@ def main():
         return
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     result = run_once(cpus)
-    # regression fence (VERDICT r1 item 10): per-query delta vs BENCH_r01
-    r1_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
-    if os.path.exists(r1_path):
-        try:
-            r1 = json.load(open(r1_path)).get("parsed", {}).get("queries", {})
-            vs = {
-                q: round(t / r1[q], 2)
-                for q, t in result["queries"].items()
-                if q in r1 and r1[q] > 0
-            }
-            result["vs_r1"] = vs
-            # sub-second queries jitter ±30-50% on this steal-prone host
-            # (see BENCH/BASELINE.md "noise floor"); a real regression is a
-            # sustained ratio AND a material absolute delta, not jitter
-            result["regressions_vs_r1"] = sorted(
-                q
-                for q, ratio in vs.items()
-                if ratio > 1.5 and result["queries"][q] - r1[q] > 0.5
-            )
-            mc = result.get("cpu_multicore_slowdown", 1.0)
-            ctl = result.get("cpu_control_sec", 0.0)
-            # quiet-host reference for the single-thread md5 control is
-            # ~1.4-1.5s; a steal burst inflates the control itself, which
-            # is the cleanest cross-round normalizer (uniform per-query
-            # inflation with an inflated control == host, not code)
-            noisy = mc > 1.5 or ctl > 2.0
-            if result["regressions_vs_r1"] and noisy:
-                result["regressions_note"] = (
-                    f"host noise measured in-run (multicore slowdown {mc}x, "
-                    f"single-thread control {ctl}s vs ~1.45s quiet): "
-                    "per-query ratios are inflated by hypervisor steal, not "
-                    "code; normalize by cpu_control_sec across rounds"
-                )
-        except Exception:
-            pass
+    base_name, base = load_fence_baseline(
+        os.path.dirname(os.path.abspath(__file__)), sf=result.get("sf")
+    )
+    if base:
+        vs, regressions, note = regression_fence(
+            result["queries"],
+            result.get("cpu_control_sec"),
+            base.get("queries", {}),
+            base.get("cpu_control_sec"),
+        )
+        result[f"vs_{base_name}"] = vs
+        result[f"regressions_vs_{base_name}"] = regressions
+        if note:
+            result["regressions_note"] = note
     print(json.dumps(result))
 
 

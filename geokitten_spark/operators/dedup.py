@@ -164,13 +164,24 @@ def minhash_neardup(
     # whole shingle transform in the predicate — measured 1.6x slower).
     # Mirrored in minhash_neardup_sql.
     n_words = F.size(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    # the verify payload shuffled through the band join is the 60-bit HASH
+    # of each shingle (8 bytes/shingle), never the shingle strings — at
+    # corpus scale the band exchange replicates the payload x bands, so
+    # string arrays would multiply shuffle bytes by the document size.
+    # Jaccard over hashed distinct sets equals string-set Jaccard up to
+    # md5-collisions (~2^-60 per pair); the DuckDB twin hashes identically
+    # so parity is exact.
     sig = (
         docs.filter(n_words >= shingle_n)
         .select(
             F.col(id_col).alias("doc_id"),
             word_shingles(F.col(text_col), shingle_n).alias("sh"),
         )
-        .select("doc_id", "sh", *minhash_signature(F.col("sh"), n_hashes))
+        .select(
+            "doc_id",
+            F.transform(F.col("sh"), hash60).alias("shh"),
+            *minhash_signature(F.col("sh"), n_hashes),
+        )
     )
 
     # band keys derived from the computed signature IN ONE projection and
@@ -189,14 +200,14 @@ def minhash_neardup(
         ]
     )
     banded = sig.select(
-        "doc_id", "sh", F.posexplode(band_keys).alias("band", "bkey")
+        "doc_id", "shh", F.posexplode(band_keys).alias("band", "bkey")
     )
 
     a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "bkey"
+        F.col("doc_id").alias("doc_a"), F.col("shh").alias("sh_a"), "band", "bkey"
     )
     b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "bkey"
+        F.col("doc_id").alias("doc_b"), F.col("shh").alias("sh_b"), "band", "bkey"
     )
     cand = (
         a.join(b, on=["band", "bkey"])
@@ -228,13 +239,14 @@ def minhash_neardup_sql(
     sh = word_shingles_sql("w", shingle_n)
     mh = minhash_signature_sql("sh", n_hashes)
     mh_cols = ", ".join(f"{e} AS mh{i}" for i, e in enumerate(mh))
+    shh = f"list_transform(sh, s -> {hash60_sql('s')})"
     band_selects = []
     for b in range(bands):
         key = " || ',' || ".join(
             f"CAST(mh{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
         )
         band_selects.append(
-            f"SELECT doc_id, sh, {b} AS band, {key} AS bkey FROM sig"
+            f"SELECT doc_id, shh, {b} AS band, {key} AS bkey FROM sig"
         )
     return f"""
         WITH {corpus_cte},
@@ -245,11 +257,11 @@ def minhash_neardup_sql(
                   FROM corpus)
             WHERE len(w) >= {shingle_n}
         ),
-        sig AS (SELECT doc_id, sh, {mh_cols} FROM shingled),
+        sig AS (SELECT doc_id, {shh} AS shh, {mh_cols} FROM shingled),
         banded AS ({' UNION ALL '.join(band_selects)}),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   a.sh AS sh_a, b.sh AS sh_b
+                   a.shh AS sh_a, b.shh AS sh_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
         )
@@ -618,11 +630,18 @@ def ngram_jaccard_pairs(
         f"array_distinct(transform(sequence(1, length({t}) - {n - 1}), "
         f"i -> substring({t}, i, {n}))) ELSE array() END"
     )
+    # shuffle 8-byte gram hashes, not gram strings (same contract as
+    # minhash_neardup: Jaccard over hashed distinct sets, twin hashes
+    # identically, collision odds ~2^-60 per pair)
+    gram_hashes = (
+        f"transform({grams}, s -> "
+        f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"
+    )
     g = docs.selectExpr(
         f"{id_col} AS doc_id",
         f"substring({t}, 1, {prefix_len}) AS pfx",
         f"CAST(FLOOR(length({t}) / {len_bucket}) AS BIGINT) AS lb",
-        f"{grams} AS ng",
+        f"{gram_hashes} AS ng",
     )
     a = g.select(
         F.col("doc_id").alias("doc_a"), F.col("ng").alias("ng_a"), "pfx",
@@ -653,11 +672,12 @@ def ngram_jaccard_sql(
         f"list_distinct(list_transform(generate_series(1, greatest(length({t}) - {n - 1}, 0)), "
         f"i -> substr({t}, i, {n})))"
     )
+    gram_hashes = f"list_transform({grams}, s -> {hash60_sql('s')})"
     return f"""
         WITH {corpus_cte},
         g AS (SELECT doc_id, substr({t}, 1, {prefix_len}) AS pfx,
                      CAST(FLOOR(length({t}) / {len_bucket}) AS BIGINT) AS lb,
-                     {grams} AS ng FROM corpus),
+                     {gram_hashes} AS ng FROM corpus),
         cand AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.ng AS ng_a, b.ng AS ng_b
             FROM g a JOIN g b

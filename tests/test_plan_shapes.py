@@ -75,3 +75,39 @@ def test_split_assign_is_pure_projection(spark):
         split_assign(F.col("doc_id"), [("a", 0.5), ("b", 0.5)]).alias("s")
     )
     assert _n_exchanges(df) == 0
+
+
+def _exchange_output_types(df):
+    """(name, dataType) of every attribute crossing a shuffle exchange."""
+    out = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if "ShuffleExchange" in name:
+            attrs = node.output()
+            for i in range(attrs.length()):
+                a = attrs.apply(i)
+                out.append((a.name(), a.dataType().simpleString()))
+        kids = node.children()
+        for i in range(kids.length()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_lsh_verify_payloads_are_hashed(spark):
+    """The band/block joins must shuffle int64 shingle hashes, never the
+    shingle/gram STRING arrays (at corpus scale the band exchange
+    replicates the payload x bands)."""
+    from geokitten_spark.fixtures import neardup_corpus
+    from geokitten_spark.operators.dedup import minhash_neardup, ngram_jaccard_pairs
+
+    docs = neardup_corpus(spark, SF_SMOKE)
+    for df in (minhash_neardup(docs), ngram_jaccard_pairs(docs)):
+        bad = [
+            (n, t)
+            for (n, t) in _exchange_output_types(df)
+            if "array<string>" in t
+        ]
+        assert not bad, f"string-array payload crosses an exchange: {bad}"
