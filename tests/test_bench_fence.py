@@ -1,0 +1,70 @@
+"""Synthetic tests for the control-normalized bench regression fence
+(VERDICT r2 item 4 done-criterion): a real per-query regression with a
+quiet host is flagged; a uniform host slowdown that also inflates the
+cpu control is not; and the old always-open escape hatch is gone."""
+
+import bench
+
+
+BASE = {"qa": 2.0, "qb": 4.0, "qc": 0.3}
+
+
+def test_real_regression_flagged_with_equal_controls():
+    cur = {"qa": 4.0, "qb": 4.1, "qc": 0.31}
+    vs, regs, note = bench.regression_fence(cur, 0.85, BASE, 0.85)
+    assert regs == ["qa"]
+    assert note is None
+
+
+def test_uniform_host_slowdown_with_matching_control_not_flagged():
+    cur = {q: t * 2.0 for q, t in BASE.items()}
+    vs, regs, note = bench.regression_fence(cur, 1.70, BASE, 0.85)
+    assert regs == []
+    assert note is not None  # normalization was applied and disclosed
+    assert all(abs(r - 1.0) < 0.05 for r in vs.values())
+
+
+def test_regression_still_flagged_under_host_noise():
+    # host 2x slower AND qa regressed 2x on top: qa flagged, qb not
+    cur = {"qa": 8.0, "qb": 8.2, "qc": 0.6}
+    vs, regs, note = bench.regression_fence(cur, 1.70, BASE, 0.85)
+    assert regs == ["qa"]
+
+
+def test_small_absolute_deltas_not_flagged():
+    # 2x ratio but tiny absolute delta (sub-second query jitter)
+    cur = {"qc": 0.65}
+    vs, regs, note = bench.regression_fence(cur, 0.85, {"qc": 0.3}, 0.85)
+    assert regs == []
+
+
+def test_missing_controls_fall_back_to_raw_compare():
+    cur = {"qa": 4.0}
+    vs, regs, note = bench.regression_fence(cur, None, {"qa": 2.0}, None)
+    assert regs == ["qa"]
+    assert note is None
+
+
+def test_baseline_loader_prefers_latest_with_control(tmp_path):
+    import json
+
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"queries": {"qa": 1.0}, "sf": 0.1}})
+    )
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps(
+            {
+                "parsed": {
+                    "queries": {"qa": 1.1},
+                    "sf": 0.1,
+                    "cpu_control_sec": 0.8,
+                }
+            }
+        )
+    )
+    name, parsed = bench.load_fence_baseline(str(tmp_path), sf=0.1)
+    assert name == "r02"
+    assert parsed["cpu_control_sec"] == 0.8
+    # sf mismatch -> no baseline (never compare sf0.01 runs to sf0.1 records)
+    name2, parsed2 = bench.load_fence_baseline(str(tmp_path), sf=0.01)
+    assert parsed2 is None
