@@ -8,7 +8,12 @@ signatures, partitioning). The decode kernel dispatches per payload:
   ``decode_ppm``/``encode_ppm``). The synthetic media fixture emits
   valid P6 payloads for image rows, so the image pipeline exercises a
   genuine binary→pixels decode end to end with no external codec.
-* **JPEG/PNG/etc.** — gated behind an import-try; with Pillow absent in
+* **PNG** — REAL decode, stdlib zlib + numpy (chunk walk with CRC
+  checks, inflate, all five scanline defilters; 8-bit gray/RGB/RGBA,
+  interlace 0 — see ``decode_png``/``encode_png``). The media fixture
+  emits PNG for even image ids and PPM for odd ones, so both binary
+  parses run end to end with no external codec.
+* **JPEG/etc.** — gated behind an import-try; with Pillow absent in
   this container these raise ``NotImplementedError``.
 * **fake=True** — deterministic byte-fold fallback for payloads that are
   not encoded media at all (the audio/video stand-ins), a pure function
@@ -94,14 +99,19 @@ def synthetic_media(spark: SparkSession, sf_dir: str, n_rows: int = 200) -> Data
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BinaryType())
-    def _ppm_payload(text: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+    def _img_payload(
+        media_id: pd.Series, text: pd.Series, width: pd.Series, height: pd.Series
+    ) -> pd.Series:
+        # even image ids encode as PNG (exercising the zlib+defilter
+        # parse), odd as PPM — both REAL format roundtrips
         out = []
-        for t, w, h in zip(text, width, height):
+        for mid, t, w, h in zip(media_id, text, width, height):
             raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
             need = int(w) * int(h) * 3
             reps = (need + len(raw) - 1) // max(1, len(raw))
             px = np.tile(raw, reps)[:need].reshape(int(h), int(w), 3)
-            out.append(encode_ppm(px))
+            enc = encode_png if int(mid) % 2 == 0 else encode_ppm
+            out.append(enc(px))
         return pd.Series(out)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(n_rows)
@@ -115,7 +125,7 @@ def synthetic_media(spark: SparkSession, sf_dir: str, n_rows: int = 200) -> Data
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.when(kind == "image", _ppm_payload(F.col("text"), w, h))
+        F.when(kind == "image", _img_payload(F.col("doc_id"), F.col("text"), w, h))
         .otherwise(F.col("text").cast("binary"))
         .alias("payload"),
         F.struct(
@@ -182,6 +192,175 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.repeat(img, 3, axis=2) if channels == 1 else img
 
 
+# ---------------------------------------------------------------------------
+# real PNG codec (stdlib zlib + numpy — 8-bit gray/RGB/RGBA, interlace 0;
+# all five scanline filters implemented so web-crawled PNGs decode, not
+# just our own output)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a, b, c):
+    """Paeth predictor (per PNG spec): nearest of left/up/up-left."""
+    p = int(a) + int(b) - int(c)
+    pa, pb, pc = abs(p - int(a)), abs(p - int(b)), abs(p - int(c))
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → HxWx3 uint8 (gray replicated, alpha dropped).
+
+    Pure stdlib-zlib + numpy: chunk walk (IHDR/IDAT/IEND with CRC check),
+    inflate, per-scanline defilter (None/Sub/Up/Average/Paeth).
+    Supported: bit depth 8, color types 0/2/4/6, interlace 0. Palette
+    (type 3), 16-bit and Adam7 raise ``NotImplementedError``.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"only 8-bit gray/RGB(A) PNG supported (depth={depth}, "
+            f"color type={color})"
+        )
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line
+            for i in range(ch, stride):
+                cur[i] = (int(cur[i]) + int(cur[i - ch])) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.int64) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = line
+            for i in range(stride):
+                left = int(cur[i - ch]) if i >= ch else 0
+                cur[i] = (int(cur[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for i in range(stride):
+                left = int(cur[i - ch]) if i >= ch else 0
+                ul = int(prev[i - ch]) if i >= ch else 0
+                cur[i] = (int(cur[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = cur
+        prev = out[y]
+    img = out.reshape(h, w, ch)
+    if color == 0:
+        return np.repeat(img, 3, axis=2)
+    if color == 2:
+        return img
+    if color == 4:  # gray + alpha: drop alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3]  # RGBA: drop alpha
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """HxWx3 (RGB) / HxWx4 (RGBA) / HxW (gray) uint8 → PNG bytes.
+
+    Filter type cycles per row (y % 5) so decoders exercise every
+    defilter path; zlib level 6 — fully deterministic."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color, ch = 0, 1
+        img = img[:, :, None]
+    elif img.shape[2] == 3:
+        color, ch = 2, 3
+    elif img.shape[2] == 4:
+        color, ch = 6, 4
+    else:
+        raise ValueError("expected HxW, HxWx3 or HxWx4")
+    h, w = img.shape[:2]
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int64)
+    lines = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = flat[y]
+        ftype = y % 5
+        if ftype == 0:
+            enc = cur
+        elif ftype == 1:
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+            enc = cur - left
+        elif ftype == 2:
+            enc = cur - prev
+        elif ftype == 3:
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+            enc = cur - (left + prev) // 2
+        else:
+            left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+            ul = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+            pred = np.array(
+                [_paeth(left[i], prev[i], ul[i]) for i in range(stride)],
+                dtype=np.int64,
+            )
+            enc = cur - pred
+        lines.append(bytes([ftype]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), 6)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
 def _decode_fake(payload: bytes, width: int, height: int) -> np.ndarray:
     """Deterministic fake decode: tile the payload bytes into HxWx3."""
     arr = np.frombuffer(payload, dtype=np.uint8)
@@ -193,12 +372,14 @@ def _decode_fake(payload: bytes, width: int, height: int) -> np.ndarray:
 def _decode(payload: bytes, width: int, height: int, fake: bool) -> np.ndarray:
     if payload[:2] in (b"P6", b"P5"):  # real decode, no codec lib needed
         return decode_ppm(payload)
+    if payload[:8] == _PNG_SIG:  # real decode, stdlib zlib + numpy
+        return decode_png(payload)
     if fake:
         return _decode_fake(payload, width, height)
-    if not _HAVE_PIL:  # JPEG/PNG/... require an image codec
+    if not _HAVE_PIL:  # JPEG/... require an image codec
         raise NotImplementedError(
-            "decoding non-netpbm formats requires Pillow; pass fake=True "
-            "for the deterministic fallback decoder"
+            "decoding non-netpbm/PNG formats requires Pillow; pass "
+            "fake=True for the deterministic fallback decoder"
         )
     import io
 

@@ -365,6 +365,7 @@ def media_features_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     from .functions.multimodal import (
         _decode,
         _features_of,
+        encode_png,
         encode_ppm,
     )
 
@@ -381,7 +382,9 @@ def media_features_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
             raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
             need = w * h * 3
             reps = (need + len(raw) - 1) // max(1, len(raw))
-            payload = encode_ppm(np.tile(raw, reps)[:need].reshape(h, w, 3))
+            px = np.tile(raw, reps)[:need].reshape(h, w, 3)
+            # mirror the fixture: even ids PNG, odd ids PPM
+            payload = encode_png(px) if doc_id % 2 == 0 else encode_ppm(px)
         else:
             payload = text.encode("utf-8")
         feat = _features_of(_decode(payload, w, h, fake=True))

@@ -184,23 +184,84 @@ def test_ppm_codec_roundtrip_and_comments():
 
 
 def test_image_rows_really_decode(spark):
-    """Fixture image payloads are valid P6; image_features must go through
-    the REAL decode (pixel histogram of the decoded image), bit-equal to
-    decoding the payload driver-side."""
+    """Fixture image payloads are valid P6 (odd ids) / PNG (even ids);
+    image_features must go through the REAL decode (pixel histogram of
+    the decoded image), bit-equal to decoding the payload driver-side."""
     import numpy as np
 
     from geokitten_spark.functions.multimodal import (
-        synthetic_media, image_features, decode_ppm, _features_of,
+        synthetic_media, image_features, decode_ppm, decode_png, _features_of,
+        _PNG_SIG,
     )
     from tests.conftest import SF_SMOKE
 
     media = synthetic_media(spark, SF_SMOKE, n_rows=30)
     img_rows = media.filter("kind = 'image'").collect()
-    assert img_rows and all(bytes(r.payload)[:2] == b"P6" for r in img_rows)
+    assert img_rows
+    kinds = {bytes(r.payload)[:2] == b"P6" for r in img_rows} | {
+        bytes(r.payload)[:8] == _PNG_SIG for r in img_rows
+    }
+    assert True in kinds  # both formats present across the fixture
+    for r in img_rows:
+        p = bytes(r.payload)
+        if r.media_id % 2 == 0:
+            assert p[:8] == _PNG_SIG
+        else:
+            assert p[:2] == b"P6"
 
     feats = {r.media_id: r.embedding for r in image_features(media).collect()
              if r.kind == "image"}
     for r in img_rows:
-        expected = _features_of(decode_ppm(bytes(r.payload)))
+        p = bytes(r.payload)
+        dec = decode_png(p) if p[:8] == _PNG_SIG else decode_ppm(p)
+        expected = _features_of(dec)
         got = np.asarray(feats[r.media_id], dtype=np.float32)
         assert np.array_equal(got, expected)
+
+
+def test_png_codec_roundtrip_all_filters():
+    """encode_png cycles all five filter types per row; decode must invert
+    each exactly for gray / RGB / RGBA."""
+    import numpy as np
+
+    from geokitten_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(rgb)) == rgb).all()
+    gray = rng.integers(0, 256, (11, 7), dtype=np.uint8)
+    out = decode_png(encode_png(gray))
+    assert (out[:, :, 0] == gray).all() and (out[:, :, 1] == gray).all()
+    rgba = rng.integers(0, 256, (8, 6, 4), dtype=np.uint8)
+    assert (decode_png(encode_png(rgba)) == rgba[:, :, :3]).all()
+
+
+def test_png_codec_rejects_bad_payloads():
+    import struct
+    import zlib
+
+    import pytest
+
+    from geokitten_spark.functions.multimodal import decode_png, encode_png, _PNG_SIG
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        decode_png(b"notapng")
+    # corrupt a CRC
+    good = bytearray(encode_png(np.zeros((4, 4, 3), dtype=np.uint8)))
+    good[-5] ^= 0xFF  # inside IEND CRC
+    with pytest.raises(ValueError):
+        decode_png(bytes(good))
+    # unsupported: 16-bit depth header
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    idat_raw = zlib.compress(b"\x00" * 26)
+    idat = (
+        struct.pack(">I", len(idat_raw)) + b"IDAT" + idat_raw
+        + struct.pack(">I", zlib.crc32(b"IDAT" + idat_raw) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError):
+        decode_png(_PNG_SIG + chunk + idat)
