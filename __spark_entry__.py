@@ -1763,11 +1763,15 @@ def q_stream_stateful(spark, sf_dir):
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN scale path: top-10 via 3-probe inverted lists — rows-only
     (recall/monotonicity vs brute force covered in pytest)."""
+    import tempfile
+
     from geokitten_spark.operators.ann import IVFIndex
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
-    idx = IVFIndex(emb.filter("vec_id <> 0"))
+    idx = IVFIndex(
+        emb.filter("vec_id <> 0"), storage_path=tempfile.mkdtemp(prefix="gk_ivf_")
+    )
     return idx.search(qv, k=10, n_probe=3).select("vec_id")
 
 
@@ -1823,12 +1827,35 @@ def q_ann_pq_topk(spark, sf_dir):
     pure-JVM aggregate over the byte codes against one broadcast
     distance-table row. Oracle = the full train→encode→ADC chain
     replicated in numpy on the driver."""
+    import tempfile
+
     from geokitten_spark.operators.ann import PQIndex
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
-    idx = PQIndex(emb, m=8)
+    idx = PQIndex(emb, m=8, storage_path=tempfile.mkdtemp(prefix="gk_pq_"))
     return idx.search(qv, k=10)
+
+
+def q_ann_batch_topk(spark, sf_dir):
+    """Batched IVF ANN: a 100-query wave through ONE partition-pruned
+    probe join + per-query WindowGroupLimit top-5 (the reranking-pipeline
+    face of the index — search_many, not 100 jobs). Oracle = numpy
+    replica of probe choice, fold-cosine and tie-breaks."""
+    import tempfile
+
+    from geokitten_spark.operators.ann import IVFIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id % 5 = 0").orderBy("vec_id").limit(100).collect()
+    ]
+    idx = IVFIndex(
+        emb.filter("vec_id % 5 <> 0"),
+        storage_path=tempfile.mkdtemp(prefix="gk_ivf_batch_"),
+    )
+    return idx.search_many(queries, k=5, n_probe=3)
 
 
 def q_geo_aggregates(spark, sf_dir):
@@ -1911,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h3_tile_agg": q_h3_tile_agg,
         "h3_rollup": q_h3_rollup,
         "h3_knn": q_h3_knn,
+        "ann_batch_topk": q_ann_batch_topk,
         "geohash_rollup": q_geohash_rollup,
         "cell_join_bucketed": q_cell_join_bucketed,
         "admin_standardize": q_admin_standardize,
@@ -2672,6 +2700,7 @@ def oracle_sql() -> dict[str, str]:
         "h3_tile_agg": _ora.h3_tile_agg_sql(),
         "h3_rollup": _ora.h3_rollup_sql(),
         "h3_knn": _ora.h3_knn_sql(),
+        "ann_batch_topk": _ora.ann_batch_topk_sql(),
     }
     # the streaming session-window query folds to the exact shape of the
     # batch sessionize query — one oracle checks both (batch/stream duality)

@@ -80,11 +80,9 @@ class IVFIndex:
     lists — O(N·n_probe/n_lists) I/O per query at any corpus size.
     """
 
-    def __init__(self, emb: DataFrame, *, id_col: str = "vec_id",
-                 vec_col: str = "embedding", label_col: str | None = "label",
-                 n_lists: int = 16, storage_path: str | None = None):
-        import tempfile
-
+    def __init__(self, emb: DataFrame, *, storage_path: str,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str | None = "label", n_lists: int = 16):
         self.id_col = id_col
         self.vec_col = vec_col
         spark = emb.sparkSession
@@ -133,9 +131,39 @@ class IVFIndex:
                 F.first("v").alias("v"),
             )
         )
-        self.storage_path = storage_path or tempfile.mkdtemp(prefix="gk_ivf_")
-        assigned.write.mode("overwrite").partitionBy("__lst").parquet(self.storage_path)
-        self.lists = spark.read.parquet(self.storage_path)
+        # storage_path is REQUIRED (no hidden tempdir): at cluster scale a
+        # silently-rebuilt index on resume is a correctness and cost trap.
+        # Layout: <path>/lists (partitioned parquet), <path>/_meta
+        # (centroids + column names, parquet for exact float64 roundtrip;
+        # the leading underscore keeps parquet readers from scanning it).
+        self.storage_path = storage_path
+        assigned.write.mode("overwrite").partitionBy("__lst").parquet(
+            f"{storage_path}/lists"
+        )
+        self.lists = spark.read.parquet(f"{storage_path}/lists")
+        meta_rows = [
+            (lst, [float(x) for x in self._cent_map[lst]], id_col, vec_col)
+            for lst in ordered
+        ]
+        spark.createDataFrame(
+            meta_rows, ["__lst", "centroid", "id_col", "vec_col"]
+        ).coalesce(1).write.mode("overwrite").parquet(f"{storage_path}/_meta")
+
+    @classmethod
+    def load(cls, spark, storage_path: str) -> "IVFIndex":
+        """Rehydrate a persisted index in a NEW session — no rebuild, no
+        recompute; search() parity with the building session is tested."""
+        obj = cls.__new__(cls)
+        meta = spark.read.parquet(f"{storage_path}/_meta").collect()
+        obj.id_col = meta[0]["id_col"]
+        obj.vec_col = meta[0]["vec_col"]
+        obj._cent_map = {
+            r["__lst"]: np.asarray(r["centroid"], dtype=np.float64) for r in meta
+        }
+        obj.centroids = meta
+        obj.storage_path = storage_path
+        obj.lists = spark.read.parquet(f"{storage_path}/lists")
+        return obj
 
     def search(self, query_vec: list[float], *, k: int = 10, n_probe: int = 2) -> DataFrame:
         """Top-k among vectors in the ``n_probe`` nearest lists (scan is
@@ -154,6 +182,55 @@ class IVFIndex:
         scored = cand.select(F.col(self.id_col), _cosine(F.col("v"), q).alias("sim"))
         return scored.orderBy(F.col("sim").desc(), F.col(self.id_col).asc()).limit(k)
 
+    def search_many(
+        self, queries, *, k: int = 10, n_probe: int = 2
+    ) -> DataFrame:
+        """Batched top-k for ``queries`` = [(query_id, vector), ...] in ONE
+        job: per-query probe lists chosen driver-side from the (tiny)
+        centroid map with the same tie-break as ``search``; the probe
+        table (query_id, qvec, __lst — n_queries x n_probe rows)
+        broadcasts onto the partition-pruned union of probed lists; one
+        per-query WindowGroupLimit top-k. Returns (query_id, id, rank).
+
+        The probe table is driver-built, so batch size should stay in the
+        thousands (a reranking wave), not millions — for corpus-x-corpus
+        joins use operators/dedup.embedding_neardup_lsh instead.
+        """
+        from pyspark.sql import Window
+
+        spark = self.lists.sparkSession
+        qn = {}
+        probe_rows = []
+        for qid, qv in queries:
+            v = np.asarray(qv, dtype=np.float64)
+            qn[qid] = v
+
+            def cos(c, v=v):
+                return float(v @ c) / (
+                    np.linalg.norm(v) * np.linalg.norm(c) + 1e-300
+                )
+
+            probe = sorted(
+                self._cent_map, key=lambda lst: (-cos(self._cent_map[lst]), lst)
+            )[:n_probe]
+            for lst in probe:
+                probe_rows.append((int(qid), [float(x) for x in v], lst))
+        union = sorted({r[2] for r in probe_rows})
+        probe_df = spark.createDataFrame(probe_rows, ["query_id", "qvec", "__lst"])
+        cand = self.lists.filter(F.col("__lst").isin(union)).join(
+            F.broadcast(probe_df), on="__lst"
+        )
+        sim = _cosine(F.col("v"), F.col("qvec").cast("array<double>"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("sim").desc(), F.col(self.id_col).asc()
+        )
+        return (
+            cand.select("query_id", F.col(self.id_col), sim.alias("sim"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", self.id_col, "rank")
+        )
+
 
 class PQIndex:
     """Product-quantization index (see module docstring).
@@ -168,11 +245,9 @@ class PQIndex:
     with zero error and self-ADC distance is exactly 0 — the
     self-retrieval guarantee the tests pin at smoke scale."""
 
-    def __init__(self, emb: DataFrame, *, id_col: str = "vec_id",
-                 vec_col: str = "embedding", m: int = 8,
-                 storage_path: str | None = None):
-        import tempfile
-
+    def __init__(self, emb: DataFrame, *, storage_path: str,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 m: int = 8):
         from pyspark.sql.functions import pandas_udf
         from pyspark.sql.types import ArrayType, IntegerType
 
@@ -224,9 +299,38 @@ class PQIndex:
             return pd.Series([row.tolist() for row in codes])
 
         coded = emb.select(F.col(id_col), encode(F.col(vec_col)).alias("codes"))
-        self.storage_path = storage_path or tempfile.mkdtemp(prefix="gk_pq_")
-        coded.write.mode("overwrite").parquet(self.storage_path)
-        self.codes = spark.read.parquet(self.storage_path)
+        # storage_path REQUIRED; layout mirrors IVFIndex: <path>/codes +
+        # <path>/_meta (codebooks in parquet, exact float64 roundtrip)
+        self.storage_path = storage_path
+        coded.write.mode("overwrite").parquet(f"{storage_path}/codes")
+        self.codes = spark.read.parquet(f"{storage_path}/codes")
+        meta_rows = [
+            (mm, c, [float(x) for x in self.books[mm, c]], id_col, int(m))
+            for mm in range(m)
+            for c in range(n_codes)
+        ]
+        spark.createDataFrame(
+            meta_rows, ["mm", "code", "center", "id_col", "m"]
+        ).coalesce(1).write.mode("overwrite").parquet(f"{storage_path}/_meta")
+
+    @classmethod
+    def load(cls, spark, storage_path: str) -> "PQIndex":
+        """Rehydrate a persisted PQ index (codes + codebooks) in a new
+        session without retraining or re-encoding."""
+        obj = cls.__new__(cls)
+        meta = spark.read.parquet(f"{storage_path}/_meta").collect()
+        obj.id_col = meta[0]["id_col"]
+        obj.m = int(meta[0]["m"])
+        n_codes = max(r["code"] for r in meta) + 1
+        dsub = len(meta[0]["center"])
+        books = np.empty((obj.m, n_codes, dsub))
+        for r in meta:
+            books[r["mm"], r["code"]] = np.asarray(r["center"], dtype=np.float64)
+        obj.books = np.ascontiguousarray(books)
+        obj.dsub = dsub
+        obj.storage_path = storage_path
+        obj.codes = spark.read.parquet(f"{storage_path}/codes")
+        return obj
 
     def search(self, query_vec: list[float], *, k: int = 10) -> DataFrame:
         """ADC top-k: one broadcast row carries the (m·n_codes) distance
@@ -260,3 +364,44 @@ class PQIndex:
         return scored.orderBy(
             F.col("adc_dist").asc(), F.col(self.id_col).asc()
         ).limit(k)
+
+    def search_many(self, queries, *, k: int = 10) -> DataFrame:
+        """Batched ADC top-k for ``queries`` = [(query_id, vector), ...]:
+        ONE scan of the code table scores every query per row (the
+        broadcast carries one distance-table row per query, m x 256
+        doubles each), then a per-query WindowGroupLimit top-k. Returns
+        (query_id, id, rank). Batch sizes in the thousands."""
+        from pyspark.sql import Window
+
+        spark = self.codes.sparkSession
+        n_codes = self.books.shape[1]
+        rows = []
+        for qid, qv in queries:
+            v = np.asarray(qv, dtype=np.float64)
+            v = v / (np.linalg.norm(v) + 1e-300)
+            qs = v.reshape(self.m, self.dsub)
+            diff = qs[:, None, :] - self.books
+            table = np.einsum("mkd,mkd->mk", diff, diff).reshape(-1)
+            rows.append((int(qid), [float(x) for x in table]))
+        tbl_df = spark.createDataFrame(rows, ["query_id", "__tbl"])
+        dist = F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(self.m - 1)),
+                lambda c, i: F.element_at(
+                    F.col("__tbl"), (i * n_codes + c + 1).cast("int")
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("adc_dist").asc(), F.col(self.id_col).asc()
+        )
+        return (
+            self.codes.join(F.broadcast(tbl_df))
+            .select("query_id", F.col(self.id_col), F.round(dist, 9).alias("adc_dist"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", self.id_col, "rank")
+        )

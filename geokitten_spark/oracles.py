@@ -682,3 +682,46 @@ def h3_knn_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return values_sql(
         rows, [("doc_id", "BIGINT"), ("neighbor_id", "BIGINT"), ("rank", "INTEGER")]
     )
+
+
+@lru_cache(maxsize=4)
+def ann_batch_topk_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (query_id, vec_id, rank) for q_ann_batch_topk: the batched
+    IVF search (index on vec_id%5<>0, queries = vec_id%5=0, 3-probe,
+    top-5 by (sim desc, vec_id asc)) replicated in numpy with the same
+    fold-cosine and tie-breaks as ann_ivf_topk_sql."""
+    con = _duck(sf_dir)
+    pdf = con.sql(
+        "SELECT vec_id, embedding, label FROM embeddings ORDER BY vec_id"
+    ).df()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    mat = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    labels = pdf["label"].to_numpy(np.int64)
+
+    isq = ids % 5 == 0
+    q_ids, q_mat = ids[isq][:100], mat[isq][:100]
+    ids, mat, labels = ids[~isq], mat[~isq], labels[~isq]
+
+    lists = sorted(set(labels.tolist()))
+    cents = np.asarray([mat[labels == lst].mean(axis=0) for lst in lists])
+    sims = np.asarray([_fold_cosine(mat, c) for c in cents])
+    assign = np.asarray(lists)[np.argmax(sims, axis=0)]
+
+    rows = []
+    for qid, qv in zip(q_ids, q_mat):
+        qsims = _fold_cosine(cents, qv)
+        probe = [
+            lists[i]
+            for i in sorted(
+                range(len(lists)), key=lambda i: (-qsims[i], lists[i])
+            )[:3]
+        ]
+        cand = np.isin(assign, probe)
+        cs = _fold_cosine(mat[cand], qv)
+        cids = ids[cand]
+        order = sorted(range(len(cids)), key=lambda i: (-cs[i], cids[i]))[:5]
+        for r, i in enumerate(order, start=1):
+            rows.append((int(qid), int(cids[i]), r))
+    return values_sql(
+        rows, [("query_id", "BIGINT"), ("vec_id", "BIGINT"), ("rank", "INTEGER")]
+    )

@@ -174,7 +174,7 @@ def test_embedding_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.9
 
 
-def test_ivf_ann_recall_vs_bruteforce(spark):
+def test_ivf_ann_recall_vs_bruteforce(spark, tmp_path):
     """IVF recall grows monotonically with n_probe and reaches 1.0 at a
     full probe (== brute force). The fixture's label clusters are diffuse
     w.r.t. cosine (no pairs >0.8), so partial-probe recall is inherently
@@ -186,7 +186,7 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
     rest = emb.filter("vec_id <> 0")
     exact = [r.vec_id for r in brute_topk(rest, qv, k=10).collect()]
-    idx = IVFIndex(rest)
+    idx = IVFIndex(rest, storage_path=str(tmp_path / "ivf"))
     recalls = []
     for p in (2, 5, len(idx.centroids)):
         a = [r.vec_id for r in idx.search(qv, k=10, n_probe=p).collect()]
@@ -238,14 +238,14 @@ def test_connected_components_chain_triangle_pair(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
-def test_pq_index_self_retrieval_and_recall(spark):
+def test_pq_index_self_retrieval_and_recall(spark, tmp_path):
     """PQ guarantees: a codebook-member query has ADC distance exactly 0
     to its own code (top-1 self-retrieval); recall@10 vs brute cosine
     stays useful at 32x compression; codes are m bytes wide."""
     from geokitten_spark.operators.ann import PQIndex, brute_topk
 
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-    idx = PQIndex(emb, m=8)
+    idx = PQIndex(emb, m=8, storage_path=str(tmp_path / "pq"))
 
     # codes shape: every vector got m codes in [0, 256)
     sample = idx.codes.limit(20).collect()
@@ -261,7 +261,7 @@ def test_pq_index_self_retrieval_and_recall(spark):
     # vectors -> singleton Lloyd clusters), a member's self-ADC distance
     # is exactly 0
     small = emb.filter("vec_id < 100")
-    idx_small = PQIndex(small, m=8)
+    idx_small = PQIndex(small, m=8, storage_path=str(tmp_path / "pq_small"))
     tiny = idx_small.search(q0, k=1).collect()
     assert tiny[0]["vec_id"] == 0 and tiny[0]["adc_dist"] == 0.0
 
@@ -273,14 +273,14 @@ def test_pq_index_self_retrieval_and_recall(spark):
     assert recall >= 0.5, f"recall@10 {recall}"
 
 
-def test_pq_codes_partitioning_independent(spark):
+def test_pq_codes_partitioning_independent(spark, tmp_path):
     """Encode is a pure function of the vector: same codes at any
     parallelism (Arrow batch boundaries don't leak into argmin)."""
     from geokitten_spark.operators.ann import PQIndex
 
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
-    a = PQIndex(emb.repartition(1), m=8)
-    b = PQIndex(emb.repartition(7), m=8)
+    a = PQIndex(emb.repartition(1), m=8, storage_path=str(tmp_path / "pq_a"))
+    b = PQIndex(emb.repartition(7), m=8, storage_path=str(tmp_path / "pq_b"))
     ca = {r["vec_id"]: r["codes"] for r in a.codes.collect()}
     cb = {r["vec_id"]: r["codes"] for r in b.codes.collect()}
     assert ca == cb
@@ -337,3 +337,66 @@ def test_contamination_check_crafted(spark):
     assert r["total_shingles"] == 2 + 2
     assert r["hit_shingles"] == 1
     assert r["n_docs_contaminated"] == 1
+
+
+def test_ann_index_persistence_roundtrip(spark, tmp_path):
+    """VERDICT r2 item 7: build → drop the driver object → load() from
+    storage alone → bit-identical metadata and search parity (resume
+    must NOT silently rebuild)."""
+    import numpy as np
+
+    from geokitten_spark.operators.ann import IVFIndex, PQIndex
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+
+    p1 = str(tmp_path / "ivf")
+    built = IVFIndex(emb.filter("vec_id <> 0"), storage_path=p1)
+    want = [r.vec_id for r in built.search(qv, k=10, n_probe=3).collect()]
+    cent_before = {k: v.tolist() for k, v in built._cent_map.items()}
+    del built
+
+    loaded = IVFIndex.load(spark, p1)
+    assert {k: v.tolist() for k, v in loaded._cent_map.items()} == cent_before
+    assert [r.vec_id for r in loaded.search(qv, k=10, n_probe=3).collect()] == want
+
+    p2 = str(tmp_path / "pq")
+    bpq = PQIndex(emb, m=8, storage_path=p2)
+    want2 = [(r.vec_id, r.adc_dist) for r in bpq.search(qv, k=10).collect()]
+    books = bpq.books.copy()
+    del bpq
+
+    lpq = PQIndex.load(spark, p2)
+    assert np.array_equal(lpq.books, books)
+    assert [(r.vec_id, r.adc_dist) for r in lpq.search(qv, k=10).collect()] == want2
+
+
+def test_ann_search_many_matches_looped_search(spark, tmp_path):
+    """VERDICT r2 item 5: one batched job returns exactly what a loop of
+    single-query search() calls returns, query by query, in rank order."""
+    from geokitten_spark.operators.ann import IVFIndex, PQIndex
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    queries = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter("vec_id % 50 = 0").orderBy("vec_id").limit(6).collect()
+    ]
+    rest = emb.filter("vec_id % 50 <> 0")
+
+    idx = IVFIndex(rest, storage_path=str(tmp_path / "ivf_b"))
+    batch = idx.search_many(queries, k=5, n_probe=3).collect()
+    got = {}
+    for r in batch:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid, qv in queries:
+        single = [r.vec_id for r in idx.search(qv, k=5, n_probe=3).collect()]
+        assert [v for _, v in sorted(got[qid])] == single, f"ivf query {qid}"
+
+    pq = PQIndex(rest, m=8, storage_path=str(tmp_path / "pq_b"))
+    batch2 = pq.search_many(queries, k=5).collect()
+    got2 = {}
+    for r in batch2:
+        got2.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"]))
+    for qid, qv in queries:
+        single = [r.vec_id for r in pq.search(qv, k=5).collect()]
+        assert [v for _, v in sorted(got2[qid])] == single, f"pq query {qid}"
