@@ -259,3 +259,83 @@ def test_convex_hull_properties(pts):
             assert cross >= -1e-9 * max(1.0, abs(cross))
     # idempotent
     assert to_wkt(convex_hull(h)) == to_wkt(h)
+
+
+# ---------------------------------------------------------------------------
+# polygon_difference beyond the reference's simple overlaps (VERDICT r2
+# item 9): shoelace-invariant checks + shared-edge / vertex-touching
+# degeneracies
+# ---------------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(overlapping_pairs())
+def test_difference_area_symmetric_identity(pair):
+    """area(t) − area(t∖s) and area(s) − area(s∖t) both equal area(t∩s),
+    so they must agree; and 0 ≤ area(t∖s) ≤ area(t) (shoelace over the
+    output rings, holes signed)."""
+    from geokitten_spark.geom import difference, geometry_area
+
+    t, s = pair
+    at, as_ = geometry_area(t), geometry_area(s)
+    dts = difference(t, s)
+    dst = difference(s, t)
+    adts = 0.0 if dts.is_empty else geometry_area(dts)
+    adst = 0.0 if dst.is_empty else geometry_area(dst)
+    tol = 1e-6 * max(at, as_, 1.0)
+    assert -tol <= adts <= at + tol
+    assert -tol <= adst <= as_ + tol
+    inter_via_t = at - adts
+    inter_via_s = as_ - adst
+    assert abs(inter_via_t - inter_via_s) < 1e-5 * max(at, as_, 1.0), (
+        f"t∩s disagrees: {inter_via_t} (via t) vs {inter_via_s} (via s); "
+        f"areas t={at} s={as_} t\\s={adts} s\\t={adst}"
+    )
+
+
+def _sq(x0, y0, x1, y1):
+    return polygon(np.array(
+        [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], dtype=float
+    ))
+
+
+def test_difference_shared_edge_disjoint_interiors():
+    """Subtractor shares a full edge but no interior: target unchanged
+    (up to area)."""
+    from geokitten_spark.geom import difference, geometry_area
+
+    t = _sq(0, 0, 1, 1)
+    s = _sq(1, 0, 2, 1)  # abuts along x=1
+    d = difference(t, s)
+    assert abs(geometry_area(d) - 1.0) < 1e-9
+
+
+def test_difference_half_overlap_with_collinear_edges():
+    """Subtractor is the right half, sharing three boundary segments with
+    the target — the classic Greiner–Hormann degenerate case."""
+    from geokitten_spark.geom import difference, geometry_area
+
+    t = _sq(0, 0, 1, 1)
+    s = _sq(0.5, 0, 1, 1)
+    d = difference(t, s)
+    assert abs(geometry_area(d) - 0.5) < 1e-9
+
+
+def test_difference_vertex_touching():
+    """Subtractor touches only at one corner: area preserved."""
+    from geokitten_spark.geom import difference, geometry_area
+
+    t = _sq(0, 0, 1, 1)
+    s = _sq(1, 1, 2, 2)
+    d = difference(t, s)
+    assert abs(geometry_area(d) - 1.0) < 1e-9
+
+
+def test_difference_identical_and_containing():
+    from geokitten_spark.geom import difference, geometry_area
+
+    t = _sq(0, 0, 1, 1)
+    assert difference(t, _sq(0, 0, 1, 1)).is_empty
+    assert difference(t, _sq(-1, -1, 2, 2)).is_empty
+    # subtractor strictly inside -> hole; net area = 1 - 0.25
+    d = difference(t, _sq(0.25, 0.25, 0.75, 0.75))
+    assert abs(geometry_area(d) - 0.75) < 1e-9
