@@ -37,14 +37,30 @@ def knn_join(
     res: int = 6,
     ring_k: int = 1,
     include_self: bool = False,
+    cell_col: str | None = None,
 ) -> DataFrame:
     """Self-kNN: for every point, its k nearest neighbors within ring_k
-    cells. Output: (id, neighbor_id, dist2, rank)."""
-    pts = points.select(
-        F.col(id_col).alias("id"),
-        F.col(lon_col).alias("lon"),
-        F.col(lat_col).alias("lat"),
-    ).withColumn("cell_id", grid_cell_col(F.col("lon"), F.col("lat"), res))
+    cells. Output: (id, neighbor_id, dist2, rank).
+
+    ``cell_col`` names a PRE-COMPUTED res-``res`` grid cell column: pass
+    it when ``points`` comes from a table bucketed on that column so the
+    join's build side keeps the storage distribution (re-deriving the
+    cell from lon/lat severs the bucketing provenance and forces an
+    exchange Catalyst could have skipped).
+    """
+    if cell_col is not None:
+        pts = points.select(
+            F.col(id_col).alias("id"),
+            F.col(lon_col).alias("lon"),
+            F.col(lat_col).alias("lat"),
+            F.col(cell_col).alias("cell_id"),
+        )
+    else:
+        pts = points.select(
+            F.col(id_col).alias("id"),
+            F.col(lon_col).alias("lon"),
+            F.col(lat_col).alias("lat"),
+        ).withColumn("cell_id", grid_cell_col(F.col("lon"), F.col("lat"), res))
 
     left = pts.select(
         "id",

@@ -108,6 +108,30 @@ class SnapshotStore:
 
     # -- the core API --------------------------------------------------
 
+    def _bucket_table_name(self, stage: str, snapshot_id: str) -> str:
+        return f"gk_snap_{stage}_{snapshot_id[:16]}".replace("-", "_")
+
+    def _ensure_bucketed_table(self, spark, stage, snapshot_id, data_dir, manifest):
+        """Re-register the bucketed stage output in this session's catalog
+        (the in-memory catalog forgets tables across sessions; the bucket
+        ids live in the parquet filenames, so a CREATE TABLE ... CLUSTERED
+        BY over the existing LOCATION restores exchange-free reads)."""
+        from pyspark.sql.types import StructType
+
+        name = self._bucket_table_name(stage, snapshot_id)
+        if not spark.catalog.tableExists(name):
+            st = StructType.fromJson(manifest["schema"])
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in st.fields
+            )
+            col, n = manifest["bucket_by"]
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING parquet "
+                f"CLUSTERED BY (`{col}`) SORTED BY (`{col}`) INTO {int(n)} "
+                f"BUCKETS LOCATION '{data_dir}'"
+            )
+        return spark.table(name)
+
     def run_stage(
         self,
         spark: SparkSession,
@@ -117,6 +141,7 @@ class SnapshotStore:
         inputs: list["StageResult"] | None = None,
         config: dict | None = None,
         partition_by: list[str] | None = None,
+        bucket_by: tuple[str, int] | None = None,
         resume: bool = True,
     ) -> StageResult:
         """Run (or resume) one pipeline stage.
@@ -135,12 +160,16 @@ class SnapshotStore:
             else os.path.join(snap_dir, "data")
         )
 
+        if partition_by and bucket_by:
+            raise ValueError("partition_by and bucket_by are mutually exclusive")
         if resume and self.is_committed(stage, sid):
             manifest = json.load(open(self.manifest_path(stage, sid)))
-            df = (
-                spark.table(data_dir) if fmt == "iceberg"
-                else spark.read.parquet(data_dir)
-            )
+            if fmt == "iceberg":
+                df = spark.table(data_dir)
+            elif manifest.get("bucket_by"):
+                df = self._ensure_bucketed_table(spark, stage, sid, data_dir, manifest)
+            else:
+                df = spark.read.parquet(data_dir)
             res = StageResult(stage, sid, data_dir, manifest, df, resumed=True)
             self.lineage.append(manifest)
             return res
@@ -159,6 +188,21 @@ class SnapshotStore:
             if partition_by:
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
             w.createOrReplace()
+        elif bucket_by:
+            # bucketed+sorted stage output (DEPLOY.md): ONE shuffle at
+            # write time; every downstream equi-join / aggregate on the
+            # bucket key reads exchange-free (asserted in
+            # tests/test_bucketize.py::test_pipeline_stage_bucketing)
+            col, n = bucket_by
+            name = self._bucket_table_name(stage, sid)
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.mode("overwrite")
+                .option("path", data_dir)
+                .bucketBy(int(n), col)
+                .sortBy(col)
+                .saveAsTable(name)
+            )
         else:
             writer = df.write.mode("overwrite")
             if partition_by:
@@ -188,6 +232,8 @@ class SnapshotStore:
             "wall_seconds": round(wall, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        if bucket_by:
+            manifest["bucket_by"] = [bucket_by[0], int(bucket_by[1])]
         if observed_rows != manifest["row_count"]:  # lineage self-check
             raise RuntimeError(
                 f"stage {stage}: observed {observed_rows} rows but parquet "
@@ -199,10 +245,12 @@ class SnapshotStore:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self.manifest_path(stage, sid))  # commit point
         self.lineage.append(manifest)
-        out_df = (
-            spark.table(data_dir) if fmt == "iceberg"
-            else spark.read.parquet(data_dir)
-        )
+        if fmt == "iceberg":
+            out_df = spark.table(data_dir)
+        elif bucket_by:
+            out_df = self._ensure_bucketed_table(spark, stage, sid, data_dir, manifest)
+        else:
+            out_df = spark.read.parquet(data_dir)
         return StageResult(stage, sid, data_dir, manifest, out_df, resumed=False)
 
     @staticmethod

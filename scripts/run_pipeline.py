@@ -102,17 +102,18 @@ def main() -> None:
             wkt_col="geometry_wkt", res=10,
         )
         located = cover.join(scored.df)
-        return (
-            located.withColumn("cell_id", grid_cell_col(F.col("lon"), F.col("lat"), 7))
-            .withColumn("s2_cell", s2_cell(9)(F.col("lon"), F.col("lat")))
-            # explicit hash partitioning on the tiling key so the tile
-            # aggregate below is shuffle-free (co-located)
-            .repartition("cell_id")
-        )
+        return located.withColumn(
+            "cell_id", grid_cell_col(F.col("lon"), F.col("lat"), 7)
+        ).withColumn("s2_cell", s2_cell(9)(F.col("lon"), F.col("lat")))
 
+    # bucketed+sorted on the tiling key (DEPLOY.md): the ONE shuffle here
+    # is amortized over every downstream read — the tile aggregate and the
+    # kNN build side below both consume the layout exchange-free, across
+    # resumes and new sessions (the store re-registers the bucketed table)
     located = store.run_stage(
         spark, "located", build_located, inputs=[scored],
         config={"boundaries": "bench_boundaries:200", "res": 10},
+        bucket_by=("cell_id", 32),
         resume=resume,
     )
     print(f"[located ] snap={located.snapshot_id} resumed={located.resumed} "
@@ -136,8 +137,14 @@ def main() -> None:
 
     # -- stage 5: kNN ----------------------------------------------------
     def build_knn(spark):
-        pts = located.df.filter(F.col("lang") == "de").select("doc_id", "lon", "lat")
-        return knn_join(pts, id_col="doc_id", k=3, res=7, ring_k=1)
+        # reuse the stage's stored cell_id (same res-7 grid) so the join's
+        # build side inherits the bucketed distribution — no exchange on
+        # the non-exploded side
+        pts = located.df.filter(F.col("lang") == "de").select(
+            "doc_id", "lon", "lat", "cell_id"
+        )
+        return knn_join(pts, id_col="doc_id", k=3, res=7, ring_k=1,
+                        cell_col="cell_id")
 
     knn = store.run_stage(
         spark, "knn", build_knn, inputs=[located],

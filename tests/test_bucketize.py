@@ -131,3 +131,72 @@ def test_adaptive_tiles_conservation_and_leaf_purity(spark):
         for anc in range(2, res):
             d = res - anc
             assert (anc, ix >> d, iy >> d) not in key
+
+
+def test_pipeline_stage_bucketing_exchange_free(spark, tmp_path):
+    """VERDICT r2 item 8 done-criterion: a bucket_by stage output feeds
+    downstream cell_id joins/aggregates with no Exchange on cell_id —
+    including after resume in a catalog that forgot the table."""
+    import re
+
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.functions.cells_udfs import grid_cell_col
+    from geokitten_spark.operators.knn import knn_join
+    from geokitten_spark.plans.snapshot import SnapshotStore
+    from tests.conftest import SF_SMOKE
+
+    store = SnapshotStore(str(tmp_path / "snaps"))
+
+    def build(spark):
+        return web_documents(spark, SF_SMOKE).select(
+            "doc_id", "lon", "lat", "lang"
+        ).withColumn("cell_id", grid_cell_col(F.col("lon"), F.col("lat"), 7))
+
+    res1 = store.run_stage(
+        spark, "located", build, config={"res": 7}, bucket_by=("cell_id", 8)
+    )
+    assert not res1.resumed
+    assert res1.manifest["bucket_by"] == ["cell_id", 8]
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def n_hash_exchanges(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return len(re.findall(r"\bExchange hashpartitioning", plan))
+
+        # tile aggregate: bucketing on cell_id satisfies the clustering for
+        # (lang, cell_id) grouping -> ZERO exchanges
+        agg = res1.df.groupBy("lang", "cell_id").agg(F.count(F.lit(1)).alias("n"))
+        assert n_hash_exchanges(agg) == 0
+
+        # kNN with cell_col reuse: the exploded probe side and the window
+        # shuffle; the build side inherits the bucketed distribution.
+        # Without bucketing the same plan has one more exchange.
+        pts = res1.df.select("doc_id", "lon", "lat", "cell_id")
+        knn_bucketed = knn_join(
+            pts, id_col="doc_id", k=3, res=7, ring_k=1, cell_col="cell_id"
+        )
+        plain = knn_join(
+            res1.df.select("doc_id", "lon", "lat"),
+            id_col="doc_id", k=3, res=7, ring_k=1,
+        )
+        assert n_hash_exchanges(knn_bucketed) == n_hash_exchanges(plain) - 1
+
+        # resume path: drop the catalog entry (a new session forgets it);
+        # run_stage must re-register from the manifest and keep the
+        # exchange-free property
+        spark.sql(
+            f"DROP TABLE IF EXISTS "
+            f"{store._bucket_table_name('located', res1.snapshot_id)}"
+        )
+        store2 = SnapshotStore(str(tmp_path / "snaps"))
+        res2 = store2.run_stage(
+            spark, "located", build, config={"res": 7}, bucket_by=("cell_id", 8)
+        )
+        assert res2.resumed
+        agg2 = res2.df.groupBy("lang", "cell_id").agg(F.count(F.lit(1)).alias("n"))
+        assert n_hash_exchanges(agg2) == 0
+        assert res2.df.count() == res1.df.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
