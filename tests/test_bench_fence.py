@@ -68,3 +68,18 @@ def test_baseline_loader_prefers_latest_with_control(tmp_path):
     # sf mismatch -> no baseline (never compare sf0.01 runs to sf0.1 records)
     name2, parsed2 = bench.load_fence_baseline(str(tmp_path), sf=0.01)
     assert parsed2 is None
+
+
+def test_baseline_loader_replicate_protocol_change(tmp_path):
+    import json
+
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps(
+            {"parsed": {"queries": {"qa": 1.0}, "sf": 0.1, "replicate": 100}}
+        )
+    )
+    # a replicate bump is a protocol change, not a regression: no baseline
+    name, parsed = bench.load_fence_baseline(str(tmp_path), sf=0.1, replicate=400)
+    assert parsed is None
+    name2, parsed2 = bench.load_fence_baseline(str(tmp_path), sf=0.1, replicate=100)
+    assert parsed2 is not None
