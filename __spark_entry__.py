@@ -1337,6 +1337,47 @@ def q_h3_knn(spark, sf_dir):
     )
 
 
+def q_h3_polyfill(spark, sf_dir):
+    """polygonToCells on true H3 ids: the fixed test polygon's res-2 cell
+    set is computed driver-side (tiny) and broadcast as a membership
+    filter over the doc encode — the polyfill-then-join shape a
+    region-scoped corpus scan uses at 10^12 rows."""
+    from geokitten_spark.cells import h3core
+    from geokitten_spark.functions.cells_udfs import h3_cell
+    from geokitten_spark.oracles import H3_POLYFILL_RES, H3_POLYFILL_RING
+
+    member = [
+        int(x)
+        for x in h3core.polygon_to_cells(
+            list(H3_POLYFILL_RING), H3_POLYFILL_RES
+        ).astype("int64")
+    ]
+    docs = _web_docs(spark, sf_dir)
+    return (
+        docs.select(
+            h3_cell(H3_POLYFILL_RES)(F.col("lon"), F.col("lat")).alias("cell_id")
+        )
+        .filter(F.col("cell_id").isin(member))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_h3_vectorize(spark, sf_dir):
+    """Raster→vector on true H3 ids: res-2 tile aggregate, then each
+    cell's boundary rendered to WKT by a per-cell kernel on the
+    aggregated table (O(cells), not O(rows))."""
+    from geokitten_spark.functions.cells_udfs import h3_boundary_wkt, h3_cell
+
+    docs = _web_docs(spark, sf_dir)
+    agg = (
+        docs.select(h3_cell(2)(F.col("lon"), F.col("lat")).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return agg.withColumn("wkt", h3_boundary_wkt()(F.col("cell_id")))
+
+
 def q_geohash_rollup(spark, sf_dir):
     """Multi-precision geohash rollup from ONE encode: the prefix property
     makes coarser precisions a plain substr groupBy — no re-encode, no
@@ -1938,6 +1979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h3_tile_agg": q_h3_tile_agg,
         "h3_rollup": q_h3_rollup,
         "h3_knn": q_h3_knn,
+        "h3_polyfill": q_h3_polyfill,
+        "h3_vectorize": q_h3_vectorize,
         "ann_batch_topk": q_ann_batch_topk,
         "geohash_rollup": q_geohash_rollup,
         "cell_join_bucketed": q_cell_join_bucketed,
@@ -2700,6 +2743,8 @@ def oracle_sql() -> dict[str, str]:
         "h3_tile_agg": _ora.h3_tile_agg_sql(),
         "h3_rollup": _ora.h3_rollup_sql(),
         "h3_knn": _ora.h3_knn_sql(),
+        "h3_polyfill": _ora.h3_polyfill_sql(),
+        "h3_vectorize": _ora.h3_vectorize_sql(),
         "ann_batch_topk": _ora.ann_batch_topk_sql(),
     }
     # the streaming session-window query folds to the exact shape of the

@@ -769,17 +769,20 @@ def _unit_scale_class2(res):
     return 7 ** (res // 2)
 
 
-def _adjust_overage_class2(face, ijk, res, pent_leading4):
+def _adjust_overage_class2(face, ijk, res, pent_leading4, substrate=False):
     """Translate positions that overflow their face to the neighbor face.
 
     Vectorized port of the published overage adjustment (Class II only).
+    ``substrate`` scales the face bounds and translation x3 (the boundary
+    -vertex grid); on the substrate, sum == maxDim is a face EDGE (shared
+    point, no translation), only sum > maxDim overflows.
     Returns (face, ijk, overage_mask).
     """
     der = _get_derived()
     fn = der["face_neighbors"]  # (20, 3, 5): [face][edge] -> f', ti, tj, tk, ccw
     face = face.copy()
     ijk = ijk.copy()
-    max_dim = _max_dim_class2(res)
+    max_dim = _max_dim_class2(res) * (3 if substrate else 1)
     s = ijk.sum(axis=-1)
     over = s > max_dim
     if not np.any(over):
@@ -809,7 +812,7 @@ def _adjust_overage_class2(face, ijk, res, pent_leading4):
     for n in range(1, max_ccw + 1):
         m = over & (ccw >= n)
         rot_ijk = np.where(m[..., None], ijk_rotate60_ccw(rot_ijk), rot_ijk)
-    unit = _unit_scale_class2(res)
+    unit = _unit_scale_class2(res) * (3 if substrate else 1)
     moved = ijk_normalize(rot_ijk + trans * unit)
     ijk = np.where(over[..., None], moved, ijk)
     face = np.where(over, new_face, face)
@@ -959,3 +962,156 @@ def grid_disk_arrays(cells, k):
     out = latlng_to_cell(np.degrees(lat), np.degrees(lng), r)
     out = out.reshape(n, m)
     return [np.unique(row) for row in out]
+
+
+# ---------------------------------------------------------------------------
+# polygon -> cells (polyfill) and cell -> boundary
+# ---------------------------------------------------------------------------
+
+def _cell_spacing_rad(res):
+    """Approximate center-to-center spacing at ``res`` (radians)."""
+    return math.atan(RES0_U_GNOMONIC / (M_SQRT7 ** res))
+
+
+def _ring_contains(lats, lngs, ring):
+    """Ray-casting PIP for points vs one lat/lng ring (degrees, no
+    antimeridian wrap — documented limitation, matches the fixture
+    polygons)."""
+    ring = np.asarray(ring, dtype=np.float64)
+    ry, rx = ring[:, 0], ring[:, 1]
+    inside = np.zeros(lats.shape, dtype=bool)
+    n = len(ring)
+    j = n - 1
+    for i in range(n):
+        yi, xi = ry[i], rx[i]
+        yj, xj = ry[j], rx[j]
+        cond = ((yi > lats) != (yj > lats)) & (
+            lngs < (xj - xi) * (lats - yi) / (yj - yi + 1e-300) + xi
+        )
+        inside ^= cond
+        j = i
+    return inside
+
+
+def polygon_to_cells(outer_ring, res, holes=()):
+    """Cells at ``res`` whose CENTER lies inside the polygon (published
+    polygonToCells containment semantics). ``outer_ring``: [(lat, lng)
+    degrees, ...] closed or open; ``holes``: iterable of rings.
+
+    Candidates come from sampling the bbox at sub-cell spacing (0.35x the
+    center spacing, so every overlapping cell receives a sample), then
+    exact center-in-polygon filtering. No antimeridian wrap.
+    """
+    ring = np.asarray(outer_ring, dtype=np.float64)
+    lat_min, lat_max = ring[:, 0].min(), ring[:, 0].max()
+    lng_min, lng_max = ring[:, 1].min(), ring[:, 1].max()
+    step = math.degrees(_cell_spacing_rad(res)) * 0.35
+    pad = step * 4
+    la = np.arange(lat_min - pad, lat_max + pad, step)
+    cos = max(0.05, math.cos(math.radians((lat_min + lat_max) / 2)))
+    lo = np.arange(lng_min - pad, lng_max + pad, step / cos)
+    glat, glng = np.meshgrid(la, lo, indexing="ij")
+    cand = np.unique(latlng_to_cell(glat.ravel(), glng.ravel(), res))
+    cla, clo = cell_to_latlng(cand)
+    keep = _ring_contains(cla, clo, ring)
+    for h in holes:
+        keep &= ~_ring_contains(cla, clo, h)
+    return cand[keep]
+
+
+# Substrate vertex offsets (published spec): class II / class III hexagon
+# vertices around the x3 (x3.sqrt7 for class III) substrate center.
+_VERTS_CII = np.array(
+    [[2, 1, 0], [1, 2, 0], [0, 2, 1], [0, 1, 2], [1, 0, 2], [2, 0, 1]],
+    dtype=np.int64,
+)
+_VERTS_CIII = np.array(
+    [[5, 4, 0], [1, 5, 0], [0, 5, 4], [0, 1, 5], [4, 0, 5], [5, 0, 1]],
+    dtype=np.int64,
+)
+
+_DOWN_AP3 = np.array([[2, 0, 1], [1, 2, 0], [0, 1, 2]], dtype=np.int64)
+_DOWN_AP3R = np.array([[2, 1, 0], [0, 2, 1], [1, 0, 2]], dtype=np.int64)
+
+
+def _down_ap3(ijk):
+    return ijk_normalize(ijk @ _DOWN_AP3)
+
+
+def _down_ap3r(ijk):
+    return ijk_normalize(ijk @ _DOWN_AP3R)
+
+
+def cell_to_boundary(h):
+    """Boundary vertices of ONE cell as (lat, lng) degree arrays (6 for
+    hexagons, 5 for pentagons), CCW, starting from the spec's vertex 0.
+
+    Vertices are computed on the x3 substrate grid (x3.sqrt7 for Class
+    III) with per-vertex overage adjustment, then inverse-projected —
+    the same construction the published implementation uses, validated
+    by the tiling/shared-vertex invariants in tests/test_h3.py.
+    """
+    h = np.atleast_1d(_u64(h))[:1]
+    res = int(get_resolution(h)[0])
+    pent = bool(is_pentagon(h)[0])
+    face, ijk, _ = cell_to_faceijk(h)
+    face = np.broadcast_to(face, (1,)).copy()
+    center = ijk.reshape(1, 3)
+
+    # center into the substrate grid: x3 (one aperture-3 down in each
+    # chirality), plus a class III adjustment one finer
+    c = _down_ap3(_down_ap3r(center))
+    verts = _VERTS_CII
+    adj_res = res
+    if res % 2 == 1:  # Class III
+        c = down_ap7r(c)
+        adj_res = res + 1
+        verts = _VERTS_CIII
+
+    order = range(6)
+    if pent:
+        # pentagons skip the deleted-k vertex (index 3 in home orientation
+        # is recovered by dedupe below — the degenerate vertex collapses)
+        order = range(6)
+
+    out = []
+    for v in order:
+        fijk = ijk_normalize(c + verts[v][None, :])
+        f2, ijk2, _ = _adjust_overage_class2(
+            face.copy(), fijk, adj_res, np.zeros(1, dtype=bool), substrate=True
+        )
+        # secondary overage (pentagon vertices can cross two faces)
+        for _i in range(3):
+            f3, ijk3, over2 = _adjust_overage_class2(
+                f2, ijk2, adj_res, np.zeros(1, dtype=bool), substrate=True
+            )
+            if not over2.any():
+                break
+            f2, ijk2 = f3, ijk3
+        x, y = ijk_to_hex2d(ijk2)
+        # substrate scale: one aperture-9 (3x3) finer than adj_res
+        r = np.hypot(x, y) / 3.0
+        theta = np.arctan2(y, x)
+        rr = r / (M_SQRT7 ** adj_res)
+        rr = rr * RES0_U_GNOMONIC
+        rr = np.arctan(rr)
+        if adj_res % 2 == 1:
+            theta = _pos_angle(theta + M_AP7_ROT_RADS)
+        az = _pos_angle(FACE_I_AXIS_AZ[f2] - theta)
+        la, lo = _az_distance_point(
+            FACE_CENTER_GEO[f2, 0], FACE_CENTER_GEO[f2, 1], az, rr
+        )
+        out.append((float(np.degrees(la[0])), float(np.degrees(lo[0]))))
+    # collapse duplicate consecutive vertices (pentagon degenerate vertex)
+    dedup = []
+    for p in out:
+        if not dedup or (
+            abs(p[0] - dedup[-1][0]) > 1e-9 or abs(p[1] - dedup[-1][1]) > 1e-9
+        ):
+            dedup.append(p)
+    if len(dedup) > 1 and (
+        abs(dedup[0][0] - dedup[-1][0]) <= 1e-9
+        and abs(dedup[0][1] - dedup[-1][1]) <= 1e-9
+    ):
+        dedup.pop()
+    return np.array(dedup, dtype=np.float64)

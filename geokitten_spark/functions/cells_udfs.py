@@ -178,3 +178,25 @@ def h3_kring(k: int = 1):
         return pd.Series([r.astype(np.int64).tolist() for r in rings])
 
     return _ring
+
+
+def h3_boundary_wkt():
+    """UDF factory: H3 cell id → WKT POLYGON of its boundary (7-decimal
+    lng lat, closed ring). Per-cell kernel — intended for POST-aggregate
+    tile tables (O(cells), not O(rows)); the raster→vector step of the
+    north star on true H3 ids."""
+    from pyspark.sql.types import StringType
+
+    from ..cells import h3core
+
+    @pandas_udf(StringType())
+    def _wkt(cell: pd.Series) -> pd.Series:
+        out = []
+        for c in cell.to_numpy(np.int64).astype(np.uint64):
+            b = h3core.cell_to_boundary(c)
+            pts = [f"{lng:.7f} {lat:.7f}" for lat, lng in b]
+            pts.append(pts[0])
+            out.append("POLYGON ((" + ", ".join(pts) + "))")
+        return pd.Series(out)
+
+    return _wkt

@@ -725,3 +725,48 @@ def ann_batch_topk_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return values_sql(
         rows, [("query_id", "BIGINT"), ("vec_id", "BIGINT"), ("rank", "INTEGER")]
     )
+
+
+# the polyfill test polygon: a quadrilateral over the dense mid-Atlantic /
+# Africa doc region ((lat, lng) degrees) — shared by query and oracle
+H3_POLYFILL_RING = ((0.0, -30.0), (40.0, -30.0), (40.0, 20.0), (0.0, 20.0))
+H3_POLYFILL_RES = 2
+
+
+@lru_cache(maxsize=4)
+def h3_polyfill_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (cell_id, n_docs) for q_h3_polyfill: docs whose res-2 H3
+    cell center-falls inside the fixed polygon, counted per cell."""
+    from .cells import h3core
+
+    lons, lats = _webdocs_lonlat(sf_dir)
+    cells = h3core.latlng_to_cell(lats, lons, H3_POLYFILL_RES)
+    member = set(
+        int(x)
+        for x in h3core.polygon_to_cells(
+            list(H3_POLYFILL_RING), H3_POLYFILL_RES
+        ).astype(np.int64)
+    )
+    keep = np.array([int(c) in member for c in cells.astype(np.int64)])
+    return _cell_count_values(cells.astype(np.int64)[keep])
+
+
+@lru_cache(maxsize=4)
+def h3_vectorize_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (cell_id, n_docs, wkt) for q_h3_vectorize: the res-2 tile
+    aggregate with each cell's boundary rendered as WKT (raster→vector on
+    true H3 ids; identical fixed 7-decimal formatting on both engines)."""
+    from .cells import h3core
+
+    lons, lats = _webdocs_lonlat(sf_dir)
+    cells = h3core.latlng_to_cell(lats, lons, 2).astype(np.int64)
+    uniq, counts = np.unique(cells, return_counts=True)
+    rows = []
+    for c, n in zip(uniq, counts):
+        b = h3core.cell_to_boundary(np.uint64(c))
+        pts = [f"{lng:.7f} {lat:.7f}" for lat, lng in b]
+        pts.append(pts[0])
+        rows.append((int(c), int(n), "POLYGON ((" + ", ".join(pts) + "))"))
+    return values_sql(
+        rows, [("cell_id", "BIGINT"), ("n_docs", "BIGINT"), ("wkt", "VARCHAR")]
+    )

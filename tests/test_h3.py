@@ -205,3 +205,111 @@ def test_derivation_script_tables_frozen():
         if not any(v @ u > math.cos(1e-7) for u in uniq):
             uniq.append(v)
     assert len(uniq) == 12
+
+
+# ---------------------------------------------------------------------------
+# boundary + polyfill (round 3)
+# ---------------------------------------------------------------------------
+
+def test_vector_cell_boundary():
+    """cellToBoundary('85283473fffffff') from the h3-js documentation —
+    all six vertices to 1e-6 degrees."""
+    b = hc.cell_to_boundary(_h("85283473fffffff"))
+    expect = np.array(
+        [
+            [37.271356, -121.915080],
+            [37.353926, -121.862223],
+            [37.428341, -121.923549],
+            [37.420128, -122.037735],
+            [37.337556, -122.090428],
+            [37.263198, -122.029101],
+        ]
+    )
+    assert b.shape == (6, 2)
+    assert np.abs(b - expect).max() < 2e-6
+
+
+def _sph_area(b):
+    latr, lngr = np.radians(b[:, 0]), np.radians(b[:, 1])
+    xyz = np.stack(
+        [np.cos(latr) * np.cos(lngr), np.cos(latr) * np.sin(lngr), np.sin(latr)],
+        axis=1,
+    )
+    area = 0.0
+    for i in range(1, len(xyz) - 1):
+        a, m, c = xyz[0], xyz[i], xyz[i + 1]
+        num = abs(np.dot(a, np.cross(m, c)))
+        den = 1 + np.dot(a, m) + np.dot(m, c) + np.dot(a, c)
+        area += 2 * np.arctan2(num, den)
+    return area
+
+
+def test_boundaries_tile_the_sphere(sphere_points):
+    """All 842 res-1 boundaries: pentagons 5 verts, hexes 6, centers
+    inside their own ring, spherical areas sum to exactly 4*pi (no gaps,
+    no overlaps — shared edges agree across icosahedron faces)."""
+    lat, lng = sphere_points
+    cells = np.unique(hc.latlng_to_cell(lat, lng, 1))
+    assert cells.size == 842
+    total = 0.0
+    n5 = 0
+    for c in cells:
+        b = hc.cell_to_boundary(c)
+        pent = bool(hc.is_pentagon(np.atleast_1d(c))[0])
+        assert len(b) == (5 if pent else 6), format(int(c), "x")
+        n5 += pent
+        la, lo = hc.cell_to_latlng(np.atleast_1d(c))
+        # spherical containment (planar ray-casting breaks on polar /
+        # antimeridian rings): H3 cells are convex on the sphere, so the
+        # center must lie on one consistent side of every edge plane
+        latr, lngr = np.radians(b[:, 0]), np.radians(b[:, 1])
+        v = np.stack(
+            [np.cos(latr) * np.cos(lngr), np.cos(latr) * np.sin(lngr),
+             np.sin(latr)], axis=1,
+        )
+        p = hc._geo_to_xyz(np.radians(la[0]), np.radians(lo[0]))
+        signs = [
+            float(np.dot(np.cross(v[i], v[(i + 1) % len(v)]), p))
+            for i in range(len(v))
+        ]
+        assert all(s > 0 for s in signs) or all(s < 0 for s in signs), (
+            format(int(c), "x"), signs
+        )
+        total += _sph_area(b)
+    assert n5 == 12
+    assert abs(total / (4 * math.pi) - 1.0) < 1e-9
+
+
+def test_polygon_to_cells_matches_brute():
+    """polyfill == {cells whose center is in the polygon}, checked against
+    dense-random-sample cell discovery (independent candidate path)."""
+    ring = [
+        (37.813, -122.408), (37.783, -122.513), (37.707, -122.489),
+        (37.705, -122.381), (37.783, -122.354),
+    ]
+    got = set(hc.polygon_to_cells(ring, 7).astype(np.int64).tolist())
+    rng = np.random.default_rng(1)
+    lat = rng.uniform(37.69, 37.83, 150_000)
+    lng = rng.uniform(-122.53, -122.34, 150_000)
+    cand = np.unique(hc.latlng_to_cell(lat, lng, 7))
+    cla, clo = hc.cell_to_latlng(cand)
+    want = set(
+        cand[hc._ring_contains(cla, clo, np.asarray(ring))]
+        .astype(np.int64)
+        .tolist()
+    )
+    assert got == want and len(got) > 10
+
+
+def test_polygon_to_cells_hole():
+    ring = [(10.0, 10.0), (10.0, 20.0), (20.0, 20.0), (20.0, 10.0)]
+    hole = [(13.0, 13.0), (13.0, 17.0), (17.0, 17.0), (17.0, 13.0)]
+    full = set(hc.polygon_to_cells(ring, 4).astype(np.int64).tolist())
+    holed = set(
+        hc.polygon_to_cells(ring, 4, holes=[hole]).astype(np.int64).tolist()
+    )
+    assert holed < full
+    # removed cells are exactly those whose center is in the hole
+    removed = np.array(sorted(full - holed), dtype=np.uint64)
+    la, lo = hc.cell_to_latlng(removed)
+    assert hc._ring_contains(la, lo, np.asarray(hole)).all()
