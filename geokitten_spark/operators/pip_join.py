@@ -491,20 +491,33 @@ def partitioned_pip_join(
     )
 
     def build_cover(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # ONE _cover_cells pass + ONE output frame per Arrow batch (the
+        # former per-row loop built a pandas frame per polygon — frame
+        # construction overhead, not cover math, dominated with many
+        # polygons per task)
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                g = parse_wkt(row[wkt_col])
-                in_cells, _, bd_cells, _ = _cover_cells([g], [row[id_col]], res)
-                n_in, n_bd = len(in_cells), len(bd_cells)
-                if n_in + n_bd == 0:
-                    continue
-                yield pd.DataFrame(
-                    {
-                        "__cell": np.concatenate([in_cells, bd_cells]),
-                        id_col: [row[id_col]] * (n_in + n_bd),
-                        "__wkt": [None] * n_in + [row[wkt_col]] * n_bd,
-                    }
-                )
+            if len(pdf) == 0:
+                continue
+            geoms = [parse_wkt(w) for w in pdf[wkt_col]]
+            in_cells, in_pos, bd_cells, bd_pos = _cover_cells(
+                geoms, list(range(len(geoms))), res
+            )
+            if len(in_cells) + len(bd_cells) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            wkts = pdf[wkt_col].to_numpy(dtype=object)
+            yield pd.DataFrame(
+                {
+                    "__cell": np.concatenate([in_cells, bd_cells]),
+                    id_col: np.concatenate([ids[in_pos], ids[bd_pos]]),
+                    "__wkt": np.concatenate(
+                        [
+                            np.full(len(in_cells), None, dtype=object),
+                            wkts[bd_pos],
+                        ]
+                    ),
+                }
+            )
 
     cover = boundaries.mapInPandas(build_cover, schema=cover_schema)
 
