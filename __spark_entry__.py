@@ -788,6 +788,24 @@ def q_zorder_layout(spark, sf_dir):
     )
 
 
+def q_web_pip_h3_cover(spark, sf_dir):
+    """J2 on true H3 cells: cover-refine PIP (polyfill interior fast path,
+    dilated-border ray-cast refine) vs the same 25 rectangles — identical
+    results to web_pip_rect, same plain-SQL bbox oracle."""
+    from geokitten_spark.fixtures import admin_rects_pdf
+    from geokitten_spark.operators.pip_join import H3PolygonCover
+
+    docs = _web_docs(spark, sf_dir).select("doc_id", "lon", "lat")
+    cover = H3PolygonCover(
+        spark, admin_rects_pdf(), id_col="n_nationkey",
+        wkt_col="geometry_wkt", res=3,
+    )
+    out = cover.join(docs)
+    return out.groupBy("n_nationkey").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
 def q_web_knn(spark, sf_dir):
     """J4: kRing kNN (k=3, grid res 5, ring 1) over the 'de' docs."""
     from geokitten_spark.operators.knn import knn_join
@@ -1941,6 +1959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_vectorize": q_tile_vectorize,
         "web_pip_rect": q_web_pip_rect,
         "web_pip_rect_part": q_web_pip_rect_part,
+        "web_pip_h3_cover": q_web_pip_h3_cover,
         "web_knn": q_web_knn,
         "grid_dbscan": q_grid_dbscan,
         "zorder_layout": q_zorder_layout,
@@ -2474,6 +2493,16 @@ def oracle_sql() -> dict[str, str]:
             FROM zz GROUP BY 1
         """,
         "web_pip_rect_part": f"""
+            {cte}
+            SELECT n.n_nationkey AS n_nationkey, COUNT(*) AS n_docs,
+                   MIN(d.doc_id) AS min_doc_id
+            FROM webdocs d
+            JOIN nation n
+              ON d.lon > {rect['lon0']} AND d.lon < {rect['lon1']}
+             AND d.lat > {rect['lat0']} AND d.lat < {rect['lat1']}
+            GROUP BY 1
+        """,
+        "web_pip_h3_cover": f"""
             {cte}
             SELECT n.n_nationkey AS n_nationkey, COUNT(*) AS n_docs,
                    MIN(d.doc_id) AS min_doc_id

@@ -167,3 +167,35 @@ def test_partitioned_pip_matches_brute(spark):
     )
     p7 = sorted((r.doc_id, r.region_key) for r in part7.collect())
     assert p7 == b
+
+
+def test_h3_cover_refine_matches_brute_pip(spark):
+    """H3PolygonCover (polyfill interior + dilated-border refine on true
+    H3 cells) must produce EXACTLY the brute pip_join row set, on both
+    the rectangle fixture and the irregular bench boundaries."""
+    from geokitten_spark.fixtures import (
+        admin_rects_pdf,
+        bench_boundaries_pdf,
+        web_documents,
+    )
+    from geokitten_spark.operators.pip_join import H3PolygonCover, pip_join
+
+    docs = web_documents(spark, SF_SMOKE).select("doc_id", "lon", "lat")
+    for bnd, id_col, res in (
+        (admin_rects_pdf(), "n_nationkey", 3),
+        (bench_boundaries_pdf(), "region_key", 4),
+    ):
+        brute = frozenset(
+            (r.doc_id, r[id_col])
+            for r in pip_join(
+                docs, bnd, id_col=id_col, wkt_col="geometry_wkt"
+            ).collect()
+        )
+        cov = H3PolygonCover(
+            spark, bnd, id_col=id_col, wkt_col="geometry_wkt", res=res
+        )
+        got = frozenset((r.doc_id, r[id_col]) for r in cov.join(docs).collect())
+        assert got == brute and len(brute) > 0, id_col
+        # the interior fast path must actually carry cells (not everything
+        # falling through to refine)
+        assert cov.n_inside_cells > 0, id_col
