@@ -1730,6 +1730,48 @@ def q_stream_geo_tiles(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_h3_tiles(spark, sf_dir):
+    """Incremental H3 tiling: the canonical-H3 encode (vectorized pandas
+    UDF) runs per microbatch; complete-mode per-cell counts must equal the
+    batch h3_tile_agg — same numpy-replica oracle, zero new SQL."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from geokitten_spark.fixtures import derive_web_documents
+    from geokitten_spark.functions.cells_udfs import h3_cell
+    from geokitten_spark.streaming import run_to_memory
+
+    src = os.path.join(tempfile.gettempdir(), f"gk_h3s_{uuid.uuid4().hex[:8]}")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    tiled = derive_web_documents(stream).select(
+        h3_cell(4)(F.col("lon"), F.col("lat")).alias("cell_id")
+    )
+    agg = tiled.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    name = f"q_h3s_{uuid.uuid4().hex[:8]}"
+    run_to_memory(agg, name, os.path.join(src, "_ckpt"), output_mode="complete")
+    return spark.table(name)
+
+
 def q_stream_quality_gate(spark, sf_dir):
     """Streaming twin of the repetition quality rollup: the per-doc
     signals are stateless array expressions (the same `repetition_cols`
@@ -2014,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_interval_join": q_stream_interval_join,
         "stream_geo_tiles": q_stream_geo_tiles,
+        "stream_h3_tiles": q_stream_h3_tiles,
         "stream_stateful": q_stream_stateful,
         "stream_quality_gate": q_stream_quality_gate,
         "geo_aggregates": q_geo_aggregates,
@@ -2795,6 +2838,8 @@ def oracle_sql() -> dict[str, str]:
     """
     # the incremental tiling stream == the batch tile aggregate
     out["stream_geo_tiles"] = out["web_tile_agg"]
+    # incremental H3 tiling folds to the batch h3_tile_agg shape
+    out["stream_h3_tiles"] = out["h3_tile_agg"]
     # the bucketed co-located join == a plain equi-join in DuckDB (the
     # bucketing changes the PLAN, never the rows)
     out["cell_join_bucketed"] = f"""

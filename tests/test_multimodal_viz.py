@@ -265,3 +265,35 @@ def test_png_codec_rejects_bad_payloads():
     )
     with pytest.raises(NotImplementedError):
         decode_png(_PNG_SIG + chunk + idat)
+
+
+def test_h3_choropleth_end_to_end():
+    """H3 tile aggregate → boundary WKT → continuous choropleth render:
+    the raster→vector→viz lifecycle on true H3 ids (pure driver path)."""
+    import numpy as np
+    import pandas as pd
+
+    from geokitten_spark.cells import h3core
+    from geokitten_spark.viz.choropleth import render_continuous_choropleth
+
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(-50, 50, 3000)
+    lng = rng.uniform(-60, 60, 3000)
+    cells = h3core.latlng_to_cell(lat, lng, 1)
+    uniq, counts = np.unique(cells, return_counts=True)
+    wkts = []
+    for c in uniq:
+        b = h3core.cell_to_boundary(c)
+        pts = [f"{x:.7f} {y:.7f}" for y, x in b]
+        pts.append(pts[0])
+        wkts.append("POLYGON ((" + ", ".join(pts) + "))")
+    pdf = pd.DataFrame(
+        {
+            "cell_id": uniq.astype(np.int64),
+            "n_docs": counts.astype(np.int64),
+            "geometry_wkt": wkts,
+        }
+    )
+    html = render_continuous_choropleth(pdf, "n_docs", title="h3 density")
+    assert "<svg" in html and "n_docs" in html and "h3 density" in html
+    assert html.count("<polygon") == len(pdf)
