@@ -312,7 +312,11 @@ def _geo_to_xyz(lat, lng):
     lat = np.asarray(lat, dtype=np.float64)
     lng = np.asarray(lng, dtype=np.float64)
     cl = np.cos(lat)
-    return np.stack([cl * np.cos(lng), cl * np.sin(lng), np.sin(lat)], axis=-1)
+    out = np.empty(lat.shape + (3,), dtype=np.float64)
+    out[..., 0] = cl * np.cos(lng)
+    out[..., 1] = cl * np.sin(lng)
+    out[..., 2] = np.sin(lat)
+    return out
 
 
 FACE_CENTER_XYZ = _geo_to_xyz(FACE_CENTER_GEO[:, 0], FACE_CENTER_GEO[:, 1])
@@ -356,9 +360,9 @@ def up_ap7(ijk):
     """Parent ijk one aperture-7 (ccw) step coarser."""
     i = ijk[..., 0] - ijk[..., 2]
     j = ijk[..., 1] - ijk[..., 2]
-    ni = np.rint((3 * i - j) / 7.0).astype(np.int64)
-    nj = np.rint((i + 2 * j) / 7.0).astype(np.int64)
-    out = np.stack([ni, nj, np.zeros_like(ni)], axis=-1)
+    out = np.zeros_like(ijk)
+    np.rint((3 * i - j) / 7.0, casting="unsafe", out=out[..., 0])
+    np.rint((i + 2 * j) / 7.0, casting="unsafe", out=out[..., 1])
     return ijk_normalize(out)
 
 
@@ -366,9 +370,9 @@ def up_ap7r(ijk):
     """Parent ijk one aperture-7 (cw) step coarser."""
     i = ijk[..., 0] - ijk[..., 2]
     j = ijk[..., 1] - ijk[..., 2]
-    ni = np.rint((2 * i + j) / 7.0).astype(np.int64)
-    nj = np.rint((3 * j - i) / 7.0).astype(np.int64)
-    out = np.stack([ni, nj, np.zeros_like(ni)], axis=-1)
+    out = np.zeros_like(ijk)
+    np.rint((2 * i + j) / 7.0, casting="unsafe", out=out[..., 0])
+    np.rint((3 * j - i) / 7.0, casting="unsafe", out=out[..., 1])
     return ijk_normalize(out)
 
 
@@ -408,10 +412,23 @@ def unit_ijk_to_digit(ijk):
 # ---------------------------------------------------------------------------
 
 def closest_face(lat, lng):
-    """Index of the icosahedron face whose center is nearest each point."""
+    """Index of the icosahedron face whose center is nearest each point.
+
+    Running argmax over the 20 faces (in-place vector updates) — the
+    one-shot (N, 20) dot matrix thrashes the allocator at multi-million
+    row batches (measured 3-4x slower at 2M rows)."""
     xyz = _geo_to_xyz(lat, lng)
-    dots = xyz @ FACE_CENTER_XYZ.T
-    return np.argmax(dots, axis=-1)
+    x, y, z = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+    c = FACE_CENTER_XYZ
+    best = x * c[0, 0] + y * c[0, 1] + z * c[0, 2]
+    face = np.zeros(np.shape(best), dtype=np.int64)
+    for f in range(1, NUM_FACES):
+        d = x * c[f, 0] + y * c[f, 1] + z * c[f, 2]
+        m = d > best
+        if m.any():
+            best[m] = d[m]
+            face[m] = f
+    return face
 
 
 def geo_to_hex2d(lat, lng, res, face=None):
@@ -596,16 +613,19 @@ def is_pentagon(h):
     return pent & (_leading_nonzero_digit(h) == 0)
 
 
-def _leading_nonzero_digit(h):
-    """First nonzero digit of the index (0 if all digits are 0/center)."""
+def _leading_nonzero_digit(h, res_max: int = MAX_RES):
+    """First nonzero digit of the index (0 if all digits are 0/center).
+
+    ``res_max`` bounds the scan when every input has the same (known)
+    resolution — the hot encode path passes it explicitly."""
     h = _u64(h)
     res = get_resolution(h)
     out = np.zeros(h.shape, dtype=np.int64)
     found = np.zeros(h.shape, dtype=bool)
-    for r in range(1, MAX_RES + 1):
+    for r in range(1, res_max + 1):
         active = (r <= res) & ~found
         if not active.any():
-            continue
+            break
         d = _get_digit(h, r)
         hit = active & (d != 0)
         out = np.where(hit, d, out)
@@ -613,17 +633,18 @@ def _leading_nonzero_digit(h):
     return out
 
 
-def _rotate60(h, ccw, pent=False):
+def _rotate60(h, ccw, pent=False, res_max: int = MAX_RES):
     """Rotate all digits of the index(es) by 60 degrees.
 
     ``pent`` applies the pentagon variant (skip the deleted K axis at the
-    leading nonzero digit).
+    leading nonzero digit). ``res_max`` bounds the digit loop for
+    uniform-resolution batches (hot encode path).
     """
     h = _u64(h).copy()
     res = get_resolution(h)
     table = _ROT60_CCW_DIGIT if ccw else _ROT60_CW_DIGIT
     if not pent:
-        for r in range(1, MAX_RES + 1):
+        for r in range(1, res_max + 1):
             active = r <= res
             if not np.any(active):
                 continue
@@ -633,7 +654,7 @@ def _rotate60(h, ccw, pent=False):
         return h
     # pentagon variant
     found = np.zeros(h.shape, dtype=bool)
-    for r in range(1, MAX_RES + 1):
+    for r in range(1, res_max + 1):
         active = r <= res
         if not np.any(active):
             continue
@@ -643,9 +664,9 @@ def _rotate60(h, ccw, pent=False):
         newly = active & ~found & (nd != 0)
         if np.any(newly):
             # if the leading digit became K, rotate the whole index once more
-            lead_k = newly & (_leading_nonzero_digit(h) == K_AXES_DIGIT)
+            lead_k = newly & (_leading_nonzero_digit(h, res_max) == K_AXES_DIGIT)
             if np.any(lead_k):
-                h = np.where(lead_k, _rotate60(h, ccw, pent=False), h)
+                h = np.where(lead_k, _rotate60(h, ccw, pent=False, res_max=res_max), h)
         found = found | newly
     return h
 
@@ -684,14 +705,28 @@ def string_to_cell(s):
 # latlng -> cell (vectorized)
 # ---------------------------------------------------------------------------
 
+# block size keeping all per-row intermediates cache-resident: the
+# (N, 3) ijk work arrays access components with a 24-byte stride, which
+# collapses effective bandwidth once they spill to DRAM (measured 7-20x
+# slowdown on multi-million-row single calls vs 64k blocks on this host)
+_ENCODE_BLOCK = 65_536
+
+
 def latlng_to_cell(lat, lng, res, degrees=True):
     """H3 cell index containing each (lat, lng) at resolution ``res``.
 
-    Vectorized over numpy arrays; angles in degrees by default.
+    Vectorized over numpy arrays; angles in degrees by default. Large
+    inputs are processed in cache-sized blocks (identical results).
     """
-    der = _get_derived()
     lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
     lng = np.atleast_1d(np.asarray(lng, dtype=np.float64))
+    if lat.size > _ENCODE_BLOCK:
+        out = np.empty(lat.shape, dtype=np.uint64)
+        for s in range(0, lat.size, _ENCODE_BLOCK):
+            e = s + _ENCODE_BLOCK
+            out[s:e] = latlng_to_cell(lat[s:e], lng[s:e], res, degrees=degrees)
+        return out
+    der = _get_derived()
     if degrees:
         lat = np.radians(lat)
         lng = np.radians(lng)
@@ -730,30 +765,32 @@ def latlng_to_cell(lat, lng, res, degrees=True):
         raise ValueError("face/ijk position maps to no base cell")
     h |= _u64(bc) << np.uint64(_BC_SHIFT)
 
+    # rotations are applied to SUBSETS (most cells need none): slicing
+    # beats whole-array np.where rewrites by the selectivity factor
     pent = IS_PENTAGON_BC[bc]
     if np.any(pent):
-        lead = _leading_nonzero_digit(h)
+        lead = _leading_nonzero_digit(h, res)
         fixk = pent & (lead == K_AXES_DIGIT)
         if np.any(fixk):
             cw_a = BASE_CELL_DATA[bc, 5]
             cw_b = BASE_CELL_DATA[bc, 6]
-            is_cw = fixk & ((face == cw_a) | (face == cw_b))
-            is_ccw = fixk & ~is_cw
-            if np.any(is_cw):
-                h = np.where(is_cw, _rotate60(h, ccw=False), h)
-            if np.any(is_ccw):
-                h = np.where(is_ccw, _rotate60(h, ccw=True), h)
+            is_cw = np.nonzero(fixk & ((face == cw_a) | (face == cw_b)))[0]
+            is_ccw = np.nonzero(fixk & ~((face == cw_a) | (face == cw_b)))[0]
+            if is_cw.size:
+                h[is_cw] = _rotate60(h[is_cw], ccw=False, res_max=res)
+            if is_ccw.size:
+                h[is_ccw] = _rotate60(h[is_ccw], ccw=True, res_max=res)
     max_rot = int(rot.max()) if rot.size else 0
     for n in range(1, max_rot + 1):
         sel = rot >= n
         if not np.any(sel):
             continue
-        sel_p = sel & pent
-        sel_h = sel & ~pent
-        if np.any(sel_h):
-            h = np.where(sel_h, _rotate60(h, ccw=True), h)
-        if np.any(sel_p):
-            h = np.where(sel_p, _rotate60(h, ccw=True, pent=True), h)
+        sel_p = np.nonzero(sel & pent)[0]
+        sel_h = np.nonzero(sel & ~pent)[0]
+        if sel_h.size:
+            h[sel_h] = _rotate60(h[sel_h], ccw=True, res_max=res)
+        if sel_p.size:
+            h[sel_p] = _rotate60(h[sel_p], ccw=True, pent=True, res_max=res)
     return h
 
 
@@ -829,12 +866,13 @@ def cell_to_faceijk(h):
     r = int(res[0]) if res.size else 0
     bc = get_base_cell(h)
 
-    # pentagon leading-5 correction
+    # pentagon leading-5 correction (subset-applied)
     pent = IS_PENTAGON_BC[bc]
-    lead = _leading_nonzero_digit(h)
-    fix5 = pent & (lead == 5)
-    if np.any(fix5):
-        h = np.where(fix5, _rotate60(h, ccw=False), h)
+    lead = _leading_nonzero_digit(h, r)
+    fix5 = np.nonzero(pent & (lead == 5))[0]
+    if fix5.size:
+        h = h.copy()
+        h[fix5] = _rotate60(h[fix5], ccw=False, res_max=r)
 
     face = BASE_CELL_DATA[bc, 0].copy()
     ijk = BASE_CELL_DATA[bc, 1:4].copy()
@@ -854,7 +892,7 @@ def cell_to_faceijk(h):
     if r % 2 == 1:
         work_ijk = down_ap7r(ijk)
         work_res = r + 1
-    pent_lead4 = pent & (_leading_nonzero_digit(h) == 4)
+    pent_lead4 = pent & (_leading_nonzero_digit(h, r) == 4)
     f2, ijk2, over = _adjust_overage_class2(face, work_ijk, work_res, pent_lead4)
     if np.any(over & pent):
         # secondary overages are possible for pentagon base cells
@@ -873,7 +911,16 @@ def cell_to_faceijk(h):
 
 
 def cell_to_latlng(h, degrees=True):
-    """Center (lat, lng) of each cell. Vectorized; degrees by default."""
+    """Center (lat, lng) of each cell. Vectorized; degrees by default.
+    Large inputs are processed in cache-sized blocks (identical results)."""
+    h = np.atleast_1d(_u64(h))
+    if h.size > _ENCODE_BLOCK:
+        la = np.empty(h.shape, dtype=np.float64)
+        lo = np.empty(h.shape, dtype=np.float64)
+        for s in range(0, h.size, _ENCODE_BLOCK):
+            e = s + _ENCODE_BLOCK
+            la[s:e], lo[s:e] = cell_to_latlng(h[s:e], degrees=degrees)
+        return la, lo
     face, ijk, r = cell_to_faceijk(h)
     x, y = ijk_to_hex2d(ijk)
     lat, lng = hex2d_to_geo(x, y, face, r)
