@@ -516,6 +516,55 @@ def q_corpus_filter(spark, sf_dir):
     )
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4-style corpus cleaning (published heuristics): line filter
+    (terminal punctuation, >= 5 words, no 'javascript') + doc filter
+    (>= 3 kept lines, no '{', no 'lorem ipsum'), verified by md5 of every
+    cleaned document per language.
+
+    The synthetic corpus is single-line word soup, so both engines salt
+    each doc with the same deterministic doc_id-keyed lines (a good
+    sentence, a short line, a javascript line, a conditional lorem-ipsum
+    / curly-brace line) before cleaning — the md5 min/max then proves
+    line-exact filtering. Map-only until the per-lang aggregate."""
+    from geokitten_spark.functions.text import c4_clean_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    good = F.concat(
+        F.lit("\nDocument "),
+        F.col("doc_id").cast("string"),
+        F.lit(" carries this verifiably complete sentence."),
+    )
+    salted = F.concat(
+        F.col("text"),
+        good,
+        F.lit("\nshort line."),
+        F.lit("\nThis line mentions javascript and therefore never survives."),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit("\nlorem ipsum dolor sit amet.")
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("\ncurly { brace }")).otherwise(
+            F.lit("")
+        ),
+        good,
+        good,
+    )
+    c = c4_clean_cols(salted)
+    per_doc = docs.select(
+        F.col("lang"),
+        c["n_lines_kept"].alias("n_lines_kept"),
+        c["doc_kept"].alias("doc_kept"),
+        F.md5(c["cleaned_text"]).alias("h"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("doc_kept").cast("long")).alias("n_docs_kept"),
+        F.sum("n_lines_kept").cast("long").alias("total_lines_kept"),
+        F.min("h").alias("h_min"),
+        F.max("h").alias("h_max"),
+    )
+
+
 def q_url_canonicalize(spark, sf_dir):
     """URL canonicalization (the key-normalization step before any
     URL-keyed crawl dedup): each doc contributes a messy variant
@@ -1988,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q22_dormant": q_tpch_q22_dormant,
         "window_lag_delta": q_window_lag_delta,
         "pii_redact": q_pii_redact,
+        "c4_clean": q_c4_clean,
         "url_canonicalize": q_url_canonicalize,
         "corpus_filter": q_corpus_filter,
         "cube_docs": q_cube_docs,
@@ -2088,6 +2138,7 @@ def oracle_sql() -> dict[str, str]:
         rolling_fingerprint_sql,
         redact_pii_sql,
         repetition_percell_sql,
+        c4_clean_sql,
     )
     from geokitten_spark.operators.sampling import (
         stratified_sample_sql,
@@ -2394,6 +2445,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(gs - 1) AS BIGINT) AS n_dups_removed,
                    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_kept
             FROM ranked WHERE rn = 1 GROUP BY lang
+        """,
+        "c4_clean": f"""
+            WITH c4salted AS (
+                SELECT lang,
+                       text
+                       || chr(10) || 'Document ' || CAST(doc_id AS VARCHAR)
+                       || ' carries this verifiably complete sentence.'
+                       || chr(10) || 'short line.'
+                       || chr(10) || 'This line mentions javascript and therefore never survives.'
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN chr(10) || 'curly {{ brace }}'
+                               ELSE '' END
+                       || chr(10) || 'Document ' || CAST(doc_id AS VARCHAR)
+                       || ' carries this verifiably complete sentence.'
+                       || chr(10) || 'Document ' || CAST(doc_id AS VARCHAR)
+                       || ' carries this verifiably complete sentence.' AS s
+                FROM documents
+            ),
+            c4c AS (
+                SELECT lang,
+                       {c4_clean_sql('s')['n_lines_kept']} AS n_lines_kept,
+                       {c4_clean_sql('s')['doc_kept']} AS doc_kept,
+                       md5({c4_clean_sql('s')['cleaned_text']}) AS h
+                FROM c4salted
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN doc_kept THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+                   CAST(SUM(n_lines_kept) AS BIGINT) AS total_lines_kept,
+                   MIN(h) AS h_min, MAX(h) AS h_max
+            FROM c4c GROUP BY lang
         """,
         "pii_redact": f"""
             WITH salted AS (

@@ -484,3 +484,58 @@ def repetition_percell_sql() -> str:
                     OR max_run >= {REP_MAX_RUN})) AS rep_flagged
         FROM perdoc
     """
+
+
+# ---------------------------------------------------------------------------
+# C4-style line/document cleaning (published C4 heuristics, Raffel et al.
+# 2020: keep lines that end in terminal punctuation, have >= 5 words and
+# don't mention javascript; keep documents with >= 3 surviving lines, no
+# '{' and no 'lorem ipsum'). Pure Catalyst array/regex expressions —
+# map-only, SQL-expressible (DuckDB twin below shares the constants).
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_LINES = 3
+
+
+def c4_clean_cols(text: Column) -> dict:
+    """cleaned_text / n_lines_kept / doc_kept per the C4 rules."""
+    lines = F.split(text, "\n")
+
+    def _keep(line):
+        t = F.trim(line)
+        return (
+            t.rlike('[.!?"]$')
+            & (F.size(F.split(t, " +")) >= C4_MIN_WORDS_PER_LINE)
+            & ~F.lower(t).contains("javascript")
+        )
+
+    kept = F.filter(lines, _keep)
+    return {
+        "cleaned_text": F.array_join(kept, "\n"),
+        "n_lines_kept": F.size(kept).cast("long"),
+        "doc_kept": (
+            (F.size(kept) >= C4_MIN_LINES)
+            & ~F.lower(text).contains("lorem ipsum")
+            & ~text.contains("{")
+        ),
+    }
+
+
+def c4_clean_sql(text_expr: str) -> dict:
+    """DuckDB twin of c4_clean_cols (same constants, same regexes)."""
+    keep = (
+        "regexp_matches(trim(x), '[.!?\"]$') AND "
+        f"len(string_split_regex(trim(x), ' +')) >= {C4_MIN_WORDS_PER_LINE} "
+        "AND NOT contains(lower(trim(x)), 'javascript')"
+    )
+    kept = f"list_filter(string_split({text_expr}, chr(10)), x -> {keep})"
+    return {
+        "cleaned_text": f"array_to_string({kept}, chr(10))",
+        "n_lines_kept": f"CAST(len({kept}) AS BIGINT)",
+        "doc_kept": (
+            f"(len({kept}) >= {C4_MIN_LINES} "
+            f"AND NOT contains(lower({text_expr}), 'lorem ipsum') "
+            f"AND NOT contains({text_expr}, '{{'))"
+        ),
+    }

@@ -103,3 +103,43 @@ def test_bigrams_of_split(spark):
     df = spark.createDataFrame([("a b c",)], "text string")
     got = df.select(word_bigrams(split_words(F.col("text"))).alias("bg")).first()
     assert got["bg"] == ["a b", "b c"]
+
+
+def test_c4_clean_rules(spark):
+    """C4 heuristics, rule by rule: short lines, no-terminal-punct lines
+    and javascript lines drop; docs with < 3 kept lines, curly braces or
+    lorem ipsum drop whole."""
+    from pyspark.sql import functions as F
+
+    from geokitten_spark.functions.text import c4_clean_cols
+
+    rows = [
+        (1, "Good first sentence right here today.\n"
+            "Another proper sentence with enough words.\n"
+            "And a third complete sentence to finish!"),
+        (2, "too short.\nno terminal punctuation at all here\n"
+            "a javascript sentence with plenty of words here.\n"
+            "Only one good sentence lives in this doc."),
+        (3, "Document with curly { braces } should drop whole.\n"
+            "Even though this sentence would survive cleaning fine.\n"
+            "And this third one also would survive just fine."),
+        (4, "Lorem Ipsum dolor sit amet consectetur adipiscing elit.\n"
+            "A second fully valid sentence with many words.\n"
+            "A third fully valid sentence with many words."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    c = c4_clean_cols(F.col("text"))
+    got = {
+        r["doc_id"]: (r["n"], r["kept"], r["clean"])
+        for r in df.select(
+            "doc_id",
+            c["n_lines_kept"].alias("n"),
+            c["doc_kept"].alias("kept"),
+            c["cleaned_text"].alias("clean"),
+        ).collect()
+    }
+    assert got[1][0] == 3 and got[1][1] is True
+    assert got[2][0] == 1 and got[2][1] is False
+    assert "javascript" not in got[2][2] and "too short" not in got[2][2]
+    assert got[3][1] is False      # curly brace doc-level drop
+    assert got[4][1] is False      # lorem ipsum doc-level drop
