@@ -776,6 +776,18 @@ def q_adaptive_tiles(spark, sf_dir):
     )
 
 
+def q_h3_adaptive_tiles(spark, sf_dir):
+    """Density-adaptive APERTURE-7 tiling on canonical H3 ids (split >6
+    docs down to res 3, base res 1) — same one-doc-shuffle shape as the
+    quadtree variant, H3 digit-truncation parents."""
+    from geokitten_spark.operators.tile import h3_adaptive_tiles
+
+    docs = _web_docs(spark, sf_dir)
+    return h3_adaptive_tiles(
+        docs, "lon", "lat", base_res=1, max_res=3, threshold=6
+    ).select(F.col("res").cast("int").alias("res"), "cell_id", "n_docs")
+
+
 def q_tile_percentiles(spark, sf_dir):
     """Per-tile EXACT percentiles (p50/p90 of doc length per res-4 cell):
     Spark's `percentile` and DuckDB's `quantile_cont` share the same
@@ -2056,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grid_dbscan": q_grid_dbscan,
         "zorder_layout": q_zorder_layout,
         "adaptive_tiles": q_adaptive_tiles,
+        "h3_adaptive_tiles": q_h3_adaptive_tiles,
         "tile_percentiles": q_tile_percentiles,
         "lang_quality": q_lang_quality,
         "quality_repetition": q_quality_repetition,
@@ -2901,6 +2914,7 @@ def oracle_sql() -> dict[str, str]:
         "h3_knn": _ora.h3_knn_sql(),
         "h3_polyfill": _ora.h3_polyfill_sql(),
         "h3_vectorize": _ora.h3_vectorize_sql(),
+        "h3_adaptive_tiles": _ora.h3_adaptive_tiles_sql(),
         "ann_batch_topk": _ora.ann_batch_topk_sql(),
     }
     # the streaming session-window query folds to the exact shape of the

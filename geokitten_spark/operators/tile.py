@@ -131,6 +131,55 @@ def adaptive_tiles(
     fully lazy when composing it into a larger plan that is itself
     checkpointed or when build-time job launch is unacceptable.
     """
+    return _adaptive_tiles_generic(
+        docs,
+        encode_col=lambda: grid_cell_col(F.col(lon_col), F.col(lat_col), max_res),
+        parent_col=lambda c, fr, to: grid_parent_col(c, fr, to),
+        base_res=base_res,
+        max_res=max_res,
+        threshold=threshold,
+        eager=eager,
+    )
+
+
+def h3_adaptive_tiles(
+    docs: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    *,
+    base_res: int,
+    max_res: int,
+    threshold: int,
+    eager: bool = True,
+) -> DataFrame:
+    """Density-adaptive APERTURE-7 tiling on canonical H3 ids: a cell
+    splits into its 7 children (6 for pentagons) while it holds more than
+    ``threshold`` docs — same scale shape and eagerness tradeoff as
+    ``adaptive_tiles`` (one doc-sized aggregate at ``max_res``, decisions
+    on tile tables), with the H3 digit-truncation parent."""
+    from ..functions.cells_udfs import h3_cell, h3_parent
+
+    return _adaptive_tiles_generic(
+        docs,
+        encode_col=lambda: h3_cell(max_res)(F.col(lon_col), F.col(lat_col)),
+        parent_col=lambda c, fr, to: h3_parent(to)(c),
+        base_res=base_res,
+        max_res=max_res,
+        threshold=threshold,
+        eager=eager,
+    )
+
+
+def _adaptive_tiles_generic(
+    docs: DataFrame,
+    *,
+    encode_col,
+    parent_col,
+    base_res: int,
+    max_res: int,
+    threshold: int,
+    eager: bool = True,
+) -> DataFrame:
     if not (base_res <= max_res):
         raise ValueError("base_res must be <= max_res")
 
@@ -142,9 +191,7 @@ def adaptive_tiles(
     # per-level tile shuffles, sub-second, after truncation). The
     # checkpointed tables are #tiles-sized, never doc-sized.
     finest = (
-        docs.select(
-            grid_cell_col(F.col(lon_col), F.col(lat_col), max_res).alias("cell_id")
-        )
+        docs.select(encode_col().alias("cell_id"))
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -154,7 +201,7 @@ def adaptive_tiles(
     for r in range(max_res - 1, base_res - 1, -1):
         counts[r] = ckpt(
             counts[r + 1]
-            .groupBy(grid_parent_col(F.col("cell_id"), r + 1, r).alias("cell_id"))
+            .groupBy(parent_col(F.col("cell_id"), r + 1, r).alias("cell_id"))
             .agg(F.sum("n_docs").alias("n_docs"))
         )
     out = []
@@ -165,7 +212,7 @@ def adaptive_tiles(
             # only children of split cells are live at this level
             t = ckpt(
                 t.withColumn(
-                    "__parent", grid_parent_col(F.col("cell_id"), r, r - 1)
+                    "__parent", parent_col(F.col("cell_id"), r, r - 1)
                 ).join(
                     split_prev.select(F.col("cell_id").alias("__parent")),
                     on="__parent",

@@ -770,3 +770,55 @@ def h3_vectorize_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return values_sql(
         rows, [("cell_id", "BIGINT"), ("n_docs", "BIGINT"), ("wkt", "VARCHAR")]
     )
+
+
+@lru_cache(maxsize=4)
+def h3_adaptive_tiles_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (res, cell_id, n_docs) leaf tiling for q_h3_adaptive_tiles
+    (base 1, max 3, threshold 6) — numpy replica of the aperture-7 split
+    recursion over the res-3 H3 encode."""
+    from .cells import h3core
+
+    base_res, max_res, threshold = 1, 3, 6
+    lons, lats = _webdocs_lonlat(sf_dir)
+    finest = h3core.latlng_to_cell(lats, lons, max_res)
+    counts = {}
+    u, c = np.unique(finest, return_counts=True)
+    counts[max_res] = dict(zip(u.tolist(), c.tolist()))
+    for r in range(max_res - 1, base_res - 1, -1):
+        prev = counts[r + 1]
+        cur: dict = {}
+        cells = np.array(sorted(prev), dtype=np.uint64)
+        pars = h3core.cell_to_parent(cells, r)
+        for cell, par in zip(cells.tolist(), pars.tolist()):
+            cur[par] = cur.get(par, 0) + prev[cell]
+        counts[r] = cur
+    rows = []
+    split_prev: set | None = None
+    for r in range(base_res, max_res + 1):
+        level = counts[r]
+        if split_prev is not None:
+            cells = np.array(sorted(level), dtype=np.uint64)
+            pars = h3core.cell_to_parent(cells, r - 1)
+            level = {
+                cell: n
+                for (cell, n), par in zip(
+                    [(c2, level[c2]) for c2 in cells.tolist()], pars.tolist()
+                )
+                if par in split_prev
+            }
+        if r < max_res:
+            rows.extend(
+                (r, int(np.int64(np.uint64(cell))), n)
+                for cell, n in level.items()
+                if n <= threshold
+            )
+            split_prev = {cell for cell, n in level.items() if n > threshold}
+        else:
+            rows.extend(
+                (r, int(np.int64(np.uint64(cell))), n) for cell, n in level.items()
+            )
+    rows.sort()
+    return values_sql(
+        rows, [("res", "INTEGER"), ("cell_id", "BIGINT"), ("n_docs", "BIGINT")]
+    )

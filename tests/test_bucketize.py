@@ -200,3 +200,36 @@ def test_pipeline_stage_bucketing_exchange_free(spark, tmp_path):
         assert res2.df.count() == res1.df.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_h3_adaptive_tiles_conservation_and_leaf_purity(spark):
+    """Aperture-7 adaptive tiling on H3 ids: leaf counts conserve the
+    corpus total; no leaf is an ancestor of another leaf."""
+    import numpy as np
+
+    from geokitten_spark.cells import h3core
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.operators.tile import h3_adaptive_tiles
+    from tests.conftest import SF_SMOKE
+
+    docs = web_documents(spark, SF_SMOKE)
+    total = docs.count()
+    leaves = h3_adaptive_tiles(
+        docs, "lon", "lat", base_res=1, max_res=3, threshold=6
+    ).collect()
+    assert sum(r["n_docs"] for r in leaves) == total
+    by_res = {}
+    for r in leaves:
+        by_res.setdefault(r["res"], set()).add(np.uint64(r["cell_id"]))
+    for res, cells in by_res.items():
+        for coarser in range(1, res):
+            if coarser not in by_res:
+                continue
+            pars = h3core.cell_to_parent(
+                np.array(sorted(cells), dtype=np.uint64), coarser
+            )
+            assert not (set(pars.tolist()) & set(
+                int(x) for x in by_res[coarser]
+            )), f"leaf at res {coarser} is an ancestor of a res-{res} leaf"
+    # thresholds respected on non-max leaves
+    assert all(r["n_docs"] <= 6 for r in leaves if r["res"] < 3)
