@@ -22,12 +22,12 @@ SF_SMOKE = "/root/testdata/sf0.001"
 # ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: web docs → geocode → S2 cell (pandas UDF) + grid tile
-    aggregate → PIP join against admin rectangles → per-region per-tile
-    counts. Returns a small aggregate DataFrame."""
+    """Flagship: web docs → geocode → H3 + S2 cells (pandas UDFs) + grid
+    tile aggregate → PIP join against admin rectangles → per-region
+    per-tile counts. Returns a small aggregate DataFrame."""
     from geokitten_spark.fixtures import web_documents, admin_rects_pdf
     from geokitten_spark.operators.pip_join import pip_join
-    from geokitten_spark.functions.cells_udfs import grid_cell_col, s2_cell
+    from geokitten_spark.functions.cells_udfs import grid_cell_col, h3_cell, s2_cell
 
     docs = web_documents(spark, SF_SMOKE)
     rects = admin_rects_pdf()
@@ -37,14 +37,17 @@ def entry(spark: SparkSession) -> DataFrame:
         id_col="n_nationkey",
         wkt_col="geometry_wkt",
     )
-    tiled = located.withColumn(
-        "cell_id", grid_cell_col(F.col("lon"), F.col("lat"), 5)
-    ).withColumn("s2_cell", s2_cell(9)(F.col("lon"), F.col("lat")))
+    tiled = (
+        located.withColumn("cell_id", grid_cell_col(F.col("lon"), F.col("lat"), 5))
+        .withColumn("s2_cell", s2_cell(9)(F.col("lon"), F.col("lat")))
+        .withColumn("h3_cell", h3_cell(5)(F.col("lon"), F.col("lat")))
+    )
     return (
         tiled.groupBy("n_nationkey", "cell_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.approx_count_distinct("s2_cell").alias("n_s2_cells"),
+            F.approx_count_distinct("h3_cell").alias("n_h3_cells"),
         )
         .orderBy("n_nationkey", "cell_id")
     )
