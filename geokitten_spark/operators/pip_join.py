@@ -545,6 +545,11 @@ def partitioned_pip_join(
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ring_cache: dict = {}
+        cache_verts = 0
+        # bound the cache by TOTAL vertex count, not entry count: a few
+        # coastline-grade polygons can weigh more than thousands of small
+        # ones (ADVICE r2) — 2M vertices ~= 32 MB of ring arrays per task
+        max_cache_verts = 2_000_000
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -561,8 +566,12 @@ def partitioned_pip_join(
                         [np.asarray(r, dtype=np.float64)[:, :2] for r in rings]
                         for rings in g.parts
                     ]
-                    if len(ring_cache) < 4096:  # bound executor memory
+                    n_verts = sum(
+                        len(r) for rings in rings_parts for r in rings
+                    )
+                    if cache_verts + n_verts <= max_cache_verts:
                         ring_cache[wkt] = rings_parts
+                        cache_verts += n_verts
                 idx = np.asarray(grp)
                 inside_m = np.zeros(len(idx), dtype=bool)
                 for rings in rings_parts:
