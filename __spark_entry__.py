@@ -519,6 +519,23 @@ def q_corpus_filter(spark, sf_dir):
     )
 
 
+def q_sample_token_budget(spark, sf_dir):
+    """Deterministic token-budget packing: take docs per language in hash
+    order until 2000 tokens. Two-phase at scale (per-bucket sums -> driver
+    prefix -> map-only full buckets + one tiny boundary window per group);
+    the DuckDB twin states the same selection as one global window."""
+    from geokitten_spark.functions.text import token_count_ws
+    from geokitten_spark.operators.sampling import sample_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return sample_token_budget(
+        docs, key_col="doc_id", group_col="lang", tokens_col="n_tokens",
+        budget=2000, n_buckets=16,
+    )
+
+
 def q_c4_clean(spark, sf_dir):
     """C4-style corpus cleaning (published heuristics): line filter
     (terminal punctuation, >= 5 words, no 'javascript') + doc filter
@@ -2053,6 +2070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_lag_delta": q_window_lag_delta,
         "pii_redact": q_pii_redact,
         "c4_clean": q_c4_clean,
+        "sample_token_budget": q_sample_token_budget,
         "url_canonicalize": q_url_canonicalize,
         "corpus_filter": q_corpus_filter,
         "cube_docs": q_cube_docs,
@@ -2160,6 +2178,7 @@ def oracle_sql() -> dict[str, str]:
         stratified_sample_sql,
         sample_per_group_sql,
         split_assign_sql,
+        sample_token_budget_sql,
     )
     from geokitten_spark.functions.geocode import (
         url_host_sql,
@@ -2719,6 +2738,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1, 2
         """,
         "contamination_check": contamination_check_sql(shingle_n=8),
+        "sample_token_budget": sample_token_budget_sql(
+            f"SELECT doc_id, lang, {token_count_ws_sql('text')} AS n_tokens "
+            "FROM documents",
+            key_expr="doc_id",
+            group_expr="lang",
+            tokens_expr="n_tokens",
+            budget=2000,
+            n_buckets=16,
+        ),
         # stream twin shares the batch oracle verbatim (stream == batch)
         "stream_quality_gate": f"""
             SELECT lang, COUNT(*) AS n_docs,

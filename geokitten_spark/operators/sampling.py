@@ -148,3 +148,117 @@ def sample_per_group_sql(
             FROM {from_clause}
         ) WHERE __rk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# token-budget sampling: take docs per group until a token budget fills,
+# in deterministic hash order. The naive form is a per-group window cumsum
+# — a single reducer per group at 10^12 rows — so the operator is
+# two-phase: (1) aggregate token sums per (group, hash-bucket) — one
+# shuffle, tiny output; (2) the driver prefix-sums the bucket table and
+# broadcasts per-bucket decisions: buckets fully under budget pass with a
+# map-only filter, the ONE boundary bucket per group runs the window
+# cumsum on its own (tiny) row set. Deterministic: bucket and order are
+# pure functions of the doc key.
+# ---------------------------------------------------------------------------
+
+def sample_token_budget(
+    df: DataFrame,
+    *,
+    key_col: str,
+    group_col: str,
+    tokens_col: str,
+    budget: int,
+    n_buckets: int = 64,
+    salt: str = "tb",
+) -> DataFrame:
+    """Rows selected per group until ``budget`` tokens, hash-ordered.
+
+    A doc is selected iff the cumulative token count of all docs BEFORE
+    it (by (hash, key) order within its group) is < ``budget`` — the
+    first doc to cross the line is still included (budget fills, never
+    starves). Output: input columns + ``cum_before``.
+    """
+    from pyspark.sql import Window
+
+    h = _bucket(F.col(key_col), salt)
+    b = F.pmod(h, F.lit(n_buckets)).cast("long")
+    t = df.withColumn("__h", h).withColumn("__b", b)
+
+    # phase 1: per-(group, bucket) token sums — the only doc-sized shuffle
+    per_bucket = (
+        t.groupBy(group_col, "__b")
+        .agg(F.sum(F.col(tokens_col)).cast("long").alias("__tok"))
+        .collect()
+    )
+    # phase 2 (driver, O(groups x buckets)): prefix sums in bucket order
+    by_group: dict = {}
+    for r in per_bucket:
+        by_group.setdefault(r[group_col], []).append((int(r["__b"]), int(r["__tok"])))
+    full_rows = []      # (group, bucket) fully selected
+    boundary_rows = []  # (group, bucket, tokens_before_bucket)
+    for g, pairs in by_group.items():
+        run = 0
+        for bk, tok in sorted(pairs):
+            if run >= budget:
+                break  # budget already filled by earlier buckets
+            if run + tok < budget:
+                full_rows.append((g, bk))
+            else:
+                boundary_rows.append((g, bk, run))
+            run += tok
+    spark = df.sparkSession
+    full_df = spark.createDataFrame(
+        full_rows or [(None, None)], [group_col, "__b"]
+    ).filter(F.col("__b").isNotNull())
+    bnd_df = spark.createDataFrame(
+        boundary_rows or [(None, None, None)], [group_col, "__b", "__before"]
+    ).filter(F.col("__b").isNotNull())
+
+    # full buckets: map-only broadcast semi-join; cum_before within the
+    # bucket region is not individually needed — recompute the doc-level
+    # prefix only on the boundary bucket
+    full = t.join(F.broadcast(full_df), on=[group_col, "__b"], how="left_semi")
+    w = (
+        Window.partitionBy(group_col, "__b")
+        .orderBy(F.col("__h").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bnd = (
+        t.join(F.broadcast(bnd_df), on=[group_col, "__b"])
+        .withColumn(
+            "__cum_in_bucket",
+            F.coalesce(F.sum(F.col(tokens_col)).over(w), F.lit(0)).cast("long"),
+        )
+        .filter(F.col("__before") + F.col("__cum_in_bucket") < budget)
+        .drop("__cum_in_bucket", "__before")
+    )
+    return full.unionByName(bnd).drop("__h", "__b")
+
+
+def sample_token_budget_sql(
+    table_sql: str,
+    *,
+    key_expr: str,
+    group_expr: str,
+    tokens_expr: str,
+    budget: int,
+    n_buckets: int = 64,
+    salt: str = "tb",
+) -> str:
+    """DuckDB twin: the same selection predicate as ONE global window
+    (cum tokens before the doc, ordered by (bucket, hash, key) per group,
+    < budget) — semantically identical to the two-phase Spark plan."""
+    b = f"({_bucket_sql(key_expr, salt)}) % {n_buckets}"
+    h = _bucket_sql(key_expr, salt)
+    return f"""
+        SELECT * EXCLUDE (__cum) FROM (
+            SELECT *,
+                   COALESCE(SUM({tokens_expr}) OVER (
+                       PARTITION BY {group_expr}
+                       ORDER BY {b}, {h}, {key_expr}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS __cum
+            FROM ({table_sql})
+        ) WHERE __cum < {budget}
+    """

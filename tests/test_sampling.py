@@ -84,3 +84,49 @@ def test_split_assign_deterministic_and_complete(spark):
         .collect()
     }
     assert a == b
+
+
+def test_sample_token_budget_semantics(spark):
+    """Budget packing: per group the selection is the hash-ordered prefix
+    whose pre-doc cumulative tokens < budget; partitioning-independent;
+    budget fills (first crossing doc included)."""
+    from pyspark.sql import functions as F
+
+    from geokitten_spark.operators.dedup import hash60
+    from geokitten_spark.operators.sampling import sample_token_budget
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 10 + (i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tokens"])
+    out = sample_token_budget(
+        df, key_col="doc_id", group_col="lang", tokens_col="n_tokens",
+        budget=150, n_buckets=8,
+    ).collect()
+
+    # python replica (global hash order per group)
+    import hashlib
+
+    def h(i):
+        v = int(hashlib.md5(f"tb:{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+        return (v % 8, v, i)
+
+    expect = set()
+    for g in ("a", "b"):
+        docs = sorted((r for r in rows if r[1] == g), key=lambda r: h(r[0]))
+        run = 0
+        for did, _, tok in docs:
+            if run < 150:
+                expect.add(did)
+            run += tok
+    got = {r["doc_id"] for r in out}
+    assert got == expect
+    # budget fills: selected tokens reach >= budget per group
+    for g in ("a", "b"):
+        sel = sum(r["n_tokens"] for r in out if r["lang"] == g)
+        assert sel >= 150
+
+    # partitioning independence
+    out2 = sample_token_budget(
+        df.repartition(13), key_col="doc_id", group_col="lang",
+        tokens_col="n_tokens", budget=150, n_buckets=8,
+    ).collect()
+    assert {r["doc_id"] for r in out2} == expect
