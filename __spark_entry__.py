@@ -964,6 +964,17 @@ def q_dedup_span_coverage(spark, sf_dir):
     return span_coverage(docs, shingle_n=8)
 
 
+def q_dedup_span_removal(spark, sf_dir):
+    """Exact duplicated-span REMOVAL (RefinedWeb/Dolma-style substring
+    dedup — the act to span_coverage's measure): positions covered by a
+    cross-document 8-gram are cut; md5 of every cleaned doc proves
+    word-exact removal against the DuckDB twin."""
+    from geokitten_spark.operators.dedup import span_removal
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return span_removal(docs, shingle_n=8)
+
+
 _SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
 
 
@@ -2098,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "dedup_exact": q_dedup_exact,
         "dedup_span_coverage": q_dedup_span_coverage,
+        "dedup_span_removal": q_dedup_span_removal,
         "tfidf_top_terms": q_tfidf_top_terms,
         "split_assign": q_split_assign,
         "contamination_check": q_contamination_check,
@@ -2196,6 +2208,7 @@ def oracle_sql() -> dict[str, str]:
         ngram_jaccard_sql,
         connected_components_sql,
         span_coverage_sql,
+        span_removal_sql,
         contamination_check_sql,
     )
     from geokitten_spark.operators.cluster import grid_dbscan_sql
@@ -2703,6 +2716,10 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc GROUP BY pred_lang
         """,
         "dedup_span_coverage": span_coverage_sql(shingle_n=8),
+        "dedup_span_removal": span_removal_sql(
+            "corpus AS (SELECT doc_id, text, lang FROM documents)",
+            shingle_n=8,
+        ),
         "tfidf_top_terms": """
             WITH ws AS (
                 SELECT doc_id, lang,

@@ -877,3 +877,137 @@ def embedding_neardup_lsh(
     )
     sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return cand.filter(sim >= threshold).select("vec_a", "vec_b")
+
+
+def span_removal(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    shingle_n: int = 8,
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL — the act to span_coverage's measure
+    (RefinedWeb/Dolma-style exact substring dedup): every word position
+    covered by a word ``shingle_n``-gram that occurs in >= 2 DISTINCT
+    documents is dropped; the remaining words re-join.
+
+    Scale shape: positional grams hash to 60-bit BIGINTs before the
+    explode, so the doc-frequency aggregate and the semi-join move
+    8-byte keys (+ a 4-byte position); covered-position expansion and
+    the word filter are per-row array expressions after a doc-keyed
+    aggregate of start positions. Docs with fewer than ``shingle_n``
+    words pass through untouched (no grams, nothing to remove) — both
+    engines exclude them from the rollup identically.
+
+    Returns per-group: (group, n_docs, docs_touched, words_removed,
+    h_min, h_max) with md5 over every cleaned document.
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        words.alias("ws"),
+    ).filter(F.size("ws") >= shingle_n)
+
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - (shingle_n - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            hash60(
+                F.concat_ws(" ", F.slice(F.col("ws"), i, F.lit(shingle_n)))
+            ).alias("sh"),
+        ),
+    )
+    exploded = base.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.sh").alias("sh")
+    )
+    dup = (
+        exploded.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("sh")
+    )
+    cov = (
+        exploded.join(dup, on="sh", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
+    )
+    joined = base.join(cov, on="doc_id", how="left")
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + (shingle_n - 1)),
+            )
+        )
+    )
+    j = joined.withColumn("__cov", covered)
+    kept = F.filter(
+        F.col("ws"), lambda w, i: ~F.array_contains(F.col("__cov"), i + 1)
+    )
+    per_doc = j.select(
+        "grp",
+        (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("h"),
+    )
+    return per_doc.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_removed") > 0).cast("long")).alias("docs_touched"),
+        F.sum("n_removed").cast("long").alias("words_removed"),
+        F.min("h").alias("h_min"),
+        F.max("h").alias("h_max"),
+    )
+
+
+def span_removal_sql(
+    corpus_cte: str, *, group_col: str = "lang", shingle_n: int = 8
+) -> str:
+    """DuckDB twin of :func:`span_removal` over a CTE named ``corpus``
+    (doc_id, text, <group_col>)."""
+    h = hash60_sql(f"array_to_string(ws[i:i+{shingle_n - 1}], ' ')")
+    return f"""
+        WITH {corpus_cte},
+        base AS (
+            SELECT doc_id, {group_col} AS grp,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+            FROM corpus
+        ),
+        b2 AS (SELECT * FROM base WHERE len(ws) >= {shingle_n}),
+        exploded AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, len(ws) - {shingle_n - 1}),
+                       i -> {{'pos': i, 'sh': {h}}})) AS g
+            FROM b2
+        ),
+        e2 AS (SELECT doc_id, g.pos AS pos, g.sh AS sh FROM exploded),
+        dup AS (
+            SELECT sh FROM e2 GROUP BY sh HAVING COUNT(DISTINCT doc_id) >= 2
+        ),
+        cov AS (
+            SELECT e2.doc_id, list(DISTINCT e2.pos) AS starts
+            FROM e2 JOIN dup ON e2.sh = dup.sh GROUP BY 1
+        ),
+        cleaned AS (
+            SELECT b2.grp,
+                   len(b2.ws) AS n_words,
+                   list_filter(
+                       list_transform(b2.ws, (w, i) -> CASE WHEN NOT
+                           list_contains(
+                               flatten(list_transform(
+                                   COALESCE(cov.starts, []),
+                                   s -> generate_series(s, s + {shingle_n - 1})
+                               )), i)
+                           THEN w END),
+                       x -> x IS NOT NULL) AS kept
+            FROM b2 LEFT JOIN cov ON b2.doc_id = cov.doc_id
+        )
+        SELECT grp AS {group_col}, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN n_words > len(kept) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_touched,
+               CAST(SUM(n_words - len(kept)) AS BIGINT) AS words_removed,
+               MIN(md5(array_to_string(kept, ' '))) AS h_min,
+               MAX(md5(array_to_string(kept, ' '))) AS h_max
+        FROM cleaned GROUP BY 1
+    """

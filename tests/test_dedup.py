@@ -400,3 +400,25 @@ def test_ann_search_many_matches_looped_search(spark, tmp_path):
     for qid, qv in queries:
         single = [r.vec_id for r in pq.search(qv, k=5).collect()]
         assert [v for _, v in sorted(got2[qid])] == single, f"pq query {qid}"
+
+
+def test_span_removal_crafted_corpus(spark):
+    """Removal semantics: a span shared by two docs is cut from BOTH;
+    unique content survives; sub-8-gram docs pass through the rollup
+    untouched (excluded)."""
+    from geokitten_spark.operators.dedup import span_removal
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    rows = [
+        (1, "x", f"uniqueone {shared} tailone is here today okay fine"),
+        (2, "x", f"uniquetwo {shared} tailtwo is there now sure good"),
+        (3, "x", "completely different words that repeat nowhere else at all"),
+        (4, "x", "short doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = span_removal(df, shingle_n=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 3           # the 2-word doc has no 8-grams
+    assert r["docs_touched"] == 2     # both sharers lose the span
+    assert r["words_removed"] == 16   # 8 words from each sharer
