@@ -199,3 +199,40 @@ def test_h3_cover_refine_matches_brute_pip(spark):
         # the interior fast path must actually carry cells (not everything
         # falling through to refine)
         assert cov.n_inside_cells > 0, id_col
+
+
+def test_h3_cover_refine_with_holes(spark):
+    """Donut polygons: H3PolygonCover must match brute pip_join when the
+    boundary set carries interior rings (holes) — the polyfill subtracts
+    hole-covered centers and the refine ray-casts the full ring set."""
+    import pandas as pd
+
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.operators.pip_join import H3PolygonCover, pip_join
+
+    donut = (
+        "POLYGON ((-40 -20, 40 -20, 40 35, -40 35, -40 -20), "
+        "(-15 -5, 15 -5, 15 20, -15 20, -15 -5))"
+    )
+    square = "POLYGON ((60 -10, 110 -10, 110 30, 60 30, 60 -10))"
+    bnd = pd.DataFrame(
+        {"region": ["donut", "square"], "geometry_wkt": [donut, square]}
+    )
+    docs = web_documents(spark, SF_SMOKE).select("doc_id", "lon", "lat")
+    brute = frozenset(
+        (r.doc_id, r.region)
+        for r in pip_join(docs, bnd, id_col="region", wkt_col="geometry_wkt").collect()
+    )
+    cov = H3PolygonCover(spark, bnd, id_col="region", wkt_col="geometry_wkt", res=3)
+    got = frozenset((r.doc_id, r.region) for r in cov.join(docs).collect())
+    assert got == brute and len(brute) > 0
+    # docs inside the hole must NOT match the donut
+    hole_docs = {
+        r.doc_id
+        for r in docs.filter(
+            "lon > -15 AND lon < 15 AND lat > -5 AND lat < 20"
+        ).collect()
+    }
+    assert hole_docs and not any(
+        d in hole_docs for d, reg in got if reg == "donut"
+    )
