@@ -1162,3 +1162,32 @@ def cell_to_boundary(h):
     ):
         dedup.pop()
     return np.array(dedup, dtype=np.float64)
+
+
+def cell_to_children(h, child_res=None):
+    """All children of ONE cell at ``child_res`` (default res+1):
+    7^(child_res-res) cells for hexagons, with the deleted-K subtrees
+    skipped under pentagons (so pentagon cells have 6 direct children)."""
+    h = np.atleast_1d(_u64(h))[:1]
+    res = int(get_resolution(h)[0])
+    if child_res is None:
+        child_res = res + 1
+    if child_res < res:
+        raise ValueError("child_res must be >= cell resolution")
+    if child_res == res:
+        return h.copy()
+    out = [h[0]]
+    for r in range(res + 1, child_res + 1):
+        nxt = []
+        for parent in out:
+            pent = bool(is_pentagon(np.atleast_1d(parent))[0])
+            base = (
+                np.uint64(parent)
+                & ~(np.uint64(0xF) << np.uint64(_RES_SHIFT))
+            ) | (np.uint64(r) << np.uint64(_RES_SHIFT))
+            for d in range(7):
+                if pent and d == K_AXES_DIGIT:
+                    continue  # deleted subsequence under a pentagon
+                nxt.append(np.uint64(_set_digit(np.atleast_1d(base), r, d)[0]))
+        out = nxt
+    return np.array(out, dtype=np.uint64)
