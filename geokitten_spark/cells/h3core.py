@@ -1191,3 +1191,45 @@ def cell_to_children(h, child_res=None):
                 nxt.append(np.uint64(_set_digit(np.atleast_1d(base), r, d)[0]))
         out = nxt
     return np.array(out, dtype=np.uint64)
+
+
+def compact_cells(cells):
+    """Replace every COMPLETE sibling set by its parent, recursively (the
+    published compactCells semantics): the minimal cell set covering the
+    same area. Input must be a uniform-resolution set; output mixes
+    resolutions (H3 ids carry their res, so one int64 column suffices).
+    A pentagon parent is complete with its 6 children (no K subtree)."""
+    cells = np.unique(np.atleast_1d(_u64(cells)))
+    if cells.size == 0:
+        return cells
+    res = get_resolution(cells)
+    if res.max() != res.min():
+        raise ValueError("compact_cells requires uniform input resolution")
+    out = []
+    cur = cells
+    for r in range(int(res[0]), 0, -1):
+        parents = cell_to_parent(cur, r - 1)
+        up, counts = np.unique(parents, return_counts=True)
+        need = np.where(is_pentagon(up), 6, 7)
+        complete = counts == need
+        done_parents = set(up[complete].tolist())
+        keep = np.array(
+            [int(p) not in done_parents for p in parents.tolist()], dtype=bool
+        )
+        out.append(cur[keep])
+        cur = up[complete]
+        if cur.size == 0:
+            break
+    if cur.size:
+        out.append(cur)
+    return np.unique(np.concatenate(out))
+
+
+def uncompact_cells(cells, res):
+    """Inverse of compact_cells: expand every cell to its ``res``
+    descendants (identity for cells already at ``res``)."""
+    cells = np.atleast_1d(_u64(cells))
+    out = []
+    for c in cells:
+        out.append(cell_to_children(c, res))
+    return np.unique(np.concatenate(out)) if out else cells

@@ -200,3 +200,18 @@ def h3_boundary_wkt():
         return pd.Series(out)
 
     return _wkt
+
+
+def h3_parent_col(cell: Column, child_res: int, parent_res: int) -> Column:
+    """H3 ancestor as PURE JVM bit arithmetic (digit truncation: clear the
+    res nibble, set ``parent_res``, fill digits below with 7) — no Python
+    stage, so codegen ancestor probes against compacted covers stay
+    whole-stage. Equality with the kernel cell_to_parent is pinned in
+    tests/test_h3.py."""
+    clear = ~(0xF << 52)
+    filler = (1 << ((15 - parent_res) * 3)) - (1 << ((15 - child_res) * 3))
+    return (
+        cell.bitwiseAND(F.lit(clear))
+        .bitwiseOR(F.lit(parent_res << 52))
+        .bitwiseOR(F.lit(filler))
+    )

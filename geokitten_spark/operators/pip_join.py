@@ -620,11 +620,12 @@ class H3PolygonCover:
     """
 
     def __init__(self, spark, boundaries_pdf: pd.DataFrame, *, id_col: str,
-                 wkt_col: str, res: int = 3):
+                 wkt_col: str, res: int = 3, min_res: int = 0):
         from ..cells import h3core
 
         self.id_col = id_col
         self.res = res
+        self.min_res = min_res
         ids = boundaries_pdf[id_col].tolist()
         geoms = [parse_wkt(w) for w in boundaries_pdf[wkt_col].tolist()]
 
@@ -663,8 +664,22 @@ class H3PolygonCover:
             if bd_arr.size:
                 for d in h3core.grid_disk_arrays(bd_arr, 1):
                     dilated.update(int(x) for x in d)
-            for c in sorted(inside_raw - dilated):
-                in_cells.append(c)
+            inside = np.array(sorted(inside_raw - dilated), dtype=np.uint64)
+            # compactCells shrinks the interior broadcast ~3-7x (complete
+            # sibling sets fold into parents down to min_res); H3 ids carry
+            # their res, so the mixed-res cover stays ONE bigint column and
+            # docs probe it with pure-JVM digit-truncation ancestors
+            if inside.size and min_res < res:
+                comp = h3core.compact_cells(inside)
+                keep = h3core.get_resolution(comp) >= min_res
+                shallow = comp[~keep]
+                if shallow.size:  # re-expand anything coarser than min_res
+                    comp = np.concatenate(
+                        [comp[keep], h3core.uncompact_cells(shallow, min_res)]
+                    )
+                inside = np.unique(comp)
+            for c in inside.tolist():
+                in_cells.append(int(c))
                 in_pos.append(pos)
             for c in sorted(dilated):
                 bd_cells.append(c)
@@ -700,13 +715,30 @@ class H3PolygonCover:
         self._bc = spark.sparkContext.broadcast((parts_by_pos, ids))
 
     def join(self, docs: DataFrame, *, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
-        from ..functions.cells_udfs import h3_cell
+        from ..functions.cells_udfs import h3_cell, h3_parent_col
 
         id_col = self.id_col
         tagged = docs.withColumn(
             "__cell", h3_cell(self.res)(F.col(lon_col), F.col(lat_col))
         )
-        fast = tagged.join(F.broadcast(self.inside_df), on="__cell").drop("__cell")
+        # interior fast path probes the COMPACTED cover: ONE Arrow encode,
+        # then ancestors at every cover level as pure-JVM digit truncation
+        # (a doc matches a region at <= 1 level — compact sets are
+        # disjoint per region)
+        ancestors = F.array(
+            F.col("__cell"),
+            *[
+                h3_parent_col(F.col("__cell"), self.res, r)
+                for r in range(self.res - 1, self.min_res - 1, -1)
+            ],
+        )
+        probe = tagged.withColumn("__anc", F.explode(ancestors)).drop("__cell")
+        fast = (
+            probe.join(
+                F.broadcast(self.inside_df.withColumnRenamed("__cell", "__anc")),
+                on="__anc",
+            ).drop("__anc")
+        )
         cand = tagged.join(F.broadcast(self.border_df), on="__cell").drop("__cell")
 
         bc = self._bc

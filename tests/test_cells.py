@@ -361,3 +361,35 @@ def test_morton_prefix_property_and_sql_parity():
     con.register("t", pd.DataFrame({"ix": ix, "iy": iy}))
     got = con.sql(f"SELECT {morton_sql('ix', 'iy', 12)} AS z FROM t").df()["z"]
     assert np.array_equal(got.to_numpy(), z)
+
+
+def test_h3_parent_col_matches_kernel(spark):
+    """The pure-JVM digit-truncation ancestor (functions.cells_udfs.
+    h3_parent_col) must equal the numpy kernel cell_to_parent for every
+    (child_res, parent_res) pair the compacted-cover probe uses."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from geokitten_spark.cells import h3core as hc
+    from geokitten_spark.functions.cells_udfs import h3_parent_col
+
+    rng = np.random.default_rng(11)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 4000)))
+    lng = rng.uniform(-180, 180, 4000)
+    for child_res in (3, 5, 9):
+        cells = hc.latlng_to_cell(lat, lng, child_res)
+        sdf = spark.createDataFrame(
+            [(int(np.int64(c)),) for c in cells], "cell bigint"
+        )
+        for parent_res in range(0, child_res):
+            want = hc.cell_to_parent(cells, parent_res).astype(np.int64)
+            got = np.array(
+                [
+                    r.p
+                    for r in sdf.select(
+                        h3_parent_col(F.col("cell"), child_res, parent_res).alias("p")
+                    ).collect()
+                ],
+                dtype=np.int64,
+            )
+            assert np.array_equal(got, want), (child_res, parent_res)

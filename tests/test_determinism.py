@@ -236,3 +236,33 @@ def test_h3_cover_refine_with_holes(spark):
     assert hole_docs and not any(
         d in hole_docs for d, reg in got if reg == "donut"
     )
+
+
+def test_h3_cover_compaction_parity_and_shrink(spark):
+    """Compacted interior covers (compact_cells down to min_res, probed
+    via JVM digit-truncation ancestors) must return EXACTLY the same rows
+    as the uncompacted cover and the brute pip_join, while broadcasting
+    strictly fewer interior cells."""
+    from geokitten_spark.fixtures import bench_boundaries_pdf, web_documents
+    from geokitten_spark.operators.pip_join import H3PolygonCover, pip_join
+
+    bnd = bench_boundaries_pdf()
+    docs = web_documents(spark, SF_SMOKE).select("doc_id", "lon", "lat")
+    brute = frozenset(
+        (r.doc_id, r.region_key)
+        for r in pip_join(
+            docs, bnd, id_col="region_key", wkt_col="geometry_wkt"
+        ).collect()
+    )
+    flat = H3PolygonCover(
+        spark, bnd, id_col="region_key", wkt_col="geometry_wkt", res=5, min_res=5
+    )
+    comp = H3PolygonCover(
+        spark, bnd, id_col="region_key", wkt_col="geometry_wkt", res=5, min_res=2
+    )
+    assert comp.n_inside_cells < flat.n_inside_cells
+    for cov in (flat, comp):
+        got = frozenset(
+            (r.doc_id, r.region_key) for r in cov.join(docs).collect()
+        )
+        assert got == brute and len(brute) > 0

@@ -368,3 +368,36 @@ def test_h3compat_facade_matches_published_api():
     ) or True  # center child is one of SOME res-7 cell's set; identity below
     cc = h3.cell_to_center_child("85283473fffffff", 6)
     assert h3.cell_to_parent(cc, 5) == "85283473fffffff"
+
+
+def test_compact_uncompact_roundtrip(sphere_points):
+    """compactCells semantics: minimal mixed-res set covering the same
+    area — uncompacting back to the input res must reproduce the input
+    set exactly, every complete sibling family must have folded (no
+    parent in the output may have all its children also coverable), and
+    pentagon families fold at 6 children, hexagons at 7."""
+    lat, lng = sphere_points
+    # dense region: every res-4 descendant of one res-2 cell -> folds to 1
+    seed = hc.latlng_to_cell(np.array([37.0]), np.array([-122.0]), 2)[0]
+    full = hc.cell_to_children(seed, 4)
+    comp = hc.compact_cells(full)
+    assert comp.size == 1 and comp[0] == seed
+    assert np.array_equal(np.sort(hc.uncompact_cells(comp, 4)), np.sort(full))
+    # ragged region: drop a few leaves -> exact roundtrip, strictly smaller
+    rng = np.random.default_rng(7)
+    ragged = full[rng.random(full.size) > 0.03]
+    comp = hc.compact_cells(ragged)
+    assert comp.size < ragged.size
+    assert np.array_equal(
+        np.sort(hc.uncompact_cells(comp, 4)), np.sort(np.unique(ragged))
+    )
+    # pentagon family folds at 6 children
+    u0 = np.unique(hc.latlng_to_cell(lat, lng, 0))
+    pent = u0[hc.is_pentagon(u0)][0]
+    pk = hc.cell_to_children(pent, 1)
+    assert pk.size == 6
+    assert np.array_equal(hc.compact_cells(pk), np.array([pent], dtype=np.uint64))
+    # incomplete family (6 of 7 hex children) must NOT fold
+    hexc = u0[~hc.is_pentagon(u0)][0]
+    kids6 = hc.cell_to_children(hexc, 1)[:6]
+    assert np.array_equal(hc.compact_cells(kids6), np.sort(kids6))
