@@ -34,6 +34,8 @@ __all__ = [
     "polygon_to_cells",
     "str_to_int",
     "int_to_str",
+    "compact_cells",
+    "uncompact_cells",
 ]
 
 
@@ -100,3 +102,15 @@ def str_to_int(cell: str) -> int:
 
 def int_to_str(cell: int) -> str:
     return format(int(cell), "x")
+
+
+def compact_cells(cells: list) -> list:
+    """h3-py v4 compact_cells: minimal mixed-res set covering the same area."""
+    arr = np.array([int(c, 16) for c in cells], dtype=np.uint64)
+    return [format(int(x), "x") for x in _c.compact_cells(arr)]
+
+
+def uncompact_cells(cells: list, res: int) -> list:
+    """h3-py v4 uncompact_cells: expand every cell to its ``res`` descendants."""
+    arr = np.array([int(c, 16) for c in cells], dtype=np.uint64)
+    return [format(int(x), "x") for x in _c.uncompact_cells(arr, res)]

@@ -401,3 +401,17 @@ def test_compact_uncompact_roundtrip(sphere_points):
     hexc = u0[~hc.is_pentagon(u0)][0]
     kids6 = hc.cell_to_children(hexc, 1)[:6]
     assert np.array_equal(hc.compact_cells(kids6), np.sort(kids6))
+
+
+def test_h3compat_compact_uncompact():
+    """Facade compact/uncompact follow the published h3-py v4 convention
+    (hex-string lists) and roundtrip exactly."""
+    from geokitten_spark.cells import h3compat as h3
+
+    kids = h3.cell_to_children("85283473fffffff", 7)
+    assert len(kids) == 49
+    assert h3.compact_cells(kids) == ["85283473fffffff"]
+    missing = kids[1:]
+    comp = h3.compact_cells(missing)
+    assert len(comp) < len(missing)
+    assert sorted(h3.uncompact_cells(comp, 7)) == sorted(missing)
