@@ -13,8 +13,14 @@ signatures, partitioning). The decode kernel dispatches per payload:
   interlace 0 — see ``decode_png``/``encode_png``). The media fixture
   emits PNG for even image ids and PPM for odd ones, so both binary
   parses run end to end with no external codec.
-* **JPEG/etc.** — gated behind an import-try; with Pillow absent in
-  this container these raise ``NotImplementedError``.
+* **JPEG (baseline)** — REAL decode, pure numpy + stdlib (marker walk,
+  stream-read DQT/DHT tables, huffman entropy decode incl. restart
+  markers, batched IDCT, 4:4:4/4:2:2/4:2:0 chroma upsampling — see
+  ``jpeg.decode_jpeg``). Image ids ≡ 2 (mod 3) in the fixture carry
+  JPEG payloads, so the lossy path runs end to end with no external
+  codec. Progressive JPEG raises ``NotImplementedError``.
+* **other formats (GIF/WebP/…)** — gated behind an import-try; with
+  Pillow absent in this container these raise ``NotImplementedError``.
 * **fake=True** — deterministic byte-fold fallback for payloads that are
   not encoded media at all (the audio/video stand-ins), a pure function
   of the payload bytes so tests and oracle runs are reproducible.
@@ -102,15 +108,18 @@ def synthetic_media(spark: SparkSession, sf_dir: str, n_rows: int = 200) -> Data
     def _img_payload(
         media_id: pd.Series, text: pd.Series, width: pd.Series, height: pd.Series
     ) -> pd.Series:
-        # even image ids encode as PNG (exercising the zlib+defilter
-        # parse), odd as PPM — both REAL format roundtrips
+        # image ids cycle PNG / PPM / JPEG by (id//3) % 3, so all three
+        # REAL binary parses (zlib+defilter, netpbm, huffman+IDCT) run
+        # end to end
+        from .jpeg import encode_jpeg
+
         out = []
         for mid, t, w, h in zip(media_id, text, width, height):
             raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
             need = int(w) * int(h) * 3
             reps = (need + len(raw) - 1) // max(1, len(raw))
             px = np.tile(raw, reps)[:need].reshape(int(h), int(w), 3)
-            enc = encode_png if int(mid) % 2 == 0 else encode_ppm
+            enc = [encode_png, encode_ppm, encode_jpeg][(int(mid) // 3) % 3]
             out.append(enc(px))
         return pd.Series(out)
 
@@ -374,11 +383,15 @@ def _decode(payload: bytes, width: int, height: int, fake: bool) -> np.ndarray:
         return decode_ppm(payload)
     if payload[:8] == _PNG_SIG:  # real decode, stdlib zlib + numpy
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":  # real decode, pure numpy baseline JPEG
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if fake:
         return _decode_fake(payload, width, height)
-    if not _HAVE_PIL:  # JPEG/... require an image codec
+    if not _HAVE_PIL:  # GIF/WebP/... require an image codec
         raise NotImplementedError(
-            "decoding non-netpbm/PNG formats requires Pillow; pass "
+            "decoding non-netpbm/PNG/JPEG formats requires Pillow; pass "
             "fake=True for the deterministic fallback decoder"
         )
     import io

@@ -362,6 +362,7 @@ def media_features_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     ``limit(100)`` on the one-file documents table."""
     import pyarrow.parquet as pq
 
+    from .functions.jpeg import encode_jpeg
     from .functions.multimodal import (
         _decode,
         _features_of,
@@ -383,8 +384,9 @@ def media_features_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
             need = w * h * 3
             reps = (need + len(raw) - 1) // max(1, len(raw))
             px = np.tile(raw, reps)[:need].reshape(h, w, 3)
-            # mirror the fixture: even ids PNG, odd ids PPM
-            payload = encode_png(px) if doc_id % 2 == 0 else encode_ppm(px)
+            # mirror the fixture: (id//3) % 3 cycles PNG / PPM / JPEG
+            enc = [encode_png, encode_ppm, encode_jpeg][(doc_id // 3) % 3]
+            payload = enc(px)
         else:
             payload = text.encode("utf-8")
         feat = _features_of(_decode(payload, w, h, fake=True))

@@ -1,0 +1,166 @@
+"""Offline verification of the pure-numpy baseline JPEG codec.
+
+No external codec exists in this container, so correctness rests on
+independent cross-checks: the DCT against a direct O(N^4) transcription
+of the T.81 definition, quantization against the widely published
+worked example (DC -415.375 -> -26 with the Annex K luminance table),
+the zigzag order against its first published entries, and
+encode->decode roundtrips bounded by PSNR.
+"""
+
+import numpy as np
+import pytest
+
+from geokitten_spark.functions.jpeg import (
+    QUANT_LUMA,
+    _zigzag_order,
+    decode_jpeg,
+    encode_jpeg,
+    fdct_blocks,
+    idct_blocks,
+)
+
+
+def _dct2_direct(block: np.ndarray) -> np.ndarray:
+    """O(N^4) transcription of the T.81 FDCT definition (A.3.3)."""
+    out = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        block[x, y]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[u, v] = 0.25 * cu * cv * s
+    return out
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+# the widely published worked-example block (level-shifted input appears
+# in countless JPEG tutorials and the original Wallace CACM paper)
+WORKED_BLOCK = np.array(
+    [
+        [52, 55, 61, 66, 70, 61, 64, 73],
+        [63, 59, 55, 90, 109, 85, 69, 72],
+        [62, 59, 68, 113, 144, 104, 66, 73],
+        [63, 58, 71, 122, 154, 106, 70, 69],
+        [67, 61, 68, 104, 126, 88, 68, 70],
+        [79, 65, 60, 70, 77, 68, 58, 75],
+        [85, 71, 64, 59, 55, 61, 65, 83],
+        [87, 79, 69, 68, 65, 76, 78, 94],
+    ],
+    dtype=np.float64,
+)
+
+
+def test_fdct_matches_direct_definition():
+    rng = np.random.default_rng(7)
+    blocks = rng.integers(0, 256, size=(5, 8, 8)).astype(np.float64) - 128.0
+    fast = fdct_blocks(blocks)
+    for k in range(5):
+        direct = _dct2_direct(blocks[k])
+        np.testing.assert_allclose(fast[k], direct, atol=1e-9)
+
+
+def test_idct_inverts_fdct_exactly():
+    rng = np.random.default_rng(11)
+    blocks = rng.normal(size=(4, 8, 8)) * 100
+    np.testing.assert_allclose(idct_blocks(fdct_blocks(blocks)), blocks, atol=1e-9)
+
+
+def test_worked_example_dc_coefficient():
+    shifted = WORKED_BLOCK - 128.0
+    coefs = fdct_blocks(shifted[None])[0]
+    assert abs(coefs[0, 0] - (-415.375)) < 1e-9
+    # quantized with the Annex K luminance table: round(-415.375/16) == -26
+    assert round(coefs[0, 0] / QUANT_LUMA[0, 0]) == -26
+
+
+def test_zigzag_order_first_published_entries():
+    zz = _zigzag_order()
+    # the universally published start of the zigzag scan (natural indices)
+    assert list(zz[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert sorted(zz) == list(range(64))
+
+
+def test_roundtrip_psnr_q90():
+    rng = np.random.default_rng(3)
+    # smooth image (JPEG's design target): low-freq gradient + mild noise
+    yy, xx = np.mgrid[0:48, 0:64]
+    img = np.stack(
+        [
+            (xx * 2 + yy) % 256,
+            (255 - xx * 3) % 256,
+            (yy * 4) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    img = np.clip(img.astype(int) + rng.integers(-4, 5, img.shape), 0, 255).astype(
+        np.uint8
+    )
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    assert psnr(img, out) > 35.0
+
+
+def test_uniform_image_roundtrips_exactly():
+    img = np.full((16, 24, 3), 137, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_restart_markers_decode_identically():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(24, 40, 3)).astype(np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, quality=75))
+    restart = decode_jpeg(encode_jpeg(img, quality=75, restart_interval=2))
+    np.testing.assert_array_equal(plain, restart)
+
+
+def test_odd_dimensions_and_grayscale():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(13, 17, 3)).astype(np.uint8)
+    assert decode_jpeg(encode_jpeg(img)).shape == (13, 17, 3)
+    gray = rng.integers(0, 256, size=(11, 9)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(gray))
+    assert out.shape == (11, 9, 3)
+
+
+def test_420_subsampling_roundtrip():
+    yy, xx = np.mgrid[0:32, 0:40]
+    img = np.stack([xx * 4 % 256, yy * 5 % 256, (xx + yy) * 3 % 256], axis=2).astype(
+        np.uint8
+    )
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsampling="4:2:0"))
+    assert out.shape == img.shape
+    assert psnr(img, out) > 25.0  # chroma halved: looser bound
+
+
+def test_progressive_raises():
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    idx = payload.find(b"\xff\xc0")  # SOF0 -> SOF2 (progressive)
+    assert idx > 0
+    payload[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+
+
+def test_not_a_jpeg_raises():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+
+
+def test_determinism():
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    assert encode_jpeg(img, quality=80) == encode_jpeg(img, quality=80)

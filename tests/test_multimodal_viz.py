@@ -184,11 +184,12 @@ def test_ppm_codec_roundtrip_and_comments():
 
 
 def test_image_rows_really_decode(spark):
-    """Fixture image payloads are valid P6 (odd ids) / PNG (even ids);
+    """Fixture image payloads cycle PNG / P6 / JPEG by (id//3) % 3;
     image_features must go through the REAL decode (pixel histogram of
     the decoded image), bit-equal to decoding the payload driver-side."""
     import numpy as np
 
+    from geokitten_spark.functions.jpeg import decode_jpeg
     from geokitten_spark.functions.multimodal import (
         synthetic_media, image_features, decode_ppm, decode_png, _features_of,
         _PNG_SIG,
@@ -198,22 +199,28 @@ def test_image_rows_really_decode(spark):
     media = synthetic_media(spark, SF_SMOKE, n_rows=30)
     img_rows = media.filter("kind = 'image'").collect()
     assert img_rows
-    kinds = {bytes(r.payload)[:2] == b"P6" for r in img_rows} | {
-        bytes(r.payload)[:8] == _PNG_SIG for r in img_rows
+    sigs = {
+        0: lambda p: p[:8] == _PNG_SIG,
+        1: lambda p: p[:2] == b"P6",
+        2: lambda p: p[:2] == b"\xff\xd8",
     }
-    assert True in kinds  # both formats present across the fixture
+    seen = set()
     for r in img_rows:
-        p = bytes(r.payload)
-        if r.media_id % 2 == 0:
-            assert p[:8] == _PNG_SIG
-        else:
-            assert p[:2] == b"P6"
+        flavor = (r.media_id // 3) % 3
+        assert sigs[flavor](bytes(r.payload))
+        seen.add(flavor)
+    assert seen == {0, 1, 2}  # all three formats present across the fixture
 
     feats = {r.media_id: r.embedding for r in image_features(media).collect()
              if r.kind == "image"}
     for r in img_rows:
         p = bytes(r.payload)
-        dec = decode_png(p) if p[:8] == _PNG_SIG else decode_ppm(p)
+        if p[:8] == _PNG_SIG:
+            dec = decode_png(p)
+        elif p[:2] == b"P6":
+            dec = decode_ppm(p)
+        else:
+            dec = decode_jpeg(p)
         expected = _features_of(dec)
         got = np.asarray(feats[r.media_id], dtype=np.float32)
         assert np.array_equal(got, expected)
