@@ -1650,8 +1650,9 @@ def q_media_features(spark, sf_dir):
 
 def q_media_frames(spark, sf_dir):
     """Multimodal frame sampling: every-5th-frame features per video row
-    (byte-rotated deterministic decode). Oracle = the numpy chain on the
-    driver (oracles.media_frames_sql)."""
+    (REAL MJPEG-AVI chunk walk + baseline-JPEG decode; skipped frames are
+    never entropy-decoded). Oracle = the numpy chain on the driver
+    (oracles.media_frames_sql)."""
     from geokitten_spark.functions.multimodal import (
         frame_sample_features,
         synthetic_media,
@@ -1662,6 +1663,23 @@ def q_media_frames(spark, sf_dir):
     return frames.groupBy("media_id").agg(
         F.count(F.lit(1)).alias("n_frames"),
         F.round(F.avg(F.element_at("embedding", 26)), 6).alias("avg_dim25"),
+    )
+
+
+def q_media_audio(spark, sf_dir):
+    """Multimodal audio analysis: per-clip waveform stats via a REAL
+    RIFF/WAVE PCM16 parse (rms / zero-crossing rate / peak). Oracle = the
+    same numpy chain on the driver (oracles.media_audio_sql)."""
+    from geokitten_spark.functions.multimodal import audio_features, synthetic_media
+
+    media = synthetic_media(spark, sf_dir, n_rows=100)
+    return audio_features(media).select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        F.round(F.col("rms").cast("double"), 6).alias("rms"),
+        F.round(F.col("zcr").cast("double"), 6).alias("zcr"),
+        F.round(F.col("peak").cast("double"), 6).alias("peak"),
     )
 
 
@@ -2147,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geojson_roundtrip": q_geojson_roundtrip,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "media_audio": q_media_audio,
         "stream_hourly": q_sessionize_stream_twin,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
@@ -2952,6 +2971,7 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip": _ora.geojson_roundtrip_sql(),
         "media_features": _ora.media_features_sql(),
         "media_frames": _ora.media_frames_sql(),
+        "media_audio": _ora.media_audio_sql(),
         "kml_roundtrip": _ora.kml_roundtrip_sql(),
         "simplify_tiles": _ora.simplify_tiles_sql(),
         "hull_compactness": _ora.hull_compactness_sql(),

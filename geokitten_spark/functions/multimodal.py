@@ -19,11 +19,18 @@ signatures, partitioning). The decode kernel dispatches per payload:
   ``jpeg.decode_jpeg``). Image ids ≡ 2 (mod 3) in the fixture carry
   JPEG payloads, so the lossy path runs end to end with no external
   codec. Progressive JPEG raises ``NotImplementedError``.
+* **WAV (PCM16) / MJPEG-AVI** — REAL container parses for the audio and
+  video lanes (stdlib struct + numpy chunk walks; AVI frames decode via
+  the baseline-JPEG codec) — see :mod:`geokitten_spark.functions.riff`.
+  The fixture's audio rows are valid RIFF/WAVE and its video rows valid
+  MJPEG AVIs, so ``audio_features`` / ``frame_sample_features`` run
+  genuine binary→samples/frames decodes end to end.
 * **other formats (GIF/WebP/…)** — gated behind an import-try; with
   Pillow absent in this container these raise ``NotImplementedError``.
-* **fake=True** — deterministic byte-fold fallback for payloads that are
-  not encoded media at all (the audio/video stand-ins), a pure function
-  of the payload bytes so tests and oracle runs are reproducible.
+* **fake=True** — deterministic byte-fold fallback used by
+  ``image_features`` for non-image payloads (a WAV/AVI container has no
+  single "image"), a pure function of the payload bytes so tests and
+  oracle runs are reproducible.
 
 Table shape (mirrors the documents table pattern):
     media(media_id LONG, kind STRING, payload BINARY,
@@ -60,10 +67,12 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA",
     "synthetic_media",
+    "synth_payload",
     "encode_ppm",
     "decode_ppm",
     "image_features",
     "frame_sample_features",
+    "audio_features",
     "resize_meta",
 ]
 
@@ -95,33 +104,64 @@ except ImportError:
     pass
 
 
+def _tile_pixels(text: str, w: int, h: int, rot: int = 0) -> np.ndarray:
+    """Deterministic HxWx3 uint8 frame: the row's text bytes (optionally
+    byte-rotated for frame variety) tiled into the pixel grid."""
+    raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if rot:
+        k = rot % max(1, len(raw))
+        raw = np.concatenate([raw[k:], raw[:k]])
+    need = w * h * 3
+    reps = (need + len(raw) - 1) // max(1, len(raw))
+    return np.tile(raw, reps)[:need].reshape(h, w, 3)
+
+
+def synth_payload(doc_id: int, text: str) -> bytes:
+    """The ONE payload synthesizer — a pure function of (doc_id, text),
+    used by both the Spark fixture UDF and the driver-side VALUES
+    oracles so the two execution paths see byte-identical inputs.
+
+    * image rows (id % 3 == 0): cycle PNG / PPM / JPEG by (id//3) % 3 so
+      all three real binary parses run end to end;
+    * audio rows (id % 3 == 1): REAL RIFF/WAVE PCM16 — int16 samples
+      derived from the text bytes;
+    * video rows (id % 3 == 2): REAL MJPEG AVI — n_frames baseline-JPEG
+      frames of byte-rotated pixel tiles."""
+    from .jpeg import encode_jpeg
+    from .riff import encode_avi_mjpeg, encode_wav
+
+    w = doc_id % 64 + 16
+    h = doc_id % 48 + 16
+    kind = doc_id % 3
+    if kind == 0:
+        enc = [encode_png, encode_ppm, encode_jpeg][(doc_id // 3) % 3]
+        return enc(_tile_pixels(text, w, h))
+    if kind == 1:
+        raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        n = 1600 + (doc_id % 1600)  # 0.1-0.2 s at 16 kHz
+        reps = (n + len(raw) - 1) // max(1, len(raw))
+        samples = ((np.tile(raw, reps)[:n].astype(np.int32) - 128) * 256).astype(
+            np.int16
+        )
+        return encode_wav(samples, 16000)
+    n_frames = doc_id % 30 + 1
+    frames = [_tile_pixels(text, w, h, rot=f) for f in range(n_frames)]
+    return encode_avi_mjpeg(frames, fps=10)
+
+
 def synthetic_media(spark: SparkSession, sf_dir: str, n_rows: int = 200) -> DataFrame:
     """Deterministic media fixture derived from the documents table.
 
-    Image rows carry REAL binary PPM (P6) payloads (pixels tiled from the
-    text bytes — a pure function of the row, encoded with ``encode_ppm``),
-    so the decode path is a genuine format parse; audio/video rows keep
-    raw text bytes as opaque stand-in payloads. No external data."""
+    Every payload is a REAL binary format produced by :func:`synth_payload`
+    (PNG/PPM/JPEG images, PCM16 WAV audio, MJPEG-AVI video), so each
+    pipeline stage exercises a genuine binary parse. No external data."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BinaryType())
-    def _img_payload(
-        media_id: pd.Series, text: pd.Series, width: pd.Series, height: pd.Series
-    ) -> pd.Series:
-        # image ids cycle PNG / PPM / JPEG by (id//3) % 3, so all three
-        # REAL binary parses (zlib+defilter, netpbm, huffman+IDCT) run
-        # end to end
-        from .jpeg import encode_jpeg
-
-        out = []
-        for mid, t, w, h in zip(media_id, text, width, height):
-            raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-            need = int(w) * int(h) * 3
-            reps = (need + len(raw) - 1) // max(1, len(raw))
-            px = np.tile(raw, reps)[:need].reshape(int(h), int(w), 3)
-            enc = [encode_png, encode_ppm, encode_jpeg][(int(mid) // 3) % 3]
-            out.append(enc(px))
-        return pd.Series(out)
+    def _payload(media_id: pd.Series, text: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synth_payload(int(mid), t) for mid, t in zip(media_id, text)]
+        )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(n_rows)
     kind = (
@@ -129,14 +169,10 @@ def synthetic_media(spark: SparkSession, sf_dir: str, n_rows: int = 200) -> Data
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
     )
-    w = (F.col("doc_id") % 64 + 16).cast("int")
-    h = (F.col("doc_id") % 48 + 16).cast("int")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.when(kind == "image", _img_payload(F.col("doc_id"), F.col("text"), w, h))
-        .otherwise(F.col("text").cast("binary"))
-        .alias("payload"),
+        _payload(F.col("doc_id"), F.col("text")).alias("payload"),
         F.struct(
             (F.col("doc_id") % 64 + 16).cast("int").alias("width"),
             (F.col("doc_id") % 48 + 16).cast("int").alias("height"),
@@ -443,9 +479,13 @@ def image_features(media: DataFrame, *, fake: bool = True) -> DataFrame:
 def frame_sample_features(
     media: DataFrame, *, every_k: int = 5, fake: bool = True
 ) -> DataFrame:
-    """Video rows → one feature row per sampled frame (frame f decodes a
-    byte-rotated payload — deterministic). Output one row per
-    (media_id, frame_no)."""
+    """Video rows → one feature row per sampled frame.
+
+    MJPEG-AVI payloads get a REAL container walk + JPEG decode — only
+    every k-th frame's entropy data is decoded (the chunk walk skips the
+    rest on offsets, which is what makes frame sampling cheap at scale).
+    Non-AVI payloads fall back to the deterministic byte-rotate decode.
+    Output one row per (media_id, frame_no)."""
     out_schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -455,10 +495,18 @@ def frame_sample_features(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .riff import decode_avi_mjpeg
+
         for pdf in batches:
             ids, frames, feats = [], [], []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
                 raw = bytes(payload)
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    for f, img in decode_avi_mjpeg(raw, every_k=every_k):
+                        ids.append(mid)
+                        frames.append(f)
+                        feats.append(_features_of(img).tolist())
+                    continue
                 for f in range(0, int(meta["n_frames"]), every_k):
                     rot = raw[f % max(1, len(raw)):] + raw[: f % max(1, len(raw))]
                     img = _decode(rot, meta["width"], meta["height"], fake)
@@ -470,6 +518,66 @@ def frame_sample_features(
             )
 
     return media.filter(F.col("kind") == "video").mapInPandas(run, schema=out_schema)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio rows → per-clip waveform statistics via a REAL WAV parse.
+
+    Output: (media_id, n_samples, sample_rate, rms, zcr, peak) —
+    root-mean-square level, zero-crossing rate and peak amplitude of the
+    PCM16 samples normalized to [-1, 1]. mapInPandas, Arrow-batched; the
+    shape a loudness/speech-detection quality gate consumes."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("n_samples", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("rms", FloatType()),
+            StructField("zcr", FloatType()),
+            StructField("peak", FloatType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .riff import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(payload))
+                x = samples.astype(np.float64) / 32768.0
+                mono = x.mean(axis=1)
+                n = len(mono)
+                rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+                zcr = (
+                    float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    if n > 1
+                    else 0.0
+                )
+                peak = float(np.max(np.abs(mono))) if n else 0.0
+                rows.append(
+                    (
+                        mid,
+                        n,
+                        rate,
+                        np.float32(rms),
+                        np.float32(zcr),
+                        np.float32(peak),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "sample_rate",
+                    "rms",
+                    "zcr",
+                    "peak",
+                ],
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(run, schema=out_schema)
 
 
 def resize_meta(media: DataFrame, *, max_side: int = 32) -> DataFrame:

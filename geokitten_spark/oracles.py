@@ -362,13 +362,7 @@ def media_features_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     ``limit(100)`` on the one-file documents table."""
     import pyarrow.parquet as pq
 
-    from .functions.jpeg import encode_jpeg
-    from .functions.multimodal import (
-        _decode,
-        _features_of,
-        encode_png,
-        encode_ppm,
-    )
+    from .functions.multimodal import _decode, _features_of, synth_payload
 
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     doc_ids = tbl.column("doc_id").to_pylist()[:100]
@@ -379,16 +373,8 @@ def media_features_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
         kind = {0: "image", 1: "audio", 2: "video"}[doc_id % 3]
         w = doc_id % 64 + 16
         h = doc_id % 48 + 16
-        if kind == "image":
-            raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-            need = w * h * 3
-            reps = (need + len(raw) - 1) // max(1, len(raw))
-            px = np.tile(raw, reps)[:need].reshape(h, w, 3)
-            # mirror the fixture: (id//3) % 3 cycles PNG / PPM / JPEG
-            enc = [encode_png, encode_ppm, encode_jpeg][(doc_id // 3) % 3]
-            payload = enc(px)
-        else:
-            payload = text.encode("utf-8")
+        # the shared fixture synthesizer (real PNG/PPM/JPEG/WAV/AVI bytes)
+        payload = synth_payload(doc_id, text)
         feat = _features_of(_decode(payload, w, h, fake=True))
         acc.setdefault(kind, []).append(float(np.float32(feat[25])))
 
@@ -572,12 +558,13 @@ def ann_pq_topk_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
 @lru_cache(maxsize=4)
 def media_frames_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     """Expected (media_id, n_frames, avg_dim25) for q_media_frames: the
-    byte-rotate→decode→histogram chain per sampled frame, folding the
-    per-media average in frame order (the within-row order the
-    mapInPandas stage emits)."""
+    real MJPEG-AVI chunk walk + baseline-JPEG decode per sampled frame,
+    folding the per-media average in frame order (the within-row order
+    the mapInPandas stage emits)."""
     import pyarrow.parquet as pq
 
-    from .functions.multimodal import _decode, _features_of
+    from .functions.multimodal import _features_of, synth_payload
+    from .functions.riff import decode_avi_mjpeg
 
     tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     doc_ids = tbl.column("doc_id").to_pylist()[:100]
@@ -587,20 +574,64 @@ def media_frames_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     for doc_id, text in zip(doc_ids, texts):
         if doc_id % 3 != 2:  # only video rows
             continue
-        w = doc_id % 64 + 16
-        h = doc_id % 48 + 16
-        n_frames_meta = doc_id % 30 + 1
-        raw = text.encode("utf-8")
+        payload = synth_payload(doc_id, text)  # real MJPEG AVI bytes
         s = 0.0
         n = 0
-        for f in range(0, n_frames_meta, 5):
-            rot = raw[f % max(1, len(raw)):] + raw[: f % max(1, len(raw))]
-            feat = _features_of(_decode(rot, w, h, fake=True))
+        for _f, img in decode_avi_mjpeg(payload, every_k=5):
+            feat = _features_of(img)
             s += float(np.float32(feat[25]))
             n += 1
         rows.append((doc_id, n, _spark_round(s / n, 6)))
     return values_sql(
         rows, [("media_id", "BIGINT"), ("n_frames", "BIGINT"), ("avg_dim25", "DOUBLE")]
+    )
+
+
+@lru_cache(maxsize=4)
+def media_audio_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected per-clip waveform stats for q_media_audio: the same
+    WAV-synthesize→parse→stats chain run through the pure numpy kernels
+    on the driver."""
+    import pyarrow.parquet as pq
+
+    from .functions.multimodal import synth_payload
+    from .functions.riff import decode_wav
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    doc_ids = tbl.column("doc_id").to_pylist()[:100]
+    texts = tbl.column("text").to_pylist()[:100]
+
+    rows = []
+    for doc_id, text in zip(doc_ids, texts):
+        if doc_id % 3 != 1:  # only audio rows
+            continue
+        samples, rate = decode_wav(synth_payload(doc_id, text))
+        x = samples.astype(np.float64) / 32768.0
+        mono = x.mean(axis=1)
+        n = len(mono)
+        rms = float(np.sqrt(np.mean(mono**2)))
+        zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+        peak = float(np.max(np.abs(mono)))
+        rows.append(
+            (
+                doc_id,
+                n,
+                rate,
+                _spark_round(float(np.float32(rms)), 6),
+                _spark_round(float(np.float32(zcr)), 6),
+                _spark_round(float(np.float32(peak)), 6),
+            )
+        )
+    return values_sql(
+        rows,
+        [
+            ("media_id", "BIGINT"),
+            ("n_samples", "BIGINT"),
+            ("sample_rate", "INTEGER"),
+            ("rms", "DOUBLE"),
+            ("zcr", "DOUBLE"),
+            ("peak", "DOUBLE"),
+        ],
     )
 
 
