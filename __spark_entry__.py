@@ -1683,6 +1683,24 @@ def q_media_audio(spark, sf_dir):
     )
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality gate: per-language add-alpha bigram LM
+    trained on the corpus, every document scored by perplexity — pure
+    Catalyst (two count aggs, broadcast LM tables, map-side scoring).
+    Oracle = the same chain in DuckDB SQL (operators/lm.py)."""
+    from geokitten_spark.operators.lm import lm_perplexity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = lm_perplexity(docs, vocab_size=1024, max_bigrams=65536, alpha=0.1)
+    return out.select(
+        "doc_id",
+        F.col("grp").alias("lang"),
+        "n_bigrams",
+        F.round("avg_nll", 6).alias("avg_nll"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+
+
 def q_sessionize_stream_twin(spark, sf_dir):
     """Streaming face (rows-only): watermark + tumbling window aggregate
     driven through Structured Streaming availableNow on the events table,
@@ -2166,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_frames": q_media_frames,
         "media_audio": q_media_audio,
+        "lm_perplexity": q_lm_perplexity,
         "stream_hourly": q_sessionize_stream_twin,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
@@ -2211,6 +2230,7 @@ def oracle_sql() -> dict[str, str]:
         split_assign_sql,
         sample_token_budget_sql,
     )
+    from geokitten_spark.operators.lm import lm_perplexity_sql
     from geokitten_spark.functions.geocode import (
         url_host_sql,
         haversine_km_sql,
@@ -2972,6 +2992,9 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _ora.media_features_sql(),
         "media_frames": _ora.media_frames_sql(),
         "media_audio": _ora.media_audio_sql(),
+        "lm_perplexity": lm_perplexity_sql(
+            vocab_size=1024, max_bigrams=65536, alpha=0.1
+        ),
         "kml_roundtrip": _ora.kml_roundtrip_sql(),
         "simplify_tiles": _ora.simplify_tiles_sql(),
         "hull_compactness": _ora.hull_compactness_sql(),

@@ -1,0 +1,261 @@
+"""Bigram language-model perplexity scoring (CCNet-style quality filter).
+
+The canonical LM-based quality gate for web-crawl training data (CCNet /
+RedPajama / FineWeb pipelines): train a small n-gram LM per language,
+score every document by perplexity, and keep the low-perplexity head.
+The published pipelines use a KenLM 5-gram trained on Wikipedia; the
+distributed re-expression here trains an add-alpha-smoothed **bigram**
+LM per language over the corpus itself (no external data in this
+sandbox) — the operator shape (two count aggregations, broadcast LM,
+map-side scoring, per-doc fold) is exactly the 100-TB shape; swapping in
+a bigger n or an external training corpus changes only the inputs.
+
+Scale analysis:
+* **Training** is two ``groupBy`` counts (unigrams, bigrams) with
+  map-side partial aggregation — the classic word-count shuffle, keys
+  are short strings pre-capped by the vocab step.
+* **Vocabulary** and the **pruned bigram table** are top-K per language
+  (``row_number`` window over (count desc, word asc) — deterministic
+  tie-break). Both are bounded (vocab_size / max_bigrams rows per
+  language) and hinted ``broadcast()`` for the scoring join, so scoring
+  is a map-only stage: no shuffle touches the corpus again.
+* **Scoring** re-tokenizes each document, maps OOV words to ``<unk>``,
+  forms adjacent bigrams with a per-doc ``lag`` window (one shuffle of
+  8-byte-keyed token rows — at scale this would instead fold per-doc
+  arrays map-side, see ``lm_perplexity``'s array variant note), joins
+  the broadcast tables, and folds
+  ``nll = -ln((c(w1,w2)+a) / (c(w1)+a*(V+1)))`` per document;
+  ``ppl = exp(avg nll)``.
+
+Everything is Catalyst expressions — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.text import split_words
+
+__all__ = ["lm_train", "lm_perplexity", "lm_perplexity_sql"]
+
+UNK = "<unk>"
+
+
+def _tokens(docs: DataFrame, id_col: str, text_col: str, group_col: str) -> DataFrame:
+    """(doc_id, grp, pos, w): one row per token, position-preserving."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.posexplode(split_words(F.lower(F.trim(F.col(text_col))))).alias("pos", "w"),
+    )
+
+
+def lm_train(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    vocab_size: int = 1024,
+    max_bigrams: int = 65536,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the per-group bigram LM; returns (vocab, unigrams, bigrams).
+
+    vocab:    (grp, w)                  — top ``vocab_size`` per group by
+                                          (count desc, w asc)
+    unigrams: (grp, cw, cnt, vsize)     — canonicalized (OOV → <unk>)
+                                          counts + the group's vocab size
+    bigrams:  (grp, cw1, cw2, cnt)      — canonicalized adjacent-pair
+                                          counts, pruned to ``max_bigrams``
+                                          per group by (count desc, keys)
+    """
+    toks = _tokens(docs, id_col, text_col, group_col)
+
+    by_freq = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("w"))
+    vocab = (
+        toks.groupBy("grp", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(by_freq))
+        .filter(F.col("rn") <= vocab_size)
+        .select("grp", "w")
+    )
+
+    canon = toks.join(
+        F.broadcast(vocab.withColumn("__v", F.lit(1))), ["grp", "w"], "left"
+    ).select(
+        "doc_id",
+        "grp",
+        "pos",
+        F.when(F.col("__v").isNotNull(), F.col("w")).otherwise(F.lit(UNK)).alias("cw"),
+    )
+
+    vsizes = vocab.groupBy("grp").agg(F.count(F.lit(1)).alias("vsize"))
+    unigrams = (
+        canon.groupBy("grp", "cw")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(vsizes), "grp")
+    )
+
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = canon.withColumn("cw1", F.lag("cw").over(by_doc)).filter(
+        F.col("cw1").isNotNull()
+    )
+    by_pair_freq = Window.partitionBy("grp").orderBy(
+        F.desc("cnt"), F.asc("cw1"), F.asc("cw2")
+    )
+    bigrams = (
+        pairs.groupBy("grp", "cw1", F.col("cw").alias("cw2"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(by_pair_freq))
+        .filter(F.col("rn") <= max_bigrams)
+        .select("grp", "cw1", "cw2", "cnt")
+    )
+    return vocab, unigrams, bigrams
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+    vocab_size: int = 1024,
+    max_bigrams: int = 65536,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Per-document bigram perplexity under the per-group add-alpha LM.
+
+    Returns (doc_id, grp, n_bigrams, avg_nll, ppl) for every document
+    with at least one adjacent word pair. Deterministic: vocabulary and
+    bigram pruning tie-break lexicographically; the smoothing denominator
+    uses the group's ACTUAL vocab size + 1 (the <unk> bucket)."""
+    vocab, unigrams, bigrams = lm_train(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        group_col=group_col,
+        vocab_size=vocab_size,
+        max_bigrams=max_bigrams,
+    )
+    toks = _tokens(docs, id_col, text_col, group_col)
+    canon = toks.join(
+        F.broadcast(vocab.withColumn("__v", F.lit(1))), ["grp", "w"], "left"
+    ).select(
+        "doc_id",
+        "grp",
+        "pos",
+        F.when(F.col("__v").isNotNull(), F.col("w")).otherwise(F.lit(UNK)).alias("cw"),
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = canon.withColumn("cw1", F.lag("cw").over(by_doc)).filter(
+        F.col("cw1").isNotNull()
+    )
+    bg = bigrams.select(
+        F.col("grp").alias("bgrp"),
+        F.col("cw1").alias("bw1"),
+        F.col("cw2").alias("bw2"),
+        F.col("cnt").alias("cb"),
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(bg),
+            (F.col("grp") == F.col("bgrp"))
+            & (F.col("cw1") == F.col("bw1"))
+            & (F.col("cw") == F.col("bw2")),
+            "left",
+        )
+        .drop("bgrp", "bw1", "bw2")
+        .join(
+            F.broadcast(
+                unigrams.select(
+                    "grp", F.col("cw").alias("cw1"), F.col("cnt").alias("cu"), "vsize"
+                )
+            ),
+            ["grp", "cw1"],
+        )
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(alpha))
+        / (F.col("cu") + F.lit(alpha) * (F.col("vsize") + F.lit(1)))
+    )
+    return scored.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg(nll).alias("avg_nll"),
+        F.exp(F.avg(nll)).alias("ppl"),
+    )
+
+
+def lm_perplexity_sql(
+    *,
+    group_col: str = "lang",
+    vocab_size: int = 1024,
+    max_bigrams: int = 65536,
+    alpha: float = 0.1,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`lm_perplexity` over ``documents`` — the same
+    tokenize → vocab top-K → canonicalize → count → smooth → fold chain
+    in ANSI SQL (rounded like the Spark query entry)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, grp, u.pos - 1 AS pos, u.w
+            FROM (
+                SELECT doc_id, {group_col} AS grp,
+                       unnest(list_transform(
+                           list_filter(string_split(lower(trim(text)), ' '),
+                                       x -> x <> ''),
+                           (w, i) -> {{'w': w, 'pos': i}})) AS u
+                FROM documents
+            )
+        ),
+        vocab AS (
+            SELECT grp, w FROM (
+                SELECT grp, w, COUNT(*) AS cnt,
+                       ROW_NUMBER() OVER (PARTITION BY grp
+                                          ORDER BY COUNT(*) DESC, w ASC) AS rn
+                FROM toks GROUP BY grp, w
+            ) WHERE rn <= {vocab_size}
+        ),
+        canon AS (
+            SELECT t.doc_id, t.grp, t.pos,
+                   CASE WHEN v.w IS NOT NULL THEN t.w ELSE '{UNK}' END AS cw
+            FROM toks t LEFT JOIN vocab v ON t.grp = v.grp AND t.w = v.w
+        ),
+        vsizes AS (SELECT grp, COUNT(*) AS vsize FROM vocab GROUP BY grp),
+        unigrams AS (
+            SELECT c.grp, c.cw, COUNT(*) AS cnt, ANY_VALUE(s.vsize) AS vsize
+            FROM canon c JOIN vsizes s ON c.grp = s.grp
+            GROUP BY c.grp, c.cw
+        ),
+        pairs AS (
+            SELECT doc_id, grp, cw,
+                   LAG(cw) OVER (PARTITION BY doc_id ORDER BY pos) AS cw1
+            FROM canon
+        ),
+        bigrams AS (
+            SELECT grp, cw1, cw2, cnt FROM (
+                SELECT grp, cw1, cw AS cw2, COUNT(*) AS cnt,
+                       ROW_NUMBER() OVER (PARTITION BY grp
+                                          ORDER BY COUNT(*) DESC,
+                                                   cw1 ASC, cw ASC) AS rn
+                FROM pairs WHERE cw1 IS NOT NULL GROUP BY grp, cw1, cw
+            ) WHERE rn <= {max_bigrams}
+        )
+        SELECT p.doc_id,
+               p.grp AS lang,
+               COUNT(*) AS n_bigrams,
+               ROUND(AVG(-ln((COALESCE(b.cnt, 0) + {alpha}) /
+                             (u.cnt + {alpha} * (u.vsize + 1)))),
+                     {round_to}) AS avg_nll,
+               ROUND(exp(AVG(-ln((COALESCE(b.cnt, 0) + {alpha}) /
+                                 (u.cnt + {alpha} * (u.vsize + 1))))),
+                     {round_to}) AS ppl
+        FROM pairs p
+        LEFT JOIN bigrams b
+               ON p.grp = b.grp AND p.cw1 = b.cw1 AND p.cw = b.cw2
+        JOIN unigrams u ON p.grp = u.grp AND p.cw1 = u.cw
+        WHERE p.cw1 IS NOT NULL
+        GROUP BY p.doc_id, p.grp
+    """

@@ -1,0 +1,108 @@
+"""Bigram-LM perplexity scoring (operators/lm.py) — the CCNet-style
+quality gate: per-group add-alpha bigram LM, broadcast scoring."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geokitten_spark.operators.lm import UNK, lm_perplexity, lm_train
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_hand_computed_perplexity(spark):
+    """Two tiny docs, one group — every count and the smoothed nll chain
+    verified against a by-hand numpy replica."""
+    rows = [
+        (1, "en", "a b a b"),
+        (2, "en", "a b c"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in lm_perplexity(
+            _docs(spark, rows), vocab_size=10, max_bigrams=100, alpha=0.5
+        ).collect()
+    }
+    # corpus tokens: a b a b | a b c → unigrams a:3 b:3 c:1, vocab size 3
+    # bigrams: (a,b):3  (b,a):1  (b,c):1
+    V1 = 3 + 1  # vocab + <unk>
+    a = 0.5
+
+    def p(cb, cu):
+        return (cb + a) / (cu + a * V1)
+
+    # doc 1 pairs: (a,b) (b,a) (a,b)
+    nll1 = [-math.log(p(3, 3)), -math.log(p(1, 3)), -math.log(p(3, 3))]
+    # doc 2 pairs: (a,b) (b,c)
+    nll2 = [-math.log(p(3, 3)), -math.log(p(1, 3))]
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 2
+    assert out[1].avg_nll == pytest.approx(np.mean(nll1), rel=1e-12)
+    assert out[2].avg_nll == pytest.approx(np.mean(nll2), rel=1e-12)
+    assert out[1].ppl == pytest.approx(math.exp(np.mean(nll1)), rel=1e-12)
+
+
+def test_oov_maps_to_unk_and_vocab_tiebreak(spark):
+    """vocab_size=1 keeps only the most frequent word (ties break
+    lexicographically); everything else scores through <unk>."""
+    rows = [(1, "en", "b b a c b a")]
+    vocab, unigrams, bigrams = lm_train(
+        _docs(spark, rows), vocab_size=1, max_bigrams=100
+    )
+    assert [r.w for r in vocab.collect()] == ["b"]
+    uni = {r.cw: r.cnt for r in unigrams.collect()}
+    assert uni == {"b": 3, UNK: 3}
+    big = {(r.cw1, r.cw2): r.cnt for r in bigrams.collect()}
+    # pairs: b b, b <unk>, <unk> <unk>(c a? c->unk,a->unk), <unk> b, b <unk>
+    assert big[("b", "b")] == 1
+    assert big[("b", UNK)] == 2
+    assert big[(UNK, "b")] == 1
+    assert big[(UNK, UNK)] == 1
+
+
+def test_bigram_pruning_backoff(spark):
+    """max_bigrams=1 keeps only the top pair; pruned pairs score through
+    the cb=0 backoff but the result stays finite and deterministic."""
+    rows = [(1, "en", "a b a b c d")]
+    out1 = lm_perplexity(
+        _docs(spark, rows), vocab_size=10, max_bigrams=1, alpha=0.1
+    ).collect()[0]
+    out_full = lm_perplexity(
+        _docs(spark, rows), vocab_size=10, max_bigrams=100, alpha=0.1
+    ).collect()[0]
+    assert out1.n_bigrams == out_full.n_bigrams == 5
+    # pruning can only raise nll (pruned pairs lose their count mass)
+    assert out1.avg_nll > out_full.avg_nll
+    assert math.isfinite(out1.ppl)
+
+
+def test_groups_train_independent_lms(spark):
+    """A document scores against ITS language's LM only: the same text
+    in two languages gets different ppl when the corpora differ."""
+    rows = [
+        (1, "en", "x y x y x y"),
+        (2, "en", "x y z"),
+        (3, "fr", "x y z"),
+    ]
+    out = {
+        r.doc_id: r.ppl
+        for r in lm_perplexity(
+            _docs(spark, rows), vocab_size=10, max_bigrams=100, alpha=0.1
+        ).collect()
+    }
+    # the fr LM is trained on exactly that one document, so the fr copy
+    # scores lower perplexity than the en copy (whose LM is dominated by
+    # doc 1's repeated x-y mass in a larger denominator)
+    assert out[3] < out[2]
+    assert out[2] != out[3]
+
+
+def test_scoring_joins_are_broadcast(spark):
+    """The LM tables must reach the scoring stage as broadcast joins —
+    no sort-merge exchange of the corpus against the model."""
+    rows = [(i, "en", "a b c a b") for i in range(20)]
+    plan = lm_perplexity(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
