@@ -219,6 +219,8 @@ def run_queries(spark, sf_dir: str, flagship_only: bool = False) -> tuple[dict, 
         "asof_join": 10,
         "events_hourly": 20,
         "pii_redact": 10,
+        # full LM train+score chain per rep (~2s steady-state at sf0.1)
+        "lm_perplexity": 4,
     }
     for name, inner in inner_reps.items():
         timed(name, lambda n=name: _materialize(Q[n](spark, sf_dir)),

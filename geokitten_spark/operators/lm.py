@@ -19,13 +19,14 @@ Scale analysis:
   tie-break). Both are bounded (vocab_size / max_bigrams rows per
   language) and hinted ``broadcast()`` for the scoring join, so scoring
   is a map-only stage: no shuffle touches the corpus again.
-* **Scoring** re-tokenizes each document, maps OOV words to ``<unk>``,
-  forms adjacent bigrams with a per-doc ``lag`` window (one shuffle of
-  8-byte-keyed token rows — at scale this would instead fold per-doc
-  arrays map-side, see ``lm_perplexity``'s array variant note), joins
-  the broadcast tables, and folds
+* **Scoring** re-tokenizes each document, forms adjacent bigrams
+  MAP-SIDE from the per-doc token array (``transform`` over adjacent
+  indices — no per-doc window, the corpus is never shuffled just to see
+  its own neighbors), maps OOV words to ``<unk>`` via broadcast vocab
+  joins, joins the broadcast unigram/bigram tables, and folds
   ``nll = -ln((c(w1,w2)+a) / (c(w1)+a*(V+1)))`` per document;
-  ``ppl = exp(avg nll)``.
+  ``ppl = exp(avg nll)``. The only corpus shuffle in the whole scoring
+  path is the final per-doc aggregate (partial-agg combined map-side).
 
 Everything is Catalyst expressions — no Python UDFs anywhere.
 """
@@ -44,11 +45,58 @@ UNK = "<unk>"
 
 
 def _tokens(docs: DataFrame, id_col: str, text_col: str, group_col: str) -> DataFrame:
-    """(doc_id, grp, pos, w): one row per token, position-preserving."""
+    """(doc_id, grp, w): one row per token."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(group_col).alias("grp"),
-        F.posexplode(split_words(F.lower(F.trim(F.col(text_col))))).alias("pos", "w"),
+        F.explode(split_words(F.lower(F.trim(F.col(text_col))))).alias("w"),
+    )
+
+
+def _pairs(docs: DataFrame, id_col: str, text_col: str, group_col: str) -> DataFrame:
+    """(doc_id, grp, w1, w2): one row per adjacent word pair, formed
+    MAP-SIDE from the per-doc token array (``transform`` over adjacent
+    indices) — no per-doc window, so the corpus is never shuffled just to
+    see its neighbors."""
+    ws = split_words(F.lower(F.trim(F.col(text_col))))
+    pair_structs = F.filter(
+        F.transform(
+            ws,
+            lambda w, i: F.struct(
+                w.alias("w1"), F.get(ws, i + 1).alias("w2")
+            ),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.explode(pair_structs).alias("p"),
+    ).select("doc_id", "grp", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+
+
+def _canon_pairs(pairs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Map both pair sides to their canonical token (OOV → <unk>) via two
+    broadcast left joins against the vocab — map-only on the corpus."""
+    v1 = F.broadcast(
+        vocab.select(F.col("grp"), F.col("w").alias("w1"), F.lit(1).alias("__v1"))
+    )
+    v2 = F.broadcast(
+        vocab.select(F.col("grp"), F.col("w").alias("w2"), F.lit(1).alias("__v2"))
+    )
+    return (
+        pairs.join(v1, ["grp", "w1"], "left")
+        .join(v2, ["grp", "w2"], "left")
+        .select(
+            "doc_id",
+            "grp",
+            F.when(F.col("__v1").isNotNull(), F.col("w1"))
+            .otherwise(F.lit(UNK))
+            .alias("cw1"),
+            F.when(F.col("__v2").isNotNull(), F.col("w2"))
+            .otherwise(F.lit(UNK))
+            .alias("cw2"),
+        )
     )
 
 
@@ -85,9 +133,7 @@ def lm_train(
     canon = toks.join(
         F.broadcast(vocab.withColumn("__v", F.lit(1))), ["grp", "w"], "left"
     ).select(
-        "doc_id",
         "grp",
-        "pos",
         F.when(F.col("__v").isNotNull(), F.col("w")).otherwise(F.lit(UNK)).alias("cw"),
     )
 
@@ -98,15 +144,12 @@ def lm_train(
         .join(F.broadcast(vsizes), "grp")
     )
 
-    by_doc = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = canon.withColumn("cw1", F.lag("cw").over(by_doc)).filter(
-        F.col("cw1").isNotNull()
-    )
+    cpairs = _canon_pairs(_pairs(docs, id_col, text_col, group_col), vocab)
     by_pair_freq = Window.partitionBy("grp").orderBy(
         F.desc("cnt"), F.asc("cw1"), F.asc("cw2")
     )
     bigrams = (
-        pairs.groupBy("grp", "cw1", F.col("cw").alias("cw2"))
+        cpairs.groupBy("grp", "cw1", "cw2")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumn("rn", F.row_number().over(by_pair_freq))
         .filter(F.col("rn") <= max_bigrams)
@@ -139,19 +182,7 @@ def lm_perplexity(
         vocab_size=vocab_size,
         max_bigrams=max_bigrams,
     )
-    toks = _tokens(docs, id_col, text_col, group_col)
-    canon = toks.join(
-        F.broadcast(vocab.withColumn("__v", F.lit(1))), ["grp", "w"], "left"
-    ).select(
-        "doc_id",
-        "grp",
-        "pos",
-        F.when(F.col("__v").isNotNull(), F.col("w")).otherwise(F.lit(UNK)).alias("cw"),
-    )
-    by_doc = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = canon.withColumn("cw1", F.lag("cw").over(by_doc)).filter(
-        F.col("cw1").isNotNull()
-    )
+    pairs = _canon_pairs(_pairs(docs, id_col, text_col, group_col), vocab)
     bg = bigrams.select(
         F.col("grp").alias("bgrp"),
         F.col("cw1").alias("bw1"),
@@ -163,7 +194,7 @@ def lm_perplexity(
             F.broadcast(bg),
             (F.col("grp") == F.col("bgrp"))
             & (F.col("cw1") == F.col("bw1"))
-            & (F.col("cw") == F.col("bw2")),
+            & (F.col("cw2") == F.col("bw2")),
             "left",
         )
         .drop("bgrp", "bw1", "bw2")
