@@ -15,10 +15,12 @@ Scale analysis:
   map-side partial aggregation — the classic word-count shuffle, keys
   are short strings pre-capped by the vocab step.
 * **Vocabulary** and the **pruned bigram table** are top-K per language
-  (``row_number`` window over (count desc, word asc) — deterministic
-  tie-break). Both are bounded (vocab_size / max_bigrams rows per
-  language) and hinted ``broadcast()`` for the scoring join, so scoring
-  is a map-only stage: no shuffle touches the corpus again.
+  with deterministic (count desc, word asc) tie-break, computed in TWO
+  salted phases (top-K per (lang, hash-salt), then top-K over the
+  bounded survivors) so no single reducer ever sees a whole language's
+  count table. Both outputs are bounded (vocab_size / max_bigrams rows
+  per language) and hinted ``broadcast()`` for the scoring join, so
+  scoring is a map-only stage: no shuffle touches the corpus again.
 * **Scoring** re-tokenizes each document, forms adjacent bigrams
   MAP-SIDE from the per-doc token array (``transform`` over adjacent
   indices — no per-doc window, the corpus is never shuffled just to see
@@ -100,6 +102,30 @@ def _canon_pairs(pairs: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
 
+def _prune_topk(counts: DataFrame, order_by, k: int, salt_expr, n_salts: int = 64) -> DataFrame:
+    """Exact per-group top-K without a single-reducer-per-group window.
+
+    A plain ``row_number() over (partition by grp)`` sends EVERY count row
+    for a language through one reducer — with a handful of languages over
+    a web corpus that is a billions-of-rows single partition. Phase 1
+    takes top-K within (grp, salt) — any global top-K row is necessarily
+    in its own salt bucket's top-K — phase 2 re-ranks the ≤ n_salts*K
+    survivors per group, which is bounded regardless of corpus size.
+    Both phases use the same deterministic ordering, so the result is
+    identical to the single-window form."""
+    local = Window.partitionBy("grp", "__salt").orderBy(*order_by)
+    glob = Window.partitionBy("grp").orderBy(*order_by)
+    return (
+        counts.withColumn("__salt", salt_expr)
+        .withColumn("__rn", F.row_number().over(local))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .withColumn("__rn", F.row_number().over(glob))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+
+
 def lm_train(
     docs: DataFrame,
     *,
@@ -121,14 +147,12 @@ def lm_train(
     """
     toks = _tokens(docs, id_col, text_col, group_col)
 
-    by_freq = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("w"))
-    vocab = (
-        toks.groupBy("grp", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(by_freq))
-        .filter(F.col("rn") <= vocab_size)
-        .select("grp", "w")
-    )
+    vocab = _prune_topk(
+        toks.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("cnt")),
+        [F.desc("cnt"), F.asc("w")],
+        vocab_size,
+        F.pmod(F.xxhash64("w"), F.lit(64)),
+    ).select("grp", "w")
 
     canon = toks.join(
         F.broadcast(vocab.withColumn("__v", F.lit(1))), ["grp", "w"], "left"
@@ -145,16 +169,12 @@ def lm_train(
     )
 
     cpairs = _canon_pairs(_pairs(docs, id_col, text_col, group_col), vocab)
-    by_pair_freq = Window.partitionBy("grp").orderBy(
-        F.desc("cnt"), F.asc("cw1"), F.asc("cw2")
-    )
-    bigrams = (
-        cpairs.groupBy("grp", "cw1", "cw2")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(by_pair_freq))
-        .filter(F.col("rn") <= max_bigrams)
-        .select("grp", "cw1", "cw2", "cnt")
-    )
+    bigrams = _prune_topk(
+        cpairs.groupBy("grp", "cw1", "cw2").agg(F.count(F.lit(1)).alias("cnt")),
+        [F.desc("cnt"), F.asc("cw1"), F.asc("cw2")],
+        max_bigrams,
+        F.pmod(F.xxhash64("cw1", "cw2"), F.lit(64)),
+    ).select("grp", "cw1", "cw2", "cnt")
     return vocab, unigrams, bigrams
 
 

@@ -111,3 +111,19 @@ def test_lsh_verify_payloads_are_hashed(spark):
             if "array<string>" in t
         ]
         assert not bad, f"string-array payload crosses an exchange: {bad}"
+
+
+def test_lm_scoring_has_no_per_doc_window(spark):
+    """lm_perplexity's scoring path forms bigrams map-side from the
+    per-doc token array; the only Window nodes allowed in the whole plan
+    are the salted top-K prunes in lm_train (keyed on grp / grp+salt,
+    bounded partitions) — never a Window partitioned by doc_id, which
+    would shuffle the entire corpus once per scoring pass."""
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.operators.lm import lm_perplexity
+
+    docs = web_documents(spark, SF_SMOKE).select("doc_id", "lang", "text")
+    plan = _physical(lm_perplexity(docs))
+    for line in plan.splitlines():
+        if "Window" in line and "doc_id" in line:
+            raise AssertionError(f"per-doc Window in LM plan: {line.strip()}")
