@@ -1235,6 +1235,20 @@ def q_embed_neardup(spark, sf_dir):
     return embedding_neardup(embedding_neardup_corpus(spark, sf_dir))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDedup (arXiv:2303.09540): deterministic k-means over document
+    embeddings (driver-trained on a first-2048-by-id sample, map-only
+    literal-centroid assignment — zero shuffles to learn clusters), then
+    within-cluster cosine pair scan with the keep-first-id rule. Checked
+    against the fold-order-faithful numpy VALUES oracle."""
+    from geokitten_spark.fixtures import embedding_neardup_corpus
+    from geokitten_spark.operators.semdedup import semdedup
+
+    return semdedup(
+        embedding_neardup_corpus(spark, sf_dir), k=10, threshold=0.99
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """J5 as-of join: each click gets the user's most recent view at/before
     its ts (single-shuffle union+window plan; DuckDB oracle: ASOF JOIN)."""
@@ -2157,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "embed_neardup": q_embed_neardup,
+        "semdedup": q_semdedup,
         "asof_join": q_asof_join,
         "range_join_bands": q_range_join_bands,
         "sessionize": q_sessionize,
@@ -2988,6 +3003,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_aggregates": _ora.geo_aggregates_sql(),
         "ann_ivf_topk": _ora.ann_ivf_topk_sql(),
         "embed_neardup_lsh": _ora.embed_neardup_lsh_sql(),
+        "semdedup": _ora.semdedup_sql(),
         "geojson_roundtrip": _ora.geojson_roundtrip_sql(),
         "media_features": _ora.media_features_sql(),
         "media_frames": _ora.media_frames_sql(),

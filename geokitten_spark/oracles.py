@@ -311,6 +311,65 @@ def embed_neardup_lsh_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return values_sql(out, [("vec_a", "BIGINT"), ("vec_b", "BIGINT")])
 
 
+@lru_cache(maxsize=4)
+def semdedup_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (vec_id, cluster, removed) for q_semdedup: deterministic
+    Lloyd k-means (shared kmeans_fit kernel, first-2048-by-id sample) +
+    fold-order cosine assignment (first-max tie-break, matching
+    array_position) + within-cluster keep-first-id pair scan, replicated
+    in numpy over the injected-near-dup corpus. The Spark side runs the
+    assignment map-only and the pair scan as a distributed cluster-keyed
+    self-join; this replica is a single-process re-evaluation."""
+    from .fixtures import _NEARDUP_ID_OFFSET, _NEARDUP_STRIDE
+    from .operators.semdedup import kmeans_fit
+
+    ids, mat = _load_embeddings(sf_dir)
+    pick = ids % _NEARDUP_STRIDE == 0
+    mut = mat[pick].copy()
+    mut[:, 0] *= 1.05
+    ids = np.concatenate([ids, ids[pick] + _NEARDUP_ID_OFFSET])
+    mat = np.vstack([mat, mut])
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+
+    k, iters, sample_n, threshold = 10, 5, 2048, 0.99
+    C = kmeans_fit(mat[:sample_n], k=k, iters=iters)
+    # assignment: fold-order cosine per centroid, first-max wins (the
+    # exact semantics of array_position(sims, array_max(sims)))
+    sims = np.stack([_fold_cosine(mat, C[c]) for c in range(k)], axis=1)
+    cluster = np.argmax(sims, axis=1)
+
+    # within-cluster pair scan with fold-order dot/norm accumulation:
+    # dot and squared-norm accumulate dimension-by-dimension, exactly
+    # like the Spark-side zip_with-product fold
+    n, dim = mat.shape
+    nm = np.zeros(n)
+    for d in range(dim):
+        nm += mat[:, d] * mat[:, d]
+    norms = np.sqrt(nm)
+    removed = np.zeros(n, dtype=bool)
+    for c in range(k):
+        idx = np.where(cluster == c)[0]  # ids sorted ⇒ idx id-ascending
+        if len(idx) < 2:
+            continue
+        X = mat[idx]
+        D = np.zeros((len(idx), len(idx)))
+        for d in range(dim):
+            D += np.outer(X[:, d], X[:, d])
+        cs = D / np.outer(norms[idx], norms[idx])
+        for y in range(1, len(idx)):
+            if np.any(cs[:y, y] >= threshold):
+                removed[idx[y]] = True
+    rows = [
+        (int(ids[i]), int(cluster[i]), bool(removed[i])) for i in range(n)
+    ]
+    rows.sort()
+    return values_sql(
+        rows,
+        [("vec_id", "BIGINT"), ("cluster", "INTEGER"), ("removed", "BOOLEAN")],
+    )
+
+
 # ---------------------------------------------------------------------------
 # GeoJSON roundtrip oracle
 # ---------------------------------------------------------------------------

@@ -1,0 +1,124 @@
+"""SemDedup operator tests (strict oracle parity is covered by the
+driver-contract `semdedup` query; these pin the operator's semantics)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geokitten_spark.fixtures import (
+    _NEARDUP_ID_OFFSET,
+    _NEARDUP_STRIDE,
+    embedding_neardup_corpus,
+)
+from geokitten_spark.operators.semdedup import (
+    assign_clusters,
+    kmeans_fit,
+    semdedup,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def _corpus(spark):
+    return embedding_neardup_corpus(spark, SF_SMOKE)
+
+
+def test_perturbed_copies_are_removed_and_colocated(spark):
+    """Every injected near-dup (base + first-component×1.05) lands in its
+    base vector's cluster and is removed; its base (smaller id) is kept."""
+    out = semdedup(_corpus(spark), k=10, threshold=0.99).collect()
+    by_id = {r.vec_id: r for r in out}
+    perturbed = [r for r in out if r.vec_id >= _NEARDUP_ID_OFFSET]
+    assert perturbed, "fixture must inject near-dups"
+    for r in perturbed:
+        base = by_id[r.vec_id - _NEARDUP_ID_OFFSET]
+        assert r.cluster == base.cluster
+        assert r.removed
+    # bases of perturbed copies: kept unless they have their own smaller-id
+    # near-dup — in this fixture cluster noise keeps non-twin sims < 0.99
+    for r in perturbed:
+        assert not by_id[r.vec_id - _NEARDUP_ID_OFFSET].removed
+
+
+def test_removed_iff_smaller_id_partner_above_threshold(spark):
+    """Brute-force re-check of the keep-first rule on collected data."""
+    emb = _corpus(spark)
+    out = semdedup(emb, k=10, threshold=0.99).collect()
+    vecs = {
+        r["vec_id"]: np.asarray(r["v"], dtype=np.float64)
+        for r in emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        ).collect()
+    }
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for members in by_cluster.values():
+        members.sort(key=lambda r: r.vec_id)
+        for j, rj in enumerate(members):
+            vj = vecs[rj.vec_id]
+            expect = any(
+                float(
+                    vecs[ri.vec_id]
+                    @ vj
+                    / (
+                        np.linalg.norm(vecs[ri.vec_id]) * np.linalg.norm(vj)
+                    )
+                )
+                >= 0.99 - 1e-12
+                for ri in members[:j]
+            )
+            assert expect == rj.removed, rj.vec_id
+
+
+def test_assignment_is_map_only(spark):
+    """The cluster-learning pass must not shuffle the corpus: the
+    assignment plan contains ZERO exchanges."""
+    emb = _corpus(spark)
+    sample = np.array(
+        [
+            r[0]
+            for r in emb.orderBy("vec_id")
+            .limit(2048)
+            .select(F.col("embedding").cast("array<double>"))
+            .collect()
+        ]
+    )
+    C = kmeans_fit(sample, k=10)
+    plan = assign_clusters(emb, C)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_kmeans_fit_deterministic_and_separates_fixture(spark):
+    emb = _corpus(spark)
+    sample = np.array(
+        [
+            r[0]
+            for r in emb.orderBy("vec_id")
+            .limit(2048)
+            .select(F.col("embedding").cast("array<double>"))
+            .collect()
+        ]
+    )
+    C1 = kmeans_fit(sample, k=10)
+    C2 = kmeans_fit(sample.copy(), k=10)
+    assert np.array_equal(C1, C2)
+    # the distributed literal-centroid assignment must agree row-for-row
+    # with the numpy fold-order replica (same first-max tie-break)
+    rows = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.v for r in rows], dtype=np.float64)
+    sims = np.zeros((len(ids), len(C1)))
+    for c in range(len(C1)):
+        dot = np.zeros(len(ids))
+        nv = np.zeros(len(ids))
+        nc = 0.0
+        for d in range(mat.shape[1]):
+            dot += mat[:, d] * C1[c, d]
+            nv += mat[:, d] * mat[:, d]
+            nc += C1[c, d] * C1[c, d]
+        sims[:, c] = dot / (np.sqrt(nv) * np.sqrt(nc))
+    expect = {int(i): int(c) for i, c in zip(ids, np.argmax(sims, axis=1))}
+    got = {r.vid: r.cluster for r in assign_clusters(emb, C1).collect()}
+    assert got == expect
