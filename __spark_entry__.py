@@ -1249,6 +1249,19 @@ def q_semdedup(spark, sf_dir):
     )
 
 
+def q_dedup_bloom(spark, sf_dir):
+    """Bloom-filter incremental dedup: history slice (doc_id%3!=0) folds
+    into an m-bit filter via ONE bit_or aggregation; the incoming slice
+    (doc_id%3==0) is probed map-only (codegen literal-array bit tests,
+    zero exchanges). Output (doc_id, maybe_seen, seen) pairs the Bloom
+    verdict with exact ground truth; no false negatives by construction.
+    DuckDB twin rebuilds the identical filter in SQL."""
+    from geokitten_spark.operators.bloom import bloom_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bloom_dedup(docs)
+
+
 def q_asof_join(spark, sf_dir):
     """J5 as-of join: each click gets the user's most recent view at/before
     its ts (single-shuffle union+window plan; DuckDB oracle: ASOF JOIN)."""
@@ -2172,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "embed_neardup": q_embed_neardup,
         "semdedup": q_semdedup,
+        "dedup_bloom": q_dedup_bloom,
         "asof_join": q_asof_join,
         "range_join_bands": q_range_join_bands,
         "sessionize": q_sessionize,
@@ -2265,6 +2279,7 @@ def oracle_sql() -> dict[str, str]:
         span_removal_sql,
         contamination_check_sql,
     )
+    from geokitten_spark.operators.bloom import bloom_dedup_sql
     from geokitten_spark.operators.cluster import grid_dbscan_sql
     from geokitten_spark.cells.grid import morton_sql
     from geokitten_spark.operators.tile import adaptive_tiles_sql
@@ -2770,6 +2785,7 @@ def oracle_sql() -> dict[str, str]:
             FROM per_doc GROUP BY pred_lang
         """,
         "dedup_span_coverage": span_coverage_sql(shingle_n=8),
+        "dedup_bloom": bloom_dedup_sql(),
         "dedup_span_removal": span_removal_sql(
             "corpus AS (SELECT doc_id, text, lang FROM documents)",
             shingle_n=8,
