@@ -1262,6 +1262,19 @@ def q_dedup_bloom(spark, sf_dir):
     return bloom_dedup(docs)
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (arXiv:2302.03169): hashed unigram+bigram
+    bag-of-buckets multinomials for the target slice (lang='en') and the
+    raw pool; each pool doc scored by its log likelihood ratio in ONE
+    map-only codegen fold over two literal count arrays; top-100 by
+    (rounded logw desc, doc_id) via TakeOrderedAndProject. DuckDB twin
+    rebuilds the dense count lists and the same fold order."""
+    from geokitten_spark.operators.dsir import dsir_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_select(docs)
+
+
 def q_asof_join(spark, sf_dir):
     """J5 as-of join: each click gets the user's most recent view at/before
     its ts (single-shuffle union+window plan; DuckDB oracle: ASOF JOIN)."""
@@ -2186,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_neardup": q_embed_neardup,
         "semdedup": q_semdedup,
         "dedup_bloom": q_dedup_bloom,
+        "dsir_select": q_dsir_select,
         "asof_join": q_asof_join,
         "range_join_bands": q_range_join_bands,
         "sessionize": q_sessionize,
@@ -2280,6 +2294,7 @@ def oracle_sql() -> dict[str, str]:
         contamination_check_sql,
     )
     from geokitten_spark.operators.bloom import bloom_dedup_sql
+    from geokitten_spark.operators.dsir import dsir_select_sql
     from geokitten_spark.operators.cluster import grid_dbscan_sql
     from geokitten_spark.cells.grid import morton_sql
     from geokitten_spark.operators.tile import adaptive_tiles_sql
@@ -2786,6 +2801,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_span_coverage": span_coverage_sql(shingle_n=8),
         "dedup_bloom": bloom_dedup_sql(),
+        "dsir_select": dsir_select_sql(),
         "dedup_span_removal": span_removal_sql(
             "corpus AS (SELECT doc_id, text, lang FROM documents)",
             shingle_n=8,

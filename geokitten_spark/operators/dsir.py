@@ -1,0 +1,194 @@
+"""DSIR-style data selection: hashed n-gram importance weights.
+
+Data Selection with Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) picks pretraining documents from a raw pool that
+look like a small target domain: featurize every document as a bag of
+hashed word n-grams, fit two bag-of-buckets multinomials (target /
+raw), and weight each pool document by its log likelihood ratio
+``sum_g [ln p_target(b(g)) - ln p_raw(b(g))]``. The top-weighted slice
+is the selected corpus. This is the standard cheap domain-transfer
+selector (used for Pile->Wikipedia-like selection in the paper).
+
+Spark-first shape:
+
+* **Feature extraction is pure Catalyst**: words are split once into a
+  projected column (so the regex split is NOT re-inlined per lambda
+  reference — see the measured note in ``dedup.word_shingles``),
+  bigrams come from ``zip_with`` over two slices, and bucketing is the
+  repo's engine-portable md5 ``hash60`` mod ``n_buckets``. No Python.
+* **The two multinomials collapse to <= n_buckets rows each**: one
+  explode + count per distribution, map-side combined, collected as a
+  control-plane table (4096 longs by default — same budget as the
+  Bloom filter / k-means centroids) and re-inlined as TWO array
+  literals of raw counts.
+* **Scoring is map-only, zero shuffles**: per document ONE codegen
+  ``aggregate`` fold over the gram array adds
+  ``ln(ct[b]+1) - ln(cr[b]+1)`` per gram, then the constant
+  ``n_grams * (ln(R+B) - ln(T+B))`` normalizer lands in a single
+  trailing add — the exact association order the DuckDB twin
+  replicates, so the 6-decimal rounded weights match bit-for-bit.
+* **Selection is a distributed top-k** (``TakeOrderedAndProject`` via
+  orderBy+limit on the rounded weight with doc-id tie-break), never a
+  single-reducer global window.
+
+Smoothing is add-one over ``n_buckets`` (the hashed vocabulary is
+closed, so Laplace is well-defined). At 100 TB only the two count
+aggregations touch the corpus, each emitting <= n_buckets rows per
+partition; everything else is map-side.
+
+Reference parity: the reference repo has no selection surface; this
+extends the training-data-pipeline lane next to the bigram-LM
+perplexity filter (``operators/lm.py``), which scores fluency where
+DSIR scores domain match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash60, hash60_sql
+
+__all__ = ["dsir_select", "dsir_select_sql"]
+
+
+def _grams(words: Column) -> Column:
+    """Word unigrams followed by bigrams (NOT distinct — DSIR is a bag
+    model, counts matter)."""
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.concat(words, bigrams)
+
+
+def _grams_sql(w: str = "w") -> str:
+    """DuckDB twin of :func:`_grams` over a pre-split word list."""
+    return (
+        f"list_concat({w}, list_transform("
+        f"generate_series(1, len({w}) - 1), i -> {w}[i] || ' ' || {w}[i+1]))"
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 4096,
+    n_top: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top ``n_top`` docs of the raw pool (``target_col != target_value``)
+    by hashed-n-gram importance weight toward the target slice
+    (``target_col == target_value``). Returns (doc_id, logw) sorted by
+    (logw desc, doc_id)."""
+    B = n_buckets
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(target_col).alias("__t"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("w"),
+    ).select(
+        "doc_id",
+        "__t",
+        F.transform(_grams(F.col("w")), lambda g: F.pmod(hash60(g), F.lit(B))).alias(
+            "bkts"
+        ),
+    )
+
+    def counts(df):
+        rows = (
+            df.select(F.explode("bkts").alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        arr = [0] * B
+        for r in rows:
+            arr[r.b] = r.c
+        return arr, sum(arr)
+
+    ct, T = counts(base.filter(F.col("__t") == target_value))
+    cr, R = counts(base.filter(F.col("__t") != target_value))
+    lit_t, lit_r = F.lit(ct), F.lit(cr)
+    # per-gram: ln(ct[b]+1) - ln(cr[b]+1); constant normalizer folded in
+    # ONE trailing add so the DuckDB twin can match association order
+    per_gram = F.aggregate(
+        F.col("bkts"),
+        F.lit(0.0),
+        lambda acc, b: acc
+        + (
+            F.log(F.element_at(lit_t, (b + 1).cast("int")).cast("double") + 1.0)
+            - F.log(F.element_at(lit_r, (b + 1).cast("int")).cast("double") + 1.0)
+        ),
+    )
+    norm = F.size("bkts") * (
+        F.log(F.lit(float(R + B))) - F.log(F.lit(float(T + B)))
+    )
+    scored = base.filter(F.col("__t") != target_value).select(
+        "doc_id", F.round(per_gram + norm, round_to).alias("logw")
+    )
+    return scored.orderBy(F.desc("logw"), "doc_id").limit(n_top)
+
+
+def dsir_select_sql(
+    *,
+    id_col: str = "doc_id",
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 4096,
+    n_top: int = 100,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`dsir_select` over ``documents`` — dense
+    count lists built with generate_series so bucket lookup and fold
+    order mirror the Spark literal arrays exactly."""
+    B = n_buckets
+    h = hash60_sql("g")
+    return f"""
+        WITH base AS (
+            SELECT {id_col} AS doc_id, {target_col} AS t,
+                   list_transform({_grams_sql("w")}, g -> ({h}) % {B}) AS bkts
+            FROM (SELECT {id_col}, {target_col},
+                         regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                  FROM documents)
+        ),
+        tb AS (
+            SELECT b, count(*) AS c
+            FROM (SELECT unnest(bkts) AS b FROM base WHERE t = '{target_value}')
+            GROUP BY 1
+        ),
+        rb AS (
+            SELECT b, count(*) AS c
+            FROM (SELECT unnest(bkts) AS b FROM base WHERE t != '{target_value}')
+            GROUP BY 1
+        ),
+        tl AS (
+            SELECT list(coalesce(tb.c, 0) ORDER BY s.i) AS ct,
+                   (SELECT coalesce(sum(c), 0) FROM tb) AS tot
+            FROM generate_series(0, {B - 1}) AS s(i) LEFT JOIN tb ON tb.b = s.i
+        ),
+        rl AS (
+            SELECT list(coalesce(rb.c, 0) ORDER BY s.i) AS cr,
+                   (SELECT coalesce(sum(c), 0) FROM rb) AS tot
+            FROM generate_series(0, {B - 1}) AS s(i) LEFT JOIN rb ON rb.b = s.i
+        ),
+        scored AS (
+            SELECT doc_id,
+                   round(
+                       coalesce(list_sum(list_transform(bkts,
+                           b -> ln(CAST(tl.ct[b + 1] AS DOUBLE) + 1.0)
+                              - ln(CAST(rl.cr[b + 1] AS DOUBLE) + 1.0))), 0.0)
+                       + len(bkts) * (ln(CAST(rl.tot + {B} AS DOUBLE))
+                                    - ln(CAST(tl.tot + {B} AS DOUBLE))),
+                       {round_to}) AS logw
+            FROM base, tl, rl
+            WHERE t != '{target_value}'
+        )
+        SELECT doc_id, logw FROM scored
+        ORDER BY logw DESC, doc_id LIMIT {n_top}
+    """
