@@ -16,11 +16,13 @@ Spark-first shape:
   reference — see the measured note in ``dedup.word_shingles``),
   bigrams come from ``zip_with`` over two slices, and bucketing is the
   repo's engine-portable md5 ``hash60`` mod ``n_buckets``. No Python.
-* **The two multinomials collapse to <= n_buckets rows each**: one
-  explode + count per distribution, map-side combined, collected as a
-  control-plane table (4096 longs by default — same budget as the
-  Bloom filter / k-means centroids) and re-inlined as TWO array
-  literals of raw counts.
+* **The two multinomials collapse to <= n_buckets rows in ONE corpus
+  pass**: a single explode + groupBy(bucket) with conditional counts
+  produces target and raw counts together (map-side combined),
+  collected as a control-plane table (4096 longs each by default —
+  same budget as the Bloom filter / k-means centroids) and re-inlined
+  as TWO array literals of raw counts. At 100 TB the whole operator is
+  exactly two corpus scans: this count pass and the scoring pass.
 * **Scoring is map-only, zero shuffles**: per document ONE codegen
   ``aggregate`` fold over the gram array adds
   ``ln(ct[b]+1) - ln(cr[b]+1)`` per gram, then the constant
@@ -100,20 +102,20 @@ def dsir_select(
         ),
     )
 
-    def counts(df):
-        rows = (
-            df.select(F.explode("bkts").alias("b"))
-            .groupBy("b")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .collect()
+    is_tgt = F.col("__t") == target_value
+    rows = (
+        base.select(is_tgt.alias("__is_t"), F.explode("bkts").alias("b"))
+        .groupBy("b")
+        .agg(
+            F.count_if("__is_t").alias("c_t"),
+            F.count_if(~F.col("__is_t")).alias("c_r"),
         )
-        arr = [0] * B
-        for r in rows:
-            arr[r.b] = r.c
-        return arr, sum(arr)
-
-    ct, T = counts(base.filter(F.col("__t") == target_value))
-    cr, R = counts(base.filter(F.col("__t") != target_value))
+        .collect()
+    )
+    ct, cr = [0] * B, [0] * B
+    for r in rows:
+        ct[r.b], cr[r.b] = r.c_t, r.c_r
+    T, R = sum(ct), sum(cr)
     lit_t, lit_r = F.lit(ct), F.lit(cr)
     # per-gram: ln(ct[b]+1) - ln(cr[b]+1); constant normalizer folded in
     # ONE trailing add so the DuckDB twin can match association order
