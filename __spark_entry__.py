@@ -1275,6 +1275,18 @@ def q_dsir_select(spark, sf_dir):
     return dsir_select(docs)
 
 
+def q_dsir_resample(spark, sf_dir):
+    """DSIR importance RESAMPLING (arXiv:2302.03169 §3): Gumbel top-k —
+    sample 100 pool docs without replacement proportional to importance
+    weight, noise derived from the portable md5 hash of seed:doc_id so
+    the draw is deterministic and the DuckDB twin reproduces it. Same
+    map-only + TakeOrderedAndProject shape as dsir_select."""
+    from geokitten_spark.operators.dsir import dsir_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dsir_resample(docs)
+
+
 def q_asof_join(spark, sf_dir):
     """J5 as-of join: each click gets the user's most recent view at/before
     its ts (single-shuffle union+window plan; DuckDB oracle: ASOF JOIN)."""
@@ -2200,6 +2212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "dedup_bloom": q_dedup_bloom,
         "dsir_select": q_dsir_select,
+        "dsir_resample": q_dsir_resample,
         "asof_join": q_asof_join,
         "range_join_bands": q_range_join_bands,
         "sessionize": q_sessionize,
@@ -2294,7 +2307,7 @@ def oracle_sql() -> dict[str, str]:
         contamination_check_sql,
     )
     from geokitten_spark.operators.bloom import bloom_dedup_sql
-    from geokitten_spark.operators.dsir import dsir_select_sql
+    from geokitten_spark.operators.dsir import dsir_resample_sql, dsir_select_sql
     from geokitten_spark.operators.cluster import grid_dbscan_sql
     from geokitten_spark.cells.grid import morton_sql
     from geokitten_spark.operators.tile import adaptive_tiles_sql
@@ -2802,6 +2815,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_span_coverage": span_coverage_sql(shingle_n=8),
         "dedup_bloom": bloom_dedup_sql(),
         "dsir_select": dsir_select_sql(),
+        "dsir_resample": dsir_resample_sql(),
         "dedup_span_removal": span_removal_sql(
             "corpus AS (SELECT doc_id, text, lang FROM documents)",
             shingle_n=8,

@@ -51,7 +51,14 @@ from pyspark.sql import functions as F
 
 from .dedup import hash60, hash60_sql
 
-__all__ = ["dsir_select", "dsir_select_sql"]
+__all__ = [
+    "dsir_select",
+    "dsir_select_sql",
+    "dsir_resample",
+    "dsir_resample_sql",
+]
+
+TWO60 = float(1 << 60)
 
 
 def _grams(words: Column) -> Column:
@@ -74,21 +81,19 @@ def _grams_sql(w: str = "w") -> str:
     )
 
 
-def dsir_select(
+def _pool_scored(
     docs: DataFrame,
     *,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    target_col: str = "lang",
-    target_value: str = "en",
-    n_buckets: int = 4096,
-    n_top: int = 100,
-    round_to: int = 6,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    target_value: str,
+    n_buckets: int,
 ) -> DataFrame:
-    """Top ``n_top`` docs of the raw pool (``target_col != target_value``)
-    by hashed-n-gram importance weight toward the target slice
-    (``target_col == target_value``). Returns (doc_id, logw) sorted by
-    (logw desc, doc_id)."""
+    """(doc_id, __logw) for every raw-pool document — the shared two-scan
+    core of :func:`dsir_select` and :func:`dsir_resample`. ``__logw`` is
+    the un-rounded log importance ratio; callers round AFTER any further
+    arithmetic so association order stays oracle-matchable."""
     B = n_buckets
     base = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -131,24 +136,95 @@ def dsir_select(
     norm = F.size("bkts") * (
         F.log(F.lit(float(R + B))) - F.log(F.lit(float(T + B)))
     )
-    scored = base.filter(F.col("__t") != target_value).select(
-        "doc_id", F.round(per_gram + norm, round_to).alias("logw")
+    return base.filter(F.col("__t") != target_value).select(
+        "doc_id", (per_gram + norm).alias("__logw")
     )
-    return scored.orderBy(F.desc("logw"), "doc_id").limit(n_top)
 
 
-def dsir_select_sql(
+def dsir_select(
+    docs: DataFrame,
     *,
     id_col: str = "doc_id",
+    text_col: str = "text",
     target_col: str = "lang",
     target_value: str = "en",
     n_buckets: int = 4096,
     n_top: int = 100,
     round_to: int = 6,
+) -> DataFrame:
+    """Top ``n_top`` docs of the raw pool (``target_col != target_value``)
+    by hashed-n-gram importance weight toward the target slice
+    (``target_col == target_value``). Returns (doc_id, logw) sorted by
+    (logw desc, doc_id)."""
+    scored = _pool_scored(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        target_col=target_col,
+        target_value=target_value,
+        n_buckets=n_buckets,
+    ).select("doc_id", F.round("__logw", round_to).alias("logw"))
+    return scored.orderBy(F.desc("logw"), "doc_id").limit(n_top)
+
+
+def _gumbel(doc_id: Column, seed: str) -> Column:
+    """Deterministic standard-Gumbel noise from the engine-portable md5
+    hash of ``seed:doc_id`` — ``u = (h + 0.5) / 2**60`` is strictly inside
+    (0, 1), then ``g = -ln(-ln u)``. Same formula in the DuckDB twin."""
+    u = (
+        hash60(F.concat(F.lit(f"{seed}:"), doc_id.cast("string"))).cast("double")
+        + 0.5
+    ) / F.lit(TWO60)
+    return -F.log(-F.log(u))
+
+
+def dsir_resample(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 4096,
+    n_samples: int = 100,
+    seed: str = "dsir",
+    round_to: int = 6,
+) -> DataFrame:
+    """The actual IR in DSIR (arXiv:2302.03169 §3): sample ``n_samples``
+    pool docs WITHOUT replacement with probability proportional to their
+    importance weight, via the Gumbel top-k trick — ``key = logw + G`` with
+    ``G`` standard Gumbel; the top-k keys are exactly a proportional
+    without-replacement sample. The noise is derived from the portable
+    md5 hash of ``seed:doc_id``, so the draw is deterministic, resume-safe,
+    partitioning-independent, and reproducible by the DuckDB oracle.
+    Map-only + ``TakeOrderedAndProject`` — zero shuffles, like
+    :func:`dsir_select`. Returns (doc_id, logw, gkey) sorted by
+    (gkey desc, doc_id)."""
+    scored = _pool_scored(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        target_col=target_col,
+        target_value=target_value,
+        n_buckets=n_buckets,
+    )
+    out = scored.select(
+        "doc_id",
+        F.round("__logw", round_to).alias("logw"),
+        F.round(
+            F.col("__logw") + _gumbel(F.col("doc_id"), seed), round_to
+        ).alias("gkey"),
+    )
+    return out.orderBy(F.desc("gkey"), "doc_id").limit(n_samples)
+
+
+def _scored_ctes(
+    id_col: str, target_col: str, target_value: str, n_buckets: int
 ) -> str:
-    """DuckDB twin of :func:`dsir_select` over ``documents`` — dense
-    count lists built with generate_series so bucket lookup and fold
-    order mirror the Spark literal arrays exactly."""
+    """Shared DuckDB CTE chain ending in ``scored(doc_id, lw)`` with the
+    UN-rounded log weight — dense count lists built with generate_series
+    so bucket lookup and fold order mirror the Spark literal arrays
+    exactly."""
     B = n_buckets
     h = hash60_sql("g")
     return f"""
@@ -181,16 +257,54 @@ def dsir_select_sql(
         ),
         scored AS (
             SELECT doc_id,
-                   round(
-                       coalesce(list_sum(list_transform(bkts,
-                           b -> ln(CAST(tl.ct[b + 1] AS DOUBLE) + 1.0)
-                              - ln(CAST(rl.cr[b + 1] AS DOUBLE) + 1.0))), 0.0)
-                       + len(bkts) * (ln(CAST(rl.tot + {B} AS DOUBLE))
-                                    - ln(CAST(tl.tot + {B} AS DOUBLE))),
-                       {round_to}) AS logw
+                   coalesce(list_sum(list_transform(bkts,
+                       b -> ln(CAST(tl.ct[b + 1] AS DOUBLE) + 1.0)
+                          - ln(CAST(rl.cr[b + 1] AS DOUBLE) + 1.0))), 0.0)
+                   + len(bkts) * (ln(CAST(rl.tot + {B} AS DOUBLE))
+                                - ln(CAST(tl.tot + {B} AS DOUBLE))) AS lw
             FROM base, tl, rl
             WHERE t != '{target_value}'
         )
-        SELECT doc_id, logw FROM scored
+    """
+
+
+def dsir_select_sql(
+    *,
+    id_col: str = "doc_id",
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 4096,
+    n_top: int = 100,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`dsir_select` over ``documents``."""
+    ctes = _scored_ctes(id_col, target_col, target_value, n_buckets)
+    return f"""
+        {ctes}
+        SELECT doc_id, round(lw, {round_to}) AS logw FROM scored
         ORDER BY logw DESC, doc_id LIMIT {n_top}
+    """
+
+
+def dsir_resample_sql(
+    *,
+    id_col: str = "doc_id",
+    target_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 4096,
+    n_samples: int = 100,
+    seed: str = "dsir",
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :func:`dsir_resample` — identical hash-derived
+    Gumbel noise and association order."""
+    ctes = _scored_ctes(id_col, target_col, target_value, n_buckets)
+    hg = hash60_sql(f"'{seed}:' || CAST(doc_id AS VARCHAR)")
+    g = f"-ln(-ln((CAST(({hg}) AS DOUBLE) + 0.5) / {TWO60!r}))"
+    return f"""
+        {ctes}
+        SELECT doc_id, round(lw, {round_to}) AS logw,
+               round(lw + ({g}), {round_to}) AS gkey
+        FROM scored
+        ORDER BY gkey DESC, doc_id LIMIT {n_samples}
     """

@@ -3,7 +3,7 @@ the driver-contract `dsir_select` query; these pin operator semantics)."""
 
 from pyspark.sql import functions as F
 
-from geokitten_spark.operators.dsir import dsir_select
+from geokitten_spark.operators.dsir import dsir_resample, dsir_select
 
 from tests.conftest import SF_SMOKE
 
@@ -47,6 +47,37 @@ def test_partitioning_independence(spark):
         for r in dsir_select(docs.repartition(7), n_top=50).collect()
     ]
     assert a == b
+
+
+def test_resample_prefers_heavy_docs_but_is_stochastic(spark):
+    """Gumbel top-k: the draw is weight-proportional (target-like docs
+    dominate across seeds) yet genuinely a sample — different seeds give
+    different sets, and logw ordering is NOT simply truncated."""
+    docs = _planted(spark)
+    sets = []
+    for seed in ("a", "b", "c"):
+        out = dsir_resample(
+            docs, target_value="tgt", n_samples=10, n_buckets=512, seed=seed
+        ).collect()
+        ids = [r.doc_id for r in out]
+        assert len(set(ids)) == 10  # without replacement
+        # weight gap between vocabularies is huge vs Gumbel noise (std~1.3)
+        assert sum(1 for i in ids if 100 <= i < 200) >= 8, (seed, ids)
+        sets.append(frozenset(ids))
+    assert len(set(sets)) > 1  # seeds actually change the draw
+
+
+def test_resample_deterministic_across_partitioning(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = [tuple(r) for r in dsir_resample(docs, n_samples=30).collect()]
+    b = [
+        tuple(r)
+        for r in dsir_resample(docs.repartition(7), n_samples=30).collect()
+    ]
+    assert a == b
+    # gkey = logw + gumbel, so gkey-logw (the noise) is finite and varied
+    noises = {round(g - w, 4) for _, w, g in a}
+    assert len(noises) > 20
 
 
 def test_selection_is_topk_not_global_window(spark):
