@@ -1287,6 +1287,18 @@ def q_dsir_resample(spark, sf_dir):
     return dsir_resample(docs)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality classifier (GPT-3 App. A /
+    LLaMA quality-filter recipe): deterministic-sample logistic
+    regression over hashed unigram+bigram buckets, weights inlined as
+    one literal array, map-only sigmoid scoring fold, distributed top-k.
+    DuckDB twin retrains the bit-identical model from the same sample."""
+    from geokitten_spark.operators.classifier import quality_classify
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_classify(docs)
+
+
 def q_asof_join(spark, sf_dir):
     """J5 as-of join: each click gets the user's most recent view at/before
     its ts (single-shuffle union+window plan; DuckDB oracle: ASOF JOIN)."""
@@ -2213,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bloom": q_dedup_bloom,
         "dsir_select": q_dsir_select,
         "dsir_resample": q_dsir_resample,
+        "quality_classifier": q_quality_classifier,
         "asof_join": q_asof_join,
         "range_join_bands": q_range_join_bands,
         "sessionize": q_sessionize,
@@ -2308,6 +2321,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from geokitten_spark.operators.bloom import bloom_dedup_sql
     from geokitten_spark.operators.dsir import dsir_resample_sql, dsir_select_sql
+    from geokitten_spark.operators.classifier import quality_classify_sql
     from geokitten_spark.operators.cluster import grid_dbscan_sql
     from geokitten_spark.cells.grid import morton_sql
     from geokitten_spark.operators.tile import adaptive_tiles_sql
@@ -2816,6 +2830,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_bloom": bloom_dedup_sql(),
         "dsir_select": dsir_select_sql(),
         "dsir_resample": dsir_resample_sql(),
+        "quality_classifier": quality_classify_sql(),
         "dedup_span_removal": span_removal_sql(
             "corpus AS (SELECT doc_id, text, lang FROM documents)",
             shingle_n=8,
