@@ -1765,6 +1765,18 @@ def q_lm_perplexity(spark, sf_dir):
     )
 
 
+def q_bpe_vocab(spark, sf_dir):
+    """Learned-BPE subword vocabulary (operators/bpe.py): train on the
+    distributed word-frequency dictionary (one count agg + top-V), apply
+    the learned merges map-only via an Arrow-batched pandas UDF, count
+    tokens through one shuffle. Oracle = the SAME pure-Python trainer and
+    tokenizer over the DuckDB-derived dictionary (integer-exact)."""
+    from geokitten_spark.operators.bpe import bpe_vocab_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_vocab_stats(docs, vocab_words=10_000, n_merges=200, n_top=50)
+
+
 def q_sessionize_stream_twin(spark, sf_dir):
     """Streaming face (rows-only): watermark + tumbling window aggregate
     driven through Structured Streaming availableNow on the events table,
@@ -2254,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "media_audio": q_media_audio,
         "lm_perplexity": q_lm_perplexity,
+        "bpe_vocab": q_bpe_vocab,
         "stream_hourly": q_sessionize_stream_twin,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
@@ -3069,6 +3082,7 @@ def oracle_sql() -> dict[str, str]:
         "media_features": _ora.media_features_sql(),
         "media_frames": _ora.media_frames_sql(),
         "media_audio": _ora.media_audio_sql(),
+        "bpe_vocab": _ora.bpe_vocab_sql(),
         "lm_perplexity": lm_perplexity_sql(
             vocab_size=1024, max_bigrams=65536, alpha=0.1
         ),

@@ -914,3 +914,13 @@ def h3_adaptive_tiles_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return values_sql(
         rows, [("res", "INTEGER"), ("cell_id", "BIGINT"), ("n_docs", "BIGINT")]
     )
+
+
+def bpe_vocab_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (token, n_occ) for q_bpe_vocab: the word dictionary comes
+    from DuckDB, training + tokenization run the SAME pure-Python kernel
+    as the Spark path (operators/bpe.py) — integer-exact by construction."""
+    from .operators.bpe import bpe_vocab_stats_oracle_rows
+
+    rows = bpe_vocab_stats_oracle_rows(sf_dir)
+    return values_sql(rows, [("token", "VARCHAR"), ("n_occ", "BIGINT")])
