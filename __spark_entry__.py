@@ -975,6 +975,55 @@ def q_dedup_span_removal(spark, sf_dir):
     return span_removal(docs, shingle_n=8)
 
 
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style cross-document paragraph dedup (arXiv:1911.00359):
+    paragraphs hash on their normalized form (lowercase, digits+punct
+    stripped) and only the corpus-first occurrence survives. The
+    synthetic corpus is single-line, so both engines salt each doc with
+    the same deterministic paragraphs: a cookie banner shared by ALL
+    docs, a newsletter line on every 3rd doc, an 'All rights reserved
+    <d>.' footer whose digit strips away (all 5 variants collide — the
+    normalization's exact purpose), a digits-only line that normalizes
+    to empty (always kept), and a 'Document <id> closing remark.' whose
+    id also strips (global collision). md5 of every cleaned doc proves
+    paragraph-exact removal against the DuckDB twin."""
+    from geokitten_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id")
+    salted = F.concat(
+        F.col("text"),
+        F.lit("\nWe use cookies to improve your browsing experience."),
+        F.when(
+            did % 3 == 0, F.lit("\nSubscribe to our newsletter today!")
+        ).otherwise(F.lit("")),
+        F.lit("\nAll rights reserved "),
+        (did % 5).cast("string"),
+        F.lit("."),
+        F.lit("\n42 --- 17"),
+        F.lit("\nDocument "),
+        did.cast("string"),
+        F.lit(" closing remark."),
+    )
+    return paragraph_dedup(docs.withColumn("text", salted))
+
+
+_PARA_DEDUP_CTE = """corpus AS (
+            SELECT doc_id, lang,
+                   text
+                   || chr(10) || 'We use cookies to improve your browsing experience.'
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN chr(10) || 'Subscribe to our newsletter today!'
+                           ELSE '' END
+                   || chr(10) || 'All rights reserved '
+                   || CAST(doc_id % 5 AS VARCHAR) || '.'
+                   || chr(10) || '42 --- 17'
+                   || chr(10) || 'Document ' || CAST(doc_id AS VARCHAR)
+                   || ' closing remark.' AS text
+            FROM documents
+        )"""
+
+
 _SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
 
 
@@ -2222,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_span_coverage": q_dedup_span_coverage,
         "dedup_span_removal": q_dedup_span_removal,
+        "dedup_paragraphs": q_paragraph_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
         "split_assign": q_split_assign,
         "contamination_check": q_contamination_check,
@@ -2330,6 +2380,7 @@ def oracle_sql() -> dict[str, str]:
         connected_components_sql,
         span_coverage_sql,
         span_removal_sql,
+        paragraph_dedup_sql,
         contamination_check_sql,
     )
     from geokitten_spark.operators.bloom import bloom_dedup_sql
@@ -2848,6 +2899,7 @@ def oracle_sql() -> dict[str, str]:
             "corpus AS (SELECT doc_id, text, lang FROM documents)",
             shingle_n=8,
         ),
+        "dedup_paragraphs": paragraph_dedup_sql(_PARA_DEDUP_CTE),
         "tfidf_top_terms": """
             WITH ws AS (
                 SELECT doc_id, lang,

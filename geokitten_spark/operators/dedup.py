@@ -1011,3 +1011,170 @@ def span_removal_sql(
                MAX(md5(array_to_string(kept, ' '))) AS h_max
         FROM cleaned GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style cross-document paragraph dedup
+# ---------------------------------------------------------------------------
+
+def _para_norm(para: Column) -> Column:
+    """CCNet paragraph normalization: lowercase, strip digits and
+    punctuation, collapse whitespace — so near-identical boilerplate
+    ("All rights reserved 2019" vs "... 2020") hashes together."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(para), "[^a-z ]", " "), " +", " "
+        )
+    )
+
+
+def _para_norm_sql(expr: str) -> str:
+    return (
+        "trim(regexp_replace(regexp_replace("
+        f"lower({expr}), '[^a-z ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Cross-document paragraph deduplication, the CCNet corpus pass
+    (Wenzek et al., arXiv:1911.00359 §3.1): documents split on newlines;
+    each paragraph's dedup key is the 60-bit hash of its NORMALIZED form
+    (:func:`_para_norm`); every occurrence except the corpus-first —
+    minimum ``(doc_id, paragraph_index)`` — is dropped, and survivors
+    re-join in document order.
+
+    Scale shape: paragraphs explode once; keeper election is a groupBy
+    on the 8-byte hash with a map-side-combinable ``min(struct)``; the
+    occurrences rejoin that keeper table on the 8-byte key; reassembly
+    is one doc-keyed aggregate. No string payload ever rides a wider
+    key than the paragraph itself, and nothing is all-pairs.
+
+    Rules shared bit-for-bit with the DuckDB twin: raw-empty paragraphs
+    are discarded before anything else (they carry no content and would
+    otherwise make every blank line a global duplicate); paragraphs
+    whose NORMALIZED form is empty (pure digits/punctuation) are kept
+    unconditionally — there is no text to judge duplication on.
+
+    Returns per-group: ``(group, n_docs, n_paras, paras_removed,
+    docs_touched, h_min, h_max)`` where the h's are md5 over each
+    cleaned document (empty-string md5 when every paragraph went).
+    """
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).alias("grp"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "para"),
+        )
+        .filter(F.col("para") != "")
+        .withColumn("norm", _para_norm(F.col("para")))
+    )
+    cand = base.filter(F.col("norm") != "").withColumn(
+        "h", hash60(F.col("norm"))
+    )
+    keeper = cand.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("k")
+    )
+    kept_cand = (
+        cand.join(keeper, on="h")
+        .filter(
+            (F.col("doc_id") == F.col("k.doc_id"))
+            & (F.col("idx") == F.col("k.idx"))
+        )
+        .select("doc_id", "idx", "para")
+    )
+    kept = kept_cand.unionByName(
+        base.filter(F.col("norm") == "").select("doc_id", "idx", "para")
+    )
+    totals = base.groupBy("doc_id").agg(
+        F.first("grp").alias("grp"), F.count(F.lit(1)).alias("n_paras")
+    )
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            )
+        ).alias("hdoc"),
+    )
+    per_doc = (
+        totals.join(kept_agg, on="doc_id", how="left")
+        .withColumn("n_kept", F.coalesce(F.col("n_kept"), F.lit(0)))
+        .withColumn("hdoc", F.coalesce(F.col("hdoc"), F.md5(F.lit(""))))
+    )
+    return per_doc.groupBy(F.col("grp").alias(group_col)).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_paras").cast("long").alias("n_paras"),
+        F.sum(F.col("n_paras") - F.col("n_kept")).cast("long").alias(
+            "paras_removed"
+        ),
+        F.sum((F.col("n_kept") < F.col("n_paras")).cast("long")).alias(
+            "docs_touched"
+        ),
+        F.min("hdoc").alias("h_min"),
+        F.max("hdoc").alias("h_max"),
+    )
+
+
+def paragraph_dedup_sql(corpus_cte: str, *, group_col: str = "lang") -> str:
+    """DuckDB twin of :func:`paragraph_dedup` over a CTE named
+    ``corpus`` with columns (doc_id, text, <group_col>). Keeper election
+    is a window row_number here (oracle-scale) — same first-occurrence
+    rule as the Spark min(struct) election."""
+    norm = _para_norm_sql("g.para")
+    return f"""
+        WITH {corpus_cte},
+        occ AS (
+            SELECT doc_id, grp, g.idx AS idx, g.para AS para,
+                   {norm} AS norm
+            FROM (
+                SELECT doc_id, {group_col} AS grp,
+                       unnest(list_transform(
+                           regexp_split_to_array(text, chr(10)),
+                           (p, i) -> {{'idx': i, 'para': p}})) AS g
+                FROM corpus
+            ) WHERE g.para != ''
+        ),
+        kept AS (
+            SELECT doc_id, idx, para FROM (
+                SELECT doc_id, idx, para,
+                       row_number() OVER (
+                           PARTITION BY {hash60_sql('norm')}
+                           ORDER BY doc_id, idx) AS rn
+                FROM occ WHERE norm != ''
+            ) WHERE rn = 1
+            UNION ALL
+            SELECT doc_id, idx, para FROM occ WHERE norm = ''
+        ),
+        totals AS (
+            SELECT doc_id, any_value(grp) AS grp, COUNT(*) AS n_paras
+            FROM occ GROUP BY 1
+        ),
+        kept_agg AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   md5(string_agg(para, chr(10) ORDER BY idx)) AS hdoc
+            FROM kept GROUP BY 1
+        ),
+        per_doc AS (
+            SELECT t.grp, t.n_paras,
+                   COALESCE(k.n_kept, 0) AS n_kept,
+                   COALESCE(k.hdoc, md5('')) AS hdoc
+            FROM totals t LEFT JOIN kept_agg k ON t.doc_id = k.doc_id
+        )
+        SELECT grp AS {group_col}, COUNT(*) AS n_docs,
+               CAST(SUM(n_paras) AS BIGINT) AS n_paras,
+               CAST(SUM(n_paras - n_kept) AS BIGINT) AS paras_removed,
+               CAST(SUM(CASE WHEN n_kept < n_paras THEN 1 ELSE 0 END)
+                    AS BIGINT) AS docs_touched,
+               MIN(hdoc) AS h_min, MAX(hdoc) AS h_max
+        FROM per_doc GROUP BY 1
+    """

@@ -422,3 +422,88 @@ def test_span_removal_crafted_corpus(spark):
     assert r["n_docs"] == 3           # the 2-word doc has no 8-grams
     assert r["docs_touched"] == 2     # both sharers lose the span
     assert r["words_removed"] == 16   # 8 words from each sharer
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style paragraph dedup
+# ---------------------------------------------------------------------------
+
+def test_paragraph_dedup_crafted_corpus(spark):
+    """First occurrence (min doc_id, idx) of each normalized paragraph
+    survives; later copies drop; digits/punct strip before hashing; a
+    digits-only paragraph is always kept."""
+    from geokitten_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "x", "unique opening one\nWe use cookies!\nCopyright 2019."),
+        (2, "x", "unique opening two\nWe use cookies!\nCopyright 2020."),
+        (3, "x", "We use cookies!\n1234 5678"),
+        (4, "x", "we use Cookies\nunique closer four"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = paragraph_dedup(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_docs"] == 4
+    assert r["n_paras"] == 10
+    # doc1 keeps all 3 (first cookie banner, first copyright);
+    # doc2 loses cookies + copyright (2020 normalizes == 2019);
+    # doc3 loses cookies, keeps the digits-only para (normalizes empty);
+    # doc4 loses its cookie variant ("we use cookies" after norm strips '!').
+    assert r["paras_removed"] == 4
+    assert r["docs_touched"] == 3
+
+
+def test_paragraph_dedup_keep_rule_is_corpus_first(spark):
+    """Within one doc the EARLIER index wins; across docs the LOWER id."""
+    from geokitten_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (7, "x", "same line here\nmiddle bit\nsame line here"),
+        (2, "x", "same line here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    r = paragraph_dedup(df).collect()[0]
+    # doc 2 owns "same line here"; doc 7 loses both copies.
+    assert r["paras_removed"] == 2
+    assert r["docs_touched"] == 1
+
+
+def test_paragraph_dedup_partitioning_independent(spark):
+    from geokitten_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    salted = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit("\nshared footer line."),
+            F.lit("\nDoc "),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    a = sorted(map(tuple, paragraph_dedup(salted).collect()))
+    b = sorted(map(tuple, paragraph_dedup(salted.repartition(17)).collect()))
+    assert a == b
+
+
+def test_paragraph_dedup_matches_duckdb_twin(spark):
+    """Engine parity on the sf0.001 corpus with the same salt the
+    driver-contract query uses."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from geokitten_spark.operators.dedup import paragraph_dedup_sql
+
+    got = sorted(
+        map(tuple, entrymod.q_paragraph_dedup(spark, "/root/testdata/sf0.001").collect())
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.sql(paragraph_dedup_sql(entrymod._PARA_DEDUP_CTE)).fetchall())
+    )
+    assert got == want
