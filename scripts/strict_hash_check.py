@@ -7,9 +7,13 @@ This script replicates that: canonical sort, then md5 over the
 repr of every cell (including its Python type), per query.
 
 Usage: python scripts/strict_hash_check.py [query ...]   (default: all)
+Set STRICT_JSON_OUT=/path.json to also write a machine-readable record
+{query: {"ok": bool, "spark_rows": N, "oracle_rows": N}} for the round
+archive (BENCH/STRICT_r*.json), diffable across rounds.
 """
 
 import hashlib
+import json
 import os
 import sys
 
@@ -50,15 +54,18 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     bad = 0
+    record = {}
     for name in names:
         if name not in oracles:
             print(f"{name}: NO ORACLE")
+            record[name] = {"ok": None, "note": "no oracle"}
             continue
         s = queries[name](spark, SF_DIR).toPandas()
         o = con.sql(oracles[name]).df()
         hs, ho = value_hash(s), value_hash(o)
         ok = hs == ho
         bad += 0 if ok else 1
+        record[name] = {"ok": ok, "spark_rows": len(s), "oracle_rows": len(o)}
         print(f"{name}: {'OK' if ok else 'HASH-MISMATCH'}  rows {len(s)}/{len(o)}")
         if not ok:
             cs, co = canon(s), canon(o)
@@ -68,6 +75,11 @@ def main():
                 if list(map(repr, cs[c].head(3))) != list(map(repr, co[c].head(3))):
                     print(f"  col {c}: spark {list(cs[c].head(3))!r} vs duck {list(co[c].head(3))!r}")
     print(f"\n{bad} mismatching")
+    out = os.environ.get("STRICT_JSON_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "results": record}, f, indent=1, sort_keys=True)
+        print(f"wrote {out}")
     sys.exit(1 if bad else 0)
 
 
