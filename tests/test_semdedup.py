@@ -122,3 +122,51 @@ def test_kmeans_fit_deterministic_and_separates_fixture(spark):
     expect = {int(i): int(c) for i, c in zip(ids, np.argmax(sims, axis=1))}
     got = {r.vid: r.cluster for r in assign_clusters(emb, C1).collect()}
     assert got == expect
+
+
+def test_pair_scan_single_shuffle_no_self_join(spark):
+    """Round-4 scale fix: the pair scan is a grouped applyInPandas over
+    the cluster id — each embedding crosses EXACTLY ONE exchange, once
+    per member (never per pair), and no join duplicates vectors into
+    O(cluster²) candidate rows."""
+    plan = (
+        semdedup(_corpus(spark), k=10, threshold=0.99)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+
+
+def test_auto_k_scales_with_corpus(spark):
+    """k=None sizes the codebook as ceil(n / target_cluster_size) so the
+    expected cluster size — and the per-group O(c²) work — stays constant
+    as the corpus grows."""
+    emb = _corpus(spark)
+    n = emb.count()
+    out = semdedup(emb, k=None, target_cluster_size=50, threshold=0.99)
+    k_eff = out.select(F.countDistinct("cluster")).first()[0]
+    assert 2 <= k_eff <= -(-n // 50)
+    # and every injected twin still lands with (and removes against) its base
+    rows = {r.vec_id: r for r in out.collect()}
+    twins = [i for i in rows if i >= _NEARDUP_ID_OFFSET]
+    assert twins
+    assert all(rows[i].removed for i in twins)
+    assert all(rows[i].cluster == rows[i - _NEARDUP_ID_OFFSET].cluster for i in twins)
+
+
+def test_kmeans_clamps_k_and_returns_unit_centroids():
+    """ADVICE round-3: k > sample size clamps (one centroid per row, no
+    garbage padding) and spherical re-normalization keeps every centroid
+    unit-length after each sweep, so L2 argmin == cosine argmax at every
+    iteration, not just the first."""
+    rng_free = np.array(
+        [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]], dtype=np.float64
+    )
+    C = kmeans_fit(rng_free, k=10, iters=3)
+    assert C.shape == (3, 2)
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
