@@ -1311,6 +1311,20 @@ def q_dedup_bloom(spark, sf_dir):
     return bloom_dedup(docs)
 
 
+def q_dedup_bloom_sharded(spark, sf_dir):
+    """Sharded-TABLE Bloom dedup — the 10^12-key regime where the filter
+    fits on no single machine: the filter stays a lazy (shard, word,
+    bits) DataFrame (never collected, never broadcast; laziness is
+    test-asserted), the probe is an equi-join on (shard, word) +
+    per-fingerprint bool_and. Same word/bits content and verdicts as
+    `dedup_bloom`, so the identical DuckDB filter-as-table twin checks
+    it."""
+    from geokitten_spark.operators.bloom import bloom_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bloom_dedup(docs, mode="table", n_shards=8)
+
+
 def q_dsir_select(spark, sf_dir):
     """DSIR data selection (arXiv:2302.03169): hashed unigram+bigram
     bag-of-buckets multinomials for the target slice (lang='en') and the
@@ -2232,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "semdedup": q_semdedup,
         "dedup_bloom": q_dedup_bloom,
+        "dedup_bloom_sharded": q_dedup_bloom_sharded,
         "dsir_select": q_dsir_select,
         "dsir_resample": q_dsir_resample,
         "quality_classifier": q_quality_classifier,
@@ -2900,6 +2915,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_span_coverage": span_coverage_sql(shingle_n=8),
         "dedup_bloom": bloom_dedup_sql(),
+        # same filter content + verdict rule; only the Spark-side storage
+        # of the filter differs (lazy sharded table vs collected array)
+        "dedup_bloom_sharded": bloom_dedup_sql(),
         "dsir_select": dsir_select_sql(),
         "dsir_resample": dsir_resample_sql(),
         "quality_classifier": quality_classify_sql(),

@@ -27,6 +27,17 @@ Spark-first shape:
   tests) or as a ``SparkContext.broadcast`` numpy array tested inside
   an Arrow-batched pandas UDF (large filters; positions still computed
   JVM-side, Python only does the vectorized bit lookup).
+* **Sharded table path for filters too big for ANY single machine**:
+  :func:`bloom_build_table` keeps the filter as a (shard, word, bits)
+  DataFrame — never collected, never broadcast — and
+  :func:`bloom_probe_table` probes by an equi-join on (shard, word)
+  followed by a per-fingerprint ``bool_and``. ``shard = pmod(word,
+  n_shards)`` so a parquet filter table partitioned by shard gets
+  dynamic partition pruning on the join. This is the 10^12-key regime
+  (a 1%-FP filter over 10^12 fingerprints is ~TB of bits): history is
+  folded once, the filter lives as a table, and each new crawl slice
+  probes it with one join — no driver or executor ever holds the whole
+  filter. NULL fingerprints yield NULL verdicts in ALL modes.
 * **Sign-safe 60-bit words**: bit positions are taken mod 60 per
   64-bit word so no mask ever touches the sign bit — ``shiftleft`` /
   ``bit_or`` / ``&`` then agree exactly between Spark, DuckDB (the
@@ -50,7 +61,14 @@ from pyspark.sql import functions as F
 
 from .dedup import hash60, hash60_sql
 
-__all__ = ["bloom_build", "bloom_probe", "bloom_dedup", "bloom_dedup_sql"]
+__all__ = [
+    "bloom_build",
+    "bloom_build_table",
+    "bloom_probe",
+    "bloom_probe_table",
+    "bloom_dedup",
+    "bloom_dedup_sql",
+]
 
 BITS_PER_WORD = 60  # keep masks off the int64 sign bit (engine-portable)
 
@@ -96,6 +114,94 @@ def bloom_build(
     return filt
 
 
+def bloom_build_table(
+    history: DataFrame,
+    fp_col: str,
+    *,
+    n_words: int = 4096,
+    k: int = 5,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Distributed filter build with NO driver materialization.
+
+    Returns the filter as a lazy (shard int, word long, bits long)
+    DataFrame — identical word/bits content to :func:`bloom_build`, plus
+    ``shard = pmod(word, n_shards)`` so persisting with
+    ``.write.partitionBy('shard')`` gives the probe join partition
+    pruning. One shuffle of pre-ORed 16-byte rows, bounded by
+    ``n_words`` output rows; the filter never has to fit anywhere
+    whole — not on the driver, not in a broadcast.
+    """
+    fp = F.col(fp_col)
+    pos = F.explode(F.array(*_positions(fp, n_words=n_words, k=k))).alias("pos")
+    return (
+        history.select(pos)
+        .select(
+            (F.col("pos") / BITS_PER_WORD).cast("long").alias("word"),
+            _shl1((F.col("pos") % BITS_PER_WORD).cast("int")).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .select(
+            F.pmod(F.col("word"), F.lit(n_shards)).cast("int").alias("shard"),
+            "word",
+            "bits",
+        )
+    )
+
+
+def bloom_probe_table(
+    incoming: DataFrame,
+    filt: DataFrame,
+    fp_col: str,
+    *,
+    n_words: int = 4096,
+    k: int = 5,
+    n_shards: int = 64,
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Membership test against a (shard, word, bits) filter TABLE.
+
+    Per distinct non-null fingerprint: expand to k (shard, word, mask)
+    probes, LEFT-join the filter table on (shard, word) — absent words
+    mean bits=0 — and ``bool_and`` the k bit tests back into one
+    verdict, then join verdicts back onto ``incoming`` by fingerprint.
+    NULL fingerprints get a NULL verdict (same rule as the other
+    modes). ``n_shards`` must match the build's.
+    """
+    fps = (
+        incoming.select(F.col(fp_col).alias("__fp"))
+        .where(F.col("__fp").isNotNull())
+        .distinct()
+    )
+    probes = (
+        fps.select(
+            "__fp",
+            F.explode(
+                F.array(*_positions(F.col("__fp"), n_words=n_words, k=k))
+            ).alias("pos"),
+        )
+        .select(
+            "__fp",
+            (F.col("pos") / BITS_PER_WORD).cast("long").alias("word"),
+            _shl1((F.col("pos") % BITS_PER_WORD).cast("int")).alias("mask"),
+        )
+        .withColumn("shard", F.pmod(F.col("word"), F.lit(n_shards)).cast("int"))
+    )
+    verdict = (
+        probes.join(filt, on=["shard", "word"], how="left")
+        .groupBy("__fp")
+        .agg(
+            F.bool_and(
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask")) != 0
+            ).alias(out_col)
+        )
+    )
+    return incoming.join(
+        verdict, on=incoming[fp_col] == verdict["__fp"], how="left"
+    ).drop("__fp")
+
+
 def bloom_probe(
     incoming: DataFrame,
     filt: np.ndarray,
@@ -138,14 +244,21 @@ def bloom_probe(
     @F.pandas_udf("boolean")
     def _test(pos_arr: pd.Series) -> pd.Series:
         fw = bc.value
-        out = np.ones(len(pos_arr), dtype=bool)
-        if len(pos_arr):
-            P = np.stack(pos_arr.to_numpy())  # (batch, k) int64 positions
-            hit = (fw[P // BITS_PER_WORD] >> (P % BITS_PER_WORD)) & 1
-            out = hit.all(axis=1)
+        if not len(pos_arr):
+            return pd.Series([], dtype="boolean")
+        # null fingerprints arrive as the -1 sentinel (coalesced JVM-side
+        # so the batch stays a dense int64 matrix) and yield NULL — the
+        # same verdict the literal mode's null-propagating codegen gives
+        P = np.stack(pos_arr.to_numpy()).astype(np.int64)
+        null_row = (P < 0).any(axis=1)
+        Pc = np.clip(P, 0, None)
+        hit = (fw[Pc // BITS_PER_WORD] >> (Pc % BITS_PER_WORD)) & 1
+        out = pd.array(hit.all(axis=1), dtype="boolean")
+        out[null_row] = pd.NA
         return pd.Series(out)
 
-    return incoming.withColumn(out_col, _test(F.array(*pos)))
+    sentinel_pos = [F.coalesce(p, F.lit(-1).cast("long")) for p in pos]
+    return incoming.withColumn(out_col, _test(F.array(*sentinel_pos)))
 
 
 def bloom_dedup(
@@ -157,6 +270,7 @@ def bloom_dedup(
     n_words: int = 4096,
     k: int = 5,
     mode: str = "auto",
+    n_shards: int = 64,
 ) -> DataFrame:
     """Incremental-ingest demo over one table: history = docs with
     ``id % split_mod != 0``, incoming = the rest. Returns per incoming
@@ -165,6 +279,11 @@ def bloom_dedup(
     fingerprints — feasible at test scale, the thing the Bloom filter
     REPLACES at corpus scale). ``maybe_seen & !seen`` rows are the
     filter's false positives; ``seen & !maybe_seen`` never occurs.
+
+    ``mode='table'`` keeps the whole pipeline lazy: the filter is the
+    sharded (shard, word, bits) DataFrame of :func:`bloom_build_table`
+    and the probe is :func:`bloom_probe_table`'s equi-join — no collect,
+    no broadcast, no driver copy of the filter anywhere in the lineage.
     """
     from ..functions.text import fingerprint_col
 
@@ -176,8 +295,16 @@ def bloom_dedup(
     incoming = docs.filter(F.col(id_col) % split_mod == 0).select(
         F.col(id_col).alias("doc_id"), fp
     )
-    filt = bloom_build(history, "fp", n_words=n_words, k=k)
-    probed = bloom_probe(incoming, filt, "fp", k=k, mode=mode)
+    if mode == "table":
+        filt_df = bloom_build_table(
+            history, "fp", n_words=n_words, k=k, n_shards=n_shards
+        )
+        probed = bloom_probe_table(
+            incoming, filt_df, "fp", n_words=n_words, k=k, n_shards=n_shards
+        )
+    else:
+        filt = bloom_build(history, "fp", n_words=n_words, k=k)
+        probed = bloom_probe(incoming, filt, "fp", k=k, mode=mode)
     hist_fps = history.distinct().withColumn("__seen", F.lit(True))
     return (
         probed.join(F.broadcast(hist_fps), on="fp", how="left")

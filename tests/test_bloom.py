@@ -93,3 +93,84 @@ def test_false_positive_rate_within_theory(spark):
     theory = (1.0 - np.exp(-k * n_hist / m)) ** k
     assert fpr <= 3 * theory
     assert fpr > 0  # an undersized filter must show SOME false positives
+
+
+def test_table_mode_agrees_with_literal(spark):
+    docs = _docs(spark)
+    lit = {r.doc_id: r.maybe_seen for r in bloom_dedup(docs, mode="literal").collect()}
+    tab = {r.doc_id: r.maybe_seen for r in bloom_dedup(docs, mode="table").collect()}
+    assert lit == tab
+
+
+def test_table_mode_never_materializes_filter_on_driver(spark):
+    """Round-4 scale fix: in table mode the filter is a lazy DataFrame —
+    constructing the dedup pipeline runs ZERO Spark jobs (nothing is
+    collected or broadcast-built), and the executed plan folds + probes
+    the filter via a (shard, word) join inside one lineage."""
+    docs = _docs(spark)
+    docs.schema  # force the parquet footer read outside the job group
+    sc = spark.sparkContext
+    sc.setJobGroup("bloom_table_build", "laziness check")
+    try:
+        out = bloom_dedup(docs, mode="table")
+        assert sc.statusTracker().getJobIdsForGroup("bloom_table_build") == []
+    finally:
+        sc.setJobGroup(None, None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "bit_or" in plan  # filter build lives INSIDE the plan
+    assert "Join" in plan
+
+
+def test_sharded_table_roundtrips_through_partitioned_parquet(spark, tmp_path):
+    """The production shape: persist the sharded filter partitioned by
+    shard, probe a later slice against the re-read table — verdicts must
+    equal the in-memory filter's."""
+    from geokitten_spark.operators.bloom import bloom_build_table, bloom_probe_table
+
+    fps = spark.createDataFrame(
+        [(f"fp-{i:04d}",) for i in range(500)], "fp string"
+    )
+    store = str(tmp_path / "filt")
+    bloom_build_table(fps, "fp", n_words=256, k=5, n_shards=8).write.partitionBy(
+        "shard"
+    ).parquet(store)
+    filt_df = spark.read.parquet(store)
+    inc = spark.createDataFrame(
+        [(f"fp-{i:04d}",) for i in range(400, 600)], "fp string"
+    )
+    got = {
+        r.fp: r.maybe_seen
+        for r in bloom_probe_table(
+            inc, filt_df, "fp", n_words=256, k=5, n_shards=8
+        ).collect()
+    }
+    filt = bloom_build(fps, "fp", n_words=256, k=5)
+    want = {
+        r.fp: r.maybe_seen
+        for r in bloom_probe(inc, filt, "fp", k=5, mode="literal").collect()
+    }
+    assert got == want
+    assert all(got[f"fp-{i:04d}"] for i in range(400, 500))  # no false negatives
+
+
+def test_null_fingerprints_yield_null_in_every_mode(spark):
+    """ADVICE round-3: literal mode null-propagates while arrow mode
+    crashed on None positions — all three modes must now agree that a
+    NULL fingerprint gets a NULL verdict."""
+    inc = spark.createDataFrame([("fp-1",), (None,), ("fp-2",)], "fp string")
+    filt = bloom_build(
+        spark.createDataFrame([("fp-1",)], "fp string"), "fp", n_words=64, k=3
+    )
+    lit = {r.fp: r.maybe_seen for r in bloom_probe(inc, filt, "fp", k=3, mode="literal").collect()}
+    arw = {r.fp: r.maybe_seen for r in bloom_probe(inc, filt, "fp", k=3, mode="arrow").collect()}
+    from geokitten_spark.operators.bloom import bloom_build_table, bloom_probe_table
+
+    filt_df = bloom_build_table(
+        spark.createDataFrame([("fp-1",)], "fp string"), "fp", n_words=64, k=3, n_shards=4
+    )
+    tab = {
+        r.fp: r.maybe_seen
+        for r in bloom_probe_table(inc, filt_df, "fp", n_words=64, k=3, n_shards=4).collect()
+    }
+    assert lit == arw == tab
+    assert lit[None] is None and lit["fp-1"] is True
