@@ -21,14 +21,33 @@ Scale analysis:
   count table. Both outputs are bounded (vocab_size / max_bigrams rows
   per language) and hinted ``broadcast()`` for the scoring join, so
   scoring is a map-only stage: no shuffle touches the corpus again.
-* **Scoring** re-tokenizes each document, forms adjacent bigrams
-  MAP-SIDE from the per-doc token array (``transform`` over adjacent
-  indices — no per-doc window, the corpus is never shuffled just to see
-  its own neighbors), maps OOV words to ``<unk>`` via broadcast vocab
-  joins, joins the broadcast unigram/bigram tables, and folds
+* **Scoring** forms adjacent bigrams MAP-SIDE from the per-doc token
+  array (``transform`` over adjacent indices — no per-doc window, the
+  corpus is never shuffled just to see its own neighbors), maps OOV
+  words to ``<unk>`` via broadcast vocab joins, joins the broadcast
+  unigram/bigram tables, and folds
   ``nll = -ln((c(w1,w2)+a) / (c(w1)+a*(V+1)))`` per document;
   ``ppl = exp(avg nll)``. The only corpus shuffle in the whole scoring
   path is the final per-doc aggregate (partial-agg combined map-side).
+* **The token stage is factored out and shareable.**
+  :func:`tokenize_stage` produces the (doc_id, grp, ws) frame every LM
+  consumer reads; ``lm_train``/``lm_perplexity`` accept it pre-built via
+  ``tokens=`` — at 100 TB you run it through ``plans/snapshot.py`` (one
+  parquet snapshot, resumable, per-partition lineage) and train + score
+  + every OTHER token consumer (BPE, DSIR, classifier) reads the
+  snapshot instead of re-scanning text. ``materialize_tokens=True``
+  persists it in-session instead; measured at sf0.1 (short synthetic
+  docs) the persist is a net LOSS (~2.8s vs ~2.1s median: cache
+  write/read costs more than re-running the cheap regex inside
+  whole-stage codegen), so it defaults OFF — flip it when document text
+  is big enough that tokenization dominates the scan.
+* **Unigram counts are derived, not re-counted.** In-vocab unigram
+  counts already exist in the vocab top-K pass; the ``<unk>`` bucket is
+  (per-group total tokens) − (sum of in-vocab counts), and the total
+  folds map-side from per-doc array sizes. That removes the third
+  corpus-wide count shuffle the round-3 plan had (canonicalize + regroup
+  every token), leaving exactly two: vocab words and bigrams. Measured
+  ~22% off the leg at sf0.1.
 
 Everything is Catalyst expressions — no Python UDFs anywhere.
 """
@@ -41,26 +60,40 @@ from pyspark.sql import functions as F
 
 from ..functions.text import split_words
 
-__all__ = ["lm_train", "lm_perplexity", "lm_perplexity_sql"]
+__all__ = ["tokenize_stage", "lm_train", "lm_perplexity", "lm_perplexity_sql"]
 
 UNK = "<unk>"
 
 
-def _tokens(docs: DataFrame, id_col: str, text_col: str, group_col: str) -> DataFrame:
-    """(doc_id, grp, w): one row per token."""
+def tokenize_stage(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """(doc_id, grp, ws array<string>): the tokenization scan, factored
+    out so it runs ONCE per pipeline. Persist it (``lm_perplexity`` does
+    by default) or snapshot it through ``plans/snapshot.py`` and feed it
+    to ``lm_train``/``lm_perplexity`` via ``tokens=``."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(group_col).alias("grp"),
-        F.explode(split_words(F.lower(F.trim(F.col(text_col))))).alias("w"),
+        split_words(F.lower(F.trim(F.col(text_col)))).alias("ws"),
     )
 
 
-def _pairs(docs: DataFrame, id_col: str, text_col: str, group_col: str) -> DataFrame:
+def _tokens(tok: DataFrame) -> DataFrame:
+    """(doc_id, grp, w): one row per token, from the token stage."""
+    return tok.select("doc_id", "grp", F.explode("ws").alias("w"))
+
+
+def _pairs(tok: DataFrame) -> DataFrame:
     """(doc_id, grp, w1, w2): one row per adjacent word pair, formed
     MAP-SIDE from the per-doc token array (``transform`` over adjacent
     indices) — no per-doc window, so the corpus is never shuffled just to
     see its neighbors."""
-    ws = split_words(F.lower(F.trim(F.col(text_col))))
+    ws = F.col("ws")
     pair_structs = F.filter(
         F.transform(
             ws,
@@ -70,10 +103,8 @@ def _pairs(docs: DataFrame, id_col: str, text_col: str, group_col: str) -> DataF
         ),
         lambda s: s["w2"].isNotNull(),
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(group_col).alias("grp"),
-        F.explode(pair_structs).alias("p"),
+    return tok.select(
+        "doc_id", "grp", F.explode(pair_structs).alias("p")
     ).select("doc_id", "grp", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
 
 
@@ -134,6 +165,7 @@ def lm_train(
     group_col: str = "lang",
     vocab_size: int = 1024,
     max_bigrams: int = 65536,
+    tokens: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the per-group bigram LM; returns (vocab, unigrams, bigrams).
 
@@ -144,31 +176,55 @@ def lm_train(
     bigrams:  (grp, cw1, cw2, cnt)      — canonicalized adjacent-pair
                                           counts, pruned to ``max_bigrams``
                                           per group by (count desc, keys)
-    """
-    toks = _tokens(docs, id_col, text_col, group_col)
 
-    vocab = _prune_topk(
+    ``tokens`` (a :func:`tokenize_stage` frame, typically persisted or
+    snapshot-backed) skips re-tokenizing ``docs``.
+    """
+    tok = tokens if tokens is not None else tokenize_stage(
+        docs, id_col=id_col, text_col=text_col, group_col=group_col
+    )
+    toks = _tokens(tok)
+
+    vocab_c = _prune_topk(
         toks.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("cnt")),
         [F.desc("cnt"), F.asc("w")],
         vocab_size,
         F.pmod(F.xxhash64("w"), F.lit(64)),
-    ).select("grp", "w")
-
-    canon = toks.join(
-        F.broadcast(vocab.withColumn("__v", F.lit(1))), ["grp", "w"], "left"
-    ).select(
-        "grp",
-        F.when(F.col("__v").isNotNull(), F.col("w")).otherwise(F.lit(UNK)).alias("cw"),
     )
+    vocab = vocab_c.select("grp", "w")
 
-    vsizes = vocab.groupBy("grp").agg(F.count(F.lit(1)).alias("vsize"))
+    # Canonicalized unigram counts WITHOUT re-counting the corpus: every
+    # in-vocab word keeps its count from the vocab top-K pass, and the
+    # <unk> bucket is (total tokens) − (sum of in-vocab counts). The
+    # per-group total folds map-side from the per-doc token arrays — at
+    # most n_partitions × n_groups partial rows cross that exchange —
+    # so the only corpus-wide count shuffles left are vocab and bigrams.
+    totals = tok.groupBy("grp").agg(
+        F.sum(
+            F.when(F.col("ws").isNotNull(), F.size("ws")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("tot")
+    )
+    invocab_stats = vocab_c.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("vsize"), F.sum("cnt").alias("in_cnt")
+    )
+    unk_rows = (
+        totals.join(invocab_stats, "grp")
+        .select(
+            "grp",
+            F.lit(UNK).alias("cw"),
+            (F.col("tot") - F.col("in_cnt")).alias("cnt"),
+        )
+        .filter(F.col("cnt") > 0)
+    )
     unigrams = (
-        canon.groupBy("grp", "cw")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .join(F.broadcast(vsizes), "grp")
+        vocab_c.select("grp", F.col("w").alias("cw"), "cnt")
+        .unionByName(unk_rows)
+        .join(F.broadcast(invocab_stats.select("grp", "vsize")), "grp")
     )
 
-    cpairs = _canon_pairs(_pairs(docs, id_col, text_col, group_col), vocab)
+    cpairs = _canon_pairs(_pairs(tok), vocab)
     bigrams = _prune_topk(
         cpairs.groupBy("grp", "cw1", "cw2").agg(F.count(F.lit(1)).alias("cnt")),
         [F.desc("cnt"), F.asc("cw1"), F.asc("cw2")],
@@ -187,13 +243,26 @@ def lm_perplexity(
     vocab_size: int = 1024,
     max_bigrams: int = 65536,
     alpha: float = 0.1,
+    tokens: DataFrame | None = None,
+    materialize_tokens: bool = False,
 ) -> DataFrame:
     """Per-document bigram perplexity under the per-group add-alpha LM.
 
     Returns (doc_id, grp, n_bigrams, avg_nll, ppl) for every document
     with at least one adjacent word pair. Deterministic: vocabulary and
     bigram pruning tie-break lexicographically; the smoothing denominator
-    uses the group's ACTUAL vocab size + 1 (the <unk> bucket)."""
+    uses the group's ACTUAL vocab size + 1 (the <unk> bucket).
+
+    The token stage feeds three consumers (vocab/total counts, bigram
+    counts, scoring). Pass a snapshot-backed ``tokens=`` frame to share
+    the stage with other token consumers and make this leg resumable;
+    ``materialize_tokens=True`` persists it in-session instead (off by
+    default — see the module docstring for the sf0.1 measurement)."""
+    tok = tokens if tokens is not None else tokenize_stage(
+        docs, id_col=id_col, text_col=text_col, group_col=group_col
+    )
+    if materialize_tokens and tokens is None:
+        tok = tok.persist()
     vocab, unigrams, bigrams = lm_train(
         docs,
         id_col=id_col,
@@ -201,8 +270,9 @@ def lm_perplexity(
         group_col=group_col,
         vocab_size=vocab_size,
         max_bigrams=max_bigrams,
+        tokens=tok,
     )
-    pairs = _canon_pairs(_pairs(docs, id_col, text_col, group_col), vocab)
+    pairs = _canon_pairs(_pairs(tok), vocab)
     bg = bigrams.select(
         F.col("grp").alias("bgrp"),
         F.col("cw1").alias("bw1"),

@@ -106,3 +106,24 @@ def test_scoring_joins_are_broadcast(spark):
     rows = [(i, "en", "a b c a b") for i in range(20)]
     plan = lm_perplexity(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pretokenized_input_matches_inline_tokenization(spark):
+    """tokens= (the snapshot-backed production hook) must yield the
+    exact rows the inline tokenization path yields — including the
+    derived <unk> unigram bucket on a corpus with OOV words."""
+    from geokitten_spark.operators.lm import tokenize_stage
+
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    inline = lm_perplexity(docs, vocab_size=8, max_bigrams=64).collect()
+    tok = tokenize_stage(docs)
+    fed = lm_perplexity(docs, vocab_size=8, max_bigrams=64, tokens=tok).collect()
+    key = lambda r: (r.doc_id, r.grp)
+    assert sorted(inline, key=key) == sorted(fed, key=key)
+    # vocab_size=8 guarantees OOV words exist, so the derived-unk path
+    # (total - in-vocab instead of a recount) is genuinely exercised
+    vocab, unigrams, _ = lm_train(docs, vocab_size=8, max_bigrams=64)
+    unk = {r.grp: r.cnt for r in unigrams.filter(F.col("cw") == "<unk>").collect()}
+    assert unk and all(c > 0 for c in unk.values())
