@@ -1,28 +1,36 @@
-"""Baseline JPEG codec in pure numpy + stdlib (no Pillow, no native libs).
+"""JPEG codec in pure numpy + stdlib (no Pillow, no native libs):
+baseline sequential AND progressive (T.81 Annex G).
 
-Closes the last decode gap in the media pipeline (VERDICT r2 "What's
-missing" #2): web corpora are overwhelmingly baseline sequential JPEG,
-and until now those payloads raised ``NotImplementedError``.
+Round 2 closed the baseline-sequential decode gap; round 4 adds
+progressive (SOF2) — the second most common real-web JPEG variant
+(photo sites ship it heavily), previously a clean
+``NotImplementedError``.
 
-Scope (ITU-T T.81 baseline sequential DCT, the format >99% of web JPEGs
-use):
+Scope (ITU-T T.81):
 
-* **decode_jpeg** — marker walk (APPn/COM skipped, DQT 8/16-bit, SOF0/1,
-  DHT, DRI, SOS), huffman entropy decode with restart-marker handling,
-  dequantize, batched 8x8 IDCT (one einsum per component), integer-ratio
-  chroma upsampling (4:4:4, 4:2:2, 4:2:0), BT.601 YCbCr->RGB. The
-  huffman/quant tables are read FROM THE STREAM, so third-party JPEGs
-  decode with their own tables. Progressive (SOF2), arithmetic coding,
-  and 12-bit precision raise ``NotImplementedError`` with a clear
-  message.
-* **encode_jpeg** — the reverse path with the published Annex K
-  luminance/chrominance quantization tables (IJG quality scaling) and
-  Annex K "typical" huffman tables; 4:4:4 or 4:2:0 subsampling; optional
-  restart intervals (exercises the decoder's restart path).
+* **decode_jpeg** — marker walk (APPn/COM skipped, DQT 8/16-bit,
+  SOF0/1/2, DHT, DRI, multi-SOS), huffman entropy decode with
+  restart-marker handling, dequantize, batched 8x8 IDCT (one einsum per
+  component), integer-ratio chroma upsampling (4:4:4, 4:2:2, 4:2:0),
+  BT.601 YCbCr->RGB. Progressive streams decode through all four scan
+  kinds of Annex G — DC first/refine (interleaved or not), AC
+  first/refine with EOB-run coding, spectral selection + successive
+  approximation — accumulating coefficients across scans before one
+  shared IDCT. Huffman/quant tables are read FROM THE STREAM, so
+  third-party JPEGs decode with their own tables. Arithmetic coding and
+  12-bit precision still raise ``NotImplementedError``.
+* **encode_jpeg** — baseline with the published Annex K tables (IJG
+  quality scaling); 4:4:4 or 4:2:0; optional restart intervals.
+* **encode_jpeg_progressive** — the standard 10-scan
+  successive-approximation script, built to manufacture REAL
+  progressive fixtures in a container with no external codec; it
+  produces the same quantized coefficients as encode_jpeg, so
+  progressive and baseline streams of one image must decode to
+  IDENTICAL pixels (the roundtrip test's exact-equality oracle).
 
-Determinism: both directions are pure functions of (pixels, quality,
-subsampling, restart_interval) — no dithering, no platform-dependent
-IDCT variant — so oracle runs reproduce bit-exactly anywhere.
+Determinism: all directions are pure functions of their inputs — no
+dithering, no platform-dependent IDCT variant — so oracle runs
+reproduce bit-exactly anywhere.
 
 Scale note: this is the correctness-complete fallback kernel for the
 ``mapInPandas`` media path. Entropy coding is per-symbol Python (fine
@@ -35,7 +43,8 @@ cross-checked against a direct O(N^4) transcription of the T.81
 definition; the quantization path against the widely published worked
 example (DC = -415.37 -> -26 with the Annex K luminance table);
 encode->decode roundtrips bound PSNR; restart/no-restart bitstreams
-decode identically; uniform images roundtrip exactly.
+decode identically; uniform images roundtrip exactly; progressive
+streams decode pixel-identical to their baseline twins.
 """
 
 from __future__ import annotations
@@ -44,7 +53,13 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg", "QUANT_LUMA", "QUANT_CHROMA"]
+__all__ = [
+    "encode_jpeg",
+    "encode_jpeg_progressive",
+    "decode_jpeg",
+    "QUANT_LUMA",
+    "QUANT_CHROMA",
+]
 
 # ---------------------------------------------------------------------------
 # constants: zigzag (generated, not transcribed), Annex K tables
@@ -385,21 +400,13 @@ def _dqt_segment(tid: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", 2 + len(payload)) + payload
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """HxWx3 RGB (or HxW gray) uint8 -> baseline JFIF JPEG bytes.
-
-    ``subsampling``: '4:4:4' (no chroma subsampling) or '4:2:0' (2x2).
-    ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none).
-    Deterministic: same inputs -> same bytes on any platform.
-    """
+def _prepare_components(img: np.ndarray, quality: int, subsampling: str):
+    """Shared color-convert / subsample / pad / FDCT / quantize pipeline
+    for the sequential and progressive encoders. Returns
+    (h, w, sub, qy, qc, zzy, zzcb, zzcr, mcus_x, mcus_y, yb_w) where the
+    zz arrays hold zigzag-ordered quantized blocks in raster order."""
     img = np.asarray(img, dtype=np.uint8)
-    gray = img.ndim == 2
-    if gray:
+    if img.ndim == 2:
         img = np.repeat(img[:, :, None], 3, axis=2)
     if img.ndim != 3 or img.shape[2] != 3:
         raise ValueError(f"expected HxWx3 or HxW uint8, got {img.shape}")
@@ -438,15 +445,32 @@ def encode_jpeg(
     zzy = quantize(y, qy)
     zzcb = quantize(cb, qc)
     zzcr = quantize(cr, qc)
+    mcus_x = y.shape[1] // (8 * sub)
+    mcus_y = y.shape[0] // (8 * sub)
+    yb_w = y.shape[1] // 8
+    return h, w, sub, qy, qc, zzy, zzcb, zzcr, mcus_x, mcus_y, yb_w
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx3 RGB (or HxW gray) uint8 -> baseline JFIF JPEG bytes.
+
+    ``subsampling``: '4:4:4' (no chroma subsampling) or '4:2:0' (2x2).
+    ``restart_interval``: emit DRI + RSTn every N MCUs (0 = none).
+    Deterministic: same inputs -> same bytes on any platform.
+    """
+    h, w, sub, qy, qc, zzy, zzcb, zzcr, mcus_x, mcus_y, yb_w = _prepare_components(
+        img, quality, subsampling
+    )
 
     dc_y = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
     ac_y = _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
     dc_c = _build_encode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
     ac_c = _build_encode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
-
-    mcus_x = y.shape[1] // (8 * sub)
-    mcus_y = y.shape[0] // (8 * sub)
-    yb_w = y.shape[1] // 8  # luma blocks per row
 
     writer = _BitWriter()
     pred = [0, 0, 0]
@@ -507,11 +531,242 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G: spectral selection + successive
+# approximation) — exists chiefly to manufacture REAL progressive streams
+# for the decoder's tests in a container with no external codec, so it
+# favors one fixed huffman table over per-scan optimization
+# ---------------------------------------------------------------------------
+
+# Universal tables covering every symbol the progressive scans can emit:
+# DC categories 0..13 (4-bit codes); AC (run<<4|size) for run 0..15 and
+# size 1..13, EOBn for runs up to 2^13, and ZRL (all 8-bit codes). Valid
+# canonical tables — just not size-optimal, which tests don't care about.
+_PROG_DC_VALS = list(range(14))
+_PROG_DC_BITS = [0, 0, 0, 14, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_VALS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 14)}
+    | {r << 4 for r in range(14)}
+    | {0xF0}
+)
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+class _ProgState:
+    """Per-scan EOB-run + buffered-correction-bit state (jcphuff's
+    EOBRUN/BE, re-derived from T.81 G.1.2)."""
+
+    __slots__ = ("eobrun", "bits")
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+
+def _emit_eobrun(writer: _BitWriter, ac_tbl: dict, st: _ProgState) -> None:
+    """Flush a pending EOB run (EOBn symbol + run-length bits) followed
+    by the correction bits buffered under it."""
+    if st.eobrun > 0:
+        r = st.eobrun.bit_length() - 1
+        code, length = ac_tbl[r << 4]
+        writer.write(code, length)
+        if r:
+            writer.write(st.eobrun - (1 << r), r)
+        st.eobrun = 0
+    for b in st.bits:
+        writer.write(b, 1)
+    st.bits = []
+
+
+def _encode_block_ac_first(writer, zz, ac_tbl, ss, se, al, st: _ProgState):
+    """AC first pass: band coefficients at point transform ``al``
+    (magnitude shift, truncation toward zero), EOB-run coded."""
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        t = abs(v) >> al
+        if t == 0:
+            run += 1
+            continue
+        _emit_eobrun(writer, ac_tbl, st)
+        while run > 15:
+            code, length = ac_tbl[0xF0]
+            writer.write(code, length)
+            run -= 16
+        s = t.bit_length()
+        code, length = ac_tbl[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(t if v > 0 else (1 << s) - 1 - t, s)
+        run = 0
+    if run:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _emit_eobrun(writer, ac_tbl, st)
+
+
+def _encode_block_ac_refine(writer, zz, ac_tbl, ss, se, al, st: _ProgState):
+    """AC refinement pass: newly-significant coefficients (shifted
+    magnitude == 1) as (run<<4)|1 symbols + sign bit; already-nonzero
+    coefficients contribute one buffered correction bit each; trailing
+    zero runs fold into the shared EOB run."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = -1  # band index of the last newly-significant coefficient
+    for idx, t in enumerate(absv):
+        if t == 1:
+            eob = idx
+    run = 0
+    br: list[int] = []
+    for idx, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and idx <= eob:
+            _emit_eobrun(writer, ac_tbl, st)
+            code, length = ac_tbl[0xF0]
+            writer.write(code, length)
+            run -= 16
+            for b in br:
+                writer.write(b, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        _emit_eobrun(writer, ac_tbl, st)
+        code, length = ac_tbl[(run << 4) | 1]
+        writer.write(code, length)
+        writer.write(1 if int(zz[ss + idx]) >= 0 else 0, 1)
+        for b in br:
+            writer.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        st.eobrun += 1
+        st.bits.extend(br)
+        if st.eobrun == 0x7FFF:
+            _emit_eobrun(writer, ac_tbl, st)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 90, subsampling: str = "4:4:4"
+) -> bytes:
+    """HxWx3 RGB (or HxW gray) uint8 -> PROGRESSIVE (SOF2) JPEG bytes.
+
+    Uses the standard 10-scan successive-approximation script (the
+    libjpeg default shape): DC first at Al=1 for all components, luma AC
+    bands 1-5 / 6-63 at Al=2, chroma AC at Al=1, then one AC luma
+    refinement to Al=1, the DC refinement, and final Al=0 refinements
+    for every component — so a decoder must exercise all four
+    progressive block modes to reconstruct it. Quantized coefficients
+    are identical to :func:`encode_jpeg`'s at the same (quality,
+    subsampling), so both decode to the same pixels.
+    """
+    h, w, sub, qy, qc, zzy, zzcb, zzcr, mcus_x, mcus_y, yb_w = _prepare_components(
+        img, quality, subsampling
+    )
+    dc_tbl = _build_encode_table(_PROG_DC_BITS, _PROG_DC_VALS)
+    ac_tbl = _build_encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+
+    zzs = [zzy, zzcb, zzcr]
+    strides = [yb_w, mcus_x, mcus_x]
+    samp = [(sub, sub), (1, 1), (1, 1)]
+    # per-component USED block grid (non-interleaved scans never visit
+    # the MCU padding blocks)
+    grids = []
+    for ch, cv in samp:
+        comp_w = -(-w * ch // sub)
+        comp_h = -(-h * cv // sub)
+        grids.append((-(-comp_w // 8), -(-comp_h // 8)))
+
+    def dc_scan(comp_ids, ah, al):
+        writer = _BitWriter()
+        pred = {c: 0 for c in comp_ids}
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for c in comp_ids:
+                    ch, cv = samp[c]
+                    for vy in range(cv):
+                        for vx in range(ch):
+                            bi = (my * cv + vy) * strides[c] + (mx * ch + vx)
+                            dc = int(zzs[c][bi][0])
+                            if ah == 0:
+                                val = dc >> al  # arithmetic shift (T.81 DC PT)
+                                diff = val - pred[c]
+                                pred[c] = val
+                                s = _category(diff)
+                                code, length = dc_tbl[s]
+                                writer.write(code, length)
+                                if s:
+                                    writer.write(
+                                        diff if diff > 0 else diff + (1 << s) - 1, s
+                                    )
+                            else:
+                                writer.write((dc >> al) & 1, 1)
+        writer.pad_to_byte()
+        return bytes(writer.buf)
+
+    def ac_scan(c, ss, se, ah, al):
+        writer = _BitWriter()
+        st = _ProgState()
+        bw, bh = grids[c]
+        for by in range(bh):
+            for bx in range(bw):
+                zz = zzs[c][by * strides[c] + bx]
+                if ah == 0:
+                    _encode_block_ac_first(writer, zz, ac_tbl, ss, se, al, st)
+                else:
+                    _encode_block_ac_refine(writer, zz, ac_tbl, ss, se, al, st)
+        _emit_eobrun(writer, ac_tbl, st)
+        writer.pad_to_byte()
+        return bytes(writer.buf)
+
+    def sos(comps_tbls, ss, se, ah, al):
+        ns = len(comps_tbls)
+        body = bytes([ns])
+        for cid, td, ta in comps_tbls:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # the scan script: (kind, args)
+    all_dc = [(1, 0, 0), (2, 0, 0), (3, 0, 0)]
+    scans = [
+        (sos(all_dc, 0, 0, 0, 1), dc_scan([0, 1, 2], 0, 1)),
+        (sos([(1, 0, 0)], 1, 5, 0, 2), ac_scan(0, 1, 5, 0, 2)),
+        (sos([(3, 0, 0)], 1, 63, 0, 1), ac_scan(2, 1, 63, 0, 1)),
+        (sos([(2, 0, 0)], 1, 63, 0, 1), ac_scan(1, 1, 63, 0, 1)),
+        (sos([(1, 0, 0)], 6, 63, 0, 2), ac_scan(0, 6, 63, 0, 2)),
+        (sos([(1, 0, 0)], 1, 63, 2, 1), ac_scan(0, 1, 63, 2, 1)),
+        (sos(all_dc, 0, 0, 1, 0), dc_scan([0, 1, 2], 1, 0)),
+        (sos([(3, 0, 0)], 1, 63, 1, 0), ac_scan(2, 1, 63, 1, 0)),
+        (sos([(2, 0, 0)], 1, 63, 1, 0), ac_scan(1, 1, 63, 1, 0)),
+        (sos([(1, 0, 0)], 1, 63, 1, 0), ac_scan(0, 1, 63, 1, 0)),
+    ]
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    sof_comps = bytes([3, 1, (sub << 4) | sub, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sof = b"\xff\xc2" + struct.pack(">HBHH", 8 + 3 * 3, 8, h, w) + sof_comps
+    out = (
+        b"\xff\xd8"
+        + app0
+        + _dqt_segment(0, qy)
+        + _dqt_segment(1, qc)
+        + sof
+        + _dht_segment(0, 0, _PROG_DC_BITS, _PROG_DC_VALS)
+        + _dht_segment(1, 0, _PROG_AC_BITS, _PROG_AC_VALS)
+    )
+    for header, scan_bytes in scans:
+        out += header + scan_bytes
+    return out + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
-def _split_scan(payload: bytes, start: int) -> list:
-    """Unstuff the entropy-coded scan into restart-delimited segments."""
+def _split_scan(payload: bytes, start: int) -> tuple[list, int]:
+    """Unstuff the entropy-coded scan into restart-delimited segments;
+    also returns the offset of the marker that terminated the scan."""
     segments = [bytearray()]
     i = start
     n = len(payload)
@@ -532,31 +787,230 @@ def _split_scan(payload: bytes, start: int) -> list:
             i += 2
         else:  # EOI or next marker: scan is over
             break
-    return segments
+    return segments, i
+
+
+def _decode_block_sequential(reader, row, dc_tbl, ac_tbl, pred):
+    """Sequential (baseline) block decode into the natural-order store
+    row; returns the updated DC predictor."""
+    s = _decode_symbol(reader, dc_tbl)
+    pred += _extend(reader.read_bits(s), s)
+    row[0] = pred
+    kk = 1
+    while kk < 64:
+        rs = _decode_symbol(reader, ac_tbl)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run == 15:  # ZRL
+                kk += 16
+                continue
+            break  # EOB
+        kk += run
+        if kk > 63:
+            raise ValueError("JPEG AC run past block end")
+        row[ZIGZAG[kk]] = _extend(reader.read_bits(size), size)
+        kk += 1
+    return pred
+
+
+def _decode_block_ac_first(reader, row, ac_tbl, ss, se, al, eobrun):
+    """Progressive AC first pass (T.81 G.1.2.2): band coefficients at
+    point transform ``al``, with EOB-run coding; returns the EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(reader, ac_tbl)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run < 15:  # EOBn: run of (2^run - 1 + bits) MORE blocks
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += reader.read_bits(run)
+                break
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > se:
+            raise ValueError("JPEG AC run past band end")
+        row[ZIGZAG[k]] = _extend(reader.read_bits(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _decode_block_ac_refine(reader, row, ac_tbl, ss, se, al, eobrun):
+    """Progressive AC refinement pass (T.81 G.1.2.3): one more magnitude
+    bit per already-nonzero coefficient, plus newly-significant ±2^al
+    insertions; returns the EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(reader, ac_tbl)
+            run, size = rs >> 4, rs & 15
+            val = 0
+            if size == 0:
+                if run < 15:  # EOBn: this block's tail + (eobrun-1) more
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += reader.read_bits(run)
+                    break
+                # ZRL: skip 16 zero-HISTORY positions (refining along the way)
+            else:
+                if size != 1:
+                    raise ValueError("bad AC refinement symbol")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = ZIGZAG[k]
+                if row[z] != 0:
+                    if reader.read_bit() and (row[z] & p1) == 0:
+                        row[z] += p1 if row[z] >= 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("JPEG refinement run past band end")
+                row[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if row[z] != 0:
+                if reader.read_bit() and (row[z] & p1) == 0:
+                    row[z] += p1 if row[z] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan(
+    payload,
+    start,
+    scan_comps,
+    comps,
+    stores,
+    htables,
+    restart_interval,
+    geom,
+    progressive,
+    ss,
+    se,
+    ah,
+    al,
+):
+    """Decode one entropy-coded scan into the coefficient stores;
+    returns the payload offset of the terminating marker.
+
+    Handles every scan kind: sequential interleaved/single-component,
+    progressive DC first/refine (interleaved or not), progressive AC
+    first/refine (single-component by spec). Restart markers reset the
+    DC predictors AND the EOB run.
+    """
+    ih, iw, hmax, vmax, mcus_x, mcus_y = geom
+    cid_to_idx = {c[0]: idx for idx, c in enumerate(comps)}
+    sel = []
+    for cs, td, ta in scan_comps:
+        k = cid_to_idx[cs]
+        dc = htables.get((0, td)) if (ss == 0 or not progressive) else None
+        ac = htables.get((1, ta)) if (se > 0 or not progressive) else None
+        sel.append((k, dc, ac))
+
+    segments, end = _split_scan(payload, start)
+    seg_idx = 0
+    reader = _BitReader(bytes(segments[0]))
+    pred = {k: 0 for k, _, _ in sel}
+    eobrun = 0
+
+    # unit list: interleaved scans step MCUs (each holding ch*cv blocks
+    # per component); single-component scans step that component's OWN
+    # block grid (which can be narrower than the MCU-padded store)
+    if len(sel) > 1:
+        units = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                blocks = []
+                for k, dc, ac in sel:
+                    _, ch, cv, _ = comps[k]
+                    for vy in range(cv):
+                        for vx in range(ch):
+                            bi = (my * cv + vy) * (mcus_x * ch) + (mx * ch + vx)
+                            blocks.append((k, bi, dc, ac))
+                units.append(blocks)
+    else:
+        k, dc, ac = sel[0]
+        _, ch, cv, _ = comps[k]
+        # comp sample dims: ceil(i*c/max); block grid is ceil(samples/8)
+        comp_w = -(-iw * ch // hmax)
+        comp_h = -(-ih * cv // vmax)
+        bw, bh = -(-comp_w // 8), -(-comp_h // 8)
+        units = [
+            [(k, by * (mcus_x * ch) + bx, dc, ac)]
+            for by in range(bh)
+            for bx in range(bw)
+        ]
+
+    for u, blocks in enumerate(units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG truncated: missing restart segment")
+            reader = _BitReader(bytes(segments[seg_idx]))
+            pred = {k: 0 for k, _, _ in sel}
+            eobrun = 0
+        for k, bi, dc_tbl, ac_tbl in blocks:
+            row = stores[k][bi]
+            if not progressive:
+                pred[k] = _decode_block_sequential(reader, row, dc_tbl, ac_tbl, pred[k])
+            elif ss == 0 and ah == 0:  # DC first
+                s = _decode_symbol(reader, dc_tbl)
+                pred[k] += _extend(reader.read_bits(s), s)
+                row[0] = pred[k] << al
+            elif ss == 0:  # DC refine
+                if reader.read_bit():
+                    row[0] |= 1 << al
+            elif ah == 0:  # AC first
+                eobrun = _decode_block_ac_first(reader, row, ac_tbl, ss, se, al, eobrun)
+            else:  # AC refine
+                eobrun = _decode_block_ac_refine(reader, row, ac_tbl, ss, se, al, eobrun)
+    return end
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> HxWx3 uint8 RGB.
+    """Baseline or progressive JPEG bytes -> HxWx3 uint8 RGB.
 
     Reads quantization + huffman tables from the stream (third-party
-    baseline JPEGs decode with their own tables). Raises
-    ``NotImplementedError`` for progressive/arithmetic/12-bit streams.
+    JPEGs decode with their own tables). Sequential (SOF0/1) and
+    progressive (SOF2, spectral selection + successive approximation,
+    T.81 Annex G) streams decode; arithmetic coding and 12-bit
+    precision raise ``NotImplementedError``.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple, dict] = {}
     sof = None
-    scan_comps = None
-    scan_start = None
+    progressive = False
     restart_interval = 0
+    stores = None
+    geom = None
+    comps = None
+    scans_decoded = 0
     i = 2
     n = len(payload)
-    while i + 4 <= n:
+    while i + 2 <= n:
         if payload[i] != 0xFF:
             raise ValueError(f"bad marker alignment at byte {i}")
         marker = payload[i + 1]
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:  # stray RST between scans
+            i += 2
+            continue
+        if i + 4 > n:
             break
         (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
         data = payload[i + 4 : i + 2 + seglen]
@@ -583,7 +1037,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 values = list(data[j + 17 : j + 17 + nv])
                 htables[(tclass, tid)] = _build_decode_table(bits, values)
                 j += 17 + nv
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            progressive = marker == 0xC2
             prec, ih, iw, nc = struct.unpack(">BHHB", data[:6])
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG precision supported")
@@ -592,25 +1047,53 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (ih, iw, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcus_x = -(-iw // (8 * hmax))
+            mcus_y = -(-ih // (8 * vmax))
+            geom = (ih, iw, hmax, vmax, mcus_x, mcus_y)
+            stores = [
+                np.zeros((mcus_y * cv * mcus_x * ch, 64), dtype=np.int64)
+                for cid, ch, cv, tq in comps
+            ]
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (non-baseline coding) not supported"
+                f"JPEG SOF{marker - 0xC0} (non-huffman/non-DCT coding) not supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS (one of possibly many)
+            if stores is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = data[0]
             scan_comps = []
             for c in range(ns):
                 cs, tbl = data[1 + 2 * c], data[2 + 2 * c]
                 scan_comps.append((cs, tbl >> 4, tbl & 15))
-            scan_start = i + 2 + seglen
-            break
+            ss_, se_, a_ = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+            ah_, al_ = a_ >> 4, a_ & 15
+            if not progressive:
+                ss_, se_, ah_, al_ = 0, 63, 0, 0
+            i = _decode_scan(
+                payload,
+                i + 2 + seglen,
+                scan_comps,
+                comps,
+                stores,
+                htables,
+                restart_interval,
+                geom,
+                progressive,
+                ss_,
+                se_,
+                ah_,
+                al_,
+            )
+            scans_decoded += 1
+            continue
         # APPn / COM / others: skip
         i += 2 + seglen
-    if sof is None or scan_comps is None:
+    if sof is None or scans_decoded == 0:
         raise ValueError("JPEG missing SOF/SOS")
 
     ih, iw, comps = sof
@@ -618,58 +1101,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     vmax = max(c[2] for c in comps)
     mcus_x = -(-iw // (8 * hmax))
     mcus_y = -(-ih // (8 * vmax))
-
-    # per-component quantized coefficient stores
-    stores = []
-    for cid, ch, cv, tq in comps:
-        bw, bh = mcus_x * ch, mcus_y * cv
-        stores.append(np.zeros((bh * bw, 64), dtype=np.int64))
-
-    dc_tbl = {}
-    ac_tbl = {}
-    for k, (cs, td, ta) in enumerate(scan_comps):
-        dc_tbl[k] = htables[(0, td)]
-        ac_tbl[k] = htables[(1, ta)]
-
-    segments = _split_scan(payload, scan_start)
-    seg_idx = 0
-    reader = _BitReader(bytes(segments[0]))
-    pred = [0] * len(comps)
-    mcu = 0
-    total_mcus = mcus_x * mcus_y
-    coef = np.zeros(64, dtype=np.int64)
-    while mcu < total_mcus:
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("JPEG truncated: missing restart segment")
-            reader = _BitReader(bytes(segments[seg_idx]))
-            pred = [0] * len(comps)
-        my, mx = divmod(mcu, mcus_x)
-        for k, (cid, ch, cv, tq) in enumerate(comps):
-            for vy in range(cv):
-                for vx in range(ch):
-                    coef[:] = 0
-                    s = _decode_symbol(reader, dc_tbl[k])
-                    pred[k] += _extend(reader.read_bits(s), s)
-                    coef[0] = pred[k]
-                    kk = 1
-                    while kk < 64:
-                        rs = _decode_symbol(reader, ac_tbl[k])
-                        run, size = rs >> 4, rs & 15
-                        if size == 0:
-                            if run == 15:  # ZRL
-                                kk += 16
-                                continue
-                            break  # EOB
-                        kk += run
-                        if kk > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        coef[ZIGZAG[kk]] = _extend(reader.read_bits(size), size)
-                        kk += 1
-                    bi = (my * cv + vy) * (mcus_x * ch) + (mx * ch + vx)
-                    stores[k][bi] = coef
-        mcu += 1
 
     # dequantize + batched IDCT + assemble planes
     planes = []

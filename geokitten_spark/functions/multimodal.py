@@ -121,20 +121,23 @@ def synth_payload(doc_id: int, text: str) -> bytes:
     used by both the Spark fixture UDF and the driver-side VALUES
     oracles so the two execution paths see byte-identical inputs.
 
-    * image rows (id % 3 == 0): cycle PNG / PPM / JPEG by (id//3) % 3 so
-      all three real binary parses run end to end;
+    * image rows (id % 3 == 0): cycle PNG / PPM / baseline JPEG /
+      PROGRESSIVE JPEG by (id//3) % 4 so all four real binary parses run
+      end to end (progressive exercises the multi-scan SOF2 decoder);
     * audio rows (id % 3 == 1): REAL RIFF/WAVE PCM16 — int16 samples
       derived from the text bytes;
     * video rows (id % 3 == 2): REAL MJPEG AVI — n_frames baseline-JPEG
       frames of byte-rotated pixel tiles."""
-    from .jpeg import encode_jpeg
+    from .jpeg import encode_jpeg, encode_jpeg_progressive
     from .riff import encode_avi_mjpeg, encode_wav
 
     w = doc_id % 64 + 16
     h = doc_id % 48 + 16
     kind = doc_id % 3
     if kind == 0:
-        enc = [encode_png, encode_ppm, encode_jpeg][(doc_id // 3) % 3]
+        enc = [encode_png, encode_ppm, encode_jpeg, encode_jpeg_progressive][
+            (doc_id // 3) % 4
+        ]
         return enc(_tile_pixels(text, w, h))
     if kind == 1:
         raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)

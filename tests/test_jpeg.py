@@ -16,6 +16,7 @@ from geokitten_spark.functions.jpeg import (
     _zigzag_order,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
     fdct_blocks,
     idct_blocks,
 )
@@ -145,12 +146,12 @@ def test_420_subsampling_roundtrip():
     assert psnr(img, out) > 25.0  # chroma halved: looser bound
 
 
-def test_progressive_raises():
+def test_arithmetic_coding_raises():
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     payload = bytearray(encode_jpeg(img))
-    idx = payload.find(b"\xff\xc0")  # SOF0 -> SOF2 (progressive)
+    idx = payload.find(b"\xff\xc0")  # SOF0 -> SOF9 (arithmetic sequential)
     assert idx > 0
-    payload[idx + 1] = 0xC2
+    payload[idx + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
 
@@ -164,3 +165,54 @@ def test_determinism():
     rng = np.random.default_rng(21)
     img = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
     assert encode_jpeg(img, quality=80) == encode_jpeg(img, quality=80)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — round 4
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,sub",
+    [
+        ((16, 16, 3), "4:4:4"),
+        ((24, 40, 3), "4:4:4"),
+        ((21, 35, 3), "4:2:0"),   # odd dims + MCU padding blocks
+        ((64, 48, 3), "4:2:0"),
+        ((8, 8, 3), "4:4:4"),
+    ],
+)
+def test_progressive_decodes_pixel_identical_to_baseline(shape, sub):
+    """encode_jpeg_progressive emits the SAME quantized coefficients as
+    encode_jpeg, so both streams must decode to IDENTICAL pixels — an
+    exact-equality oracle over all four Annex G scan kinds (DC
+    first/refine, AC first/refine with EOB runs)."""
+    rng = np.random.default_rng(int(np.prod(shape)))
+    img = rng.integers(0, 256, size=shape).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=80, subsampling=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=80, subsampling=sub))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_grayscale_and_smooth_images():
+    """Smooth gradients maximize EOB-run lengths (whole blocks of zero
+    AC) — the EOBn/correction-bit bookkeeping's hardest case — and a
+    gray input exercises the replicated-plane path."""
+    xx, yy = np.meshgrid(np.arange(40), np.arange(24))
+    smooth = ((xx + yy) * 255 // 64).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(smooth, quality=90))
+    prog = decode_jpeg(encode_jpeg_progressive(smooth, quality=90))
+    assert np.array_equal(base, prog)
+    flat = np.full((17, 19), 200, dtype=np.uint8)  # all-EOB everywhere
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_progressive(flat)), decode_jpeg(encode_jpeg(flat))
+    )
+
+
+def test_progressive_is_sof2_multiscan_and_deterministic():
+    img = np.arange(16 * 16 * 3, dtype=np.uint64).reshape(16, 16, 3) % 256
+    img = img.astype(np.uint8)
+    p1 = encode_jpeg_progressive(img)
+    assert p1 == encode_jpeg_progressive(img)
+    assert b"\xff\xc2" in p1  # SOF2
+    assert p1.count(b"\xff\xda") == 10  # the 10-scan script

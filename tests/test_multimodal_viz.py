@@ -184,9 +184,10 @@ def test_ppm_codec_roundtrip_and_comments():
 
 
 def test_image_rows_really_decode(spark):
-    """Fixture image payloads cycle PNG / P6 / JPEG by (id//3) % 3;
-    image_features must go through the REAL decode (pixel histogram of
-    the decoded image), bit-equal to decoding the payload driver-side."""
+    """Fixture image payloads cycle PNG / P6 / baseline JPEG /
+    progressive JPEG by (id//3) % 4; image_features must go through the
+    REAL decode (pixel histogram of the decoded image), bit-equal to
+    decoding the payload driver-side."""
     import numpy as np
 
     from geokitten_spark.functions.jpeg import decode_jpeg
@@ -202,14 +203,15 @@ def test_image_rows_really_decode(spark):
     sigs = {
         0: lambda p: p[:8] == _PNG_SIG,
         1: lambda p: p[:2] == b"P6",
-        2: lambda p: p[:2] == b"\xff\xd8",
+        2: lambda p: p[:2] == b"\xff\xd8" and b"\xff\xc0" in p,  # baseline
+        3: lambda p: p[:2] == b"\xff\xd8" and b"\xff\xc2" in p,  # progressive
     }
     seen = set()
     for r in img_rows:
-        flavor = (r.media_id // 3) % 3
+        flavor = (r.media_id // 3) % 4
         assert sigs[flavor](bytes(r.payload))
         seen.add(flavor)
-    assert seen == {0, 1, 2}  # all three formats present across the fixture
+    assert seen == {0, 1, 2, 3}  # all four formats present across the fixture
 
     feats = {r.media_id: r.embedding for r in image_features(media).collect()
              if r.kind == "image"}
