@@ -1,14 +1,9 @@
 """Learned-BPE tokenizer (operators/bpe.py): kernel semantics, the
 Sennrich training rule, and Spark-vs-pure-Python parity."""
 
-import os
-import sys
-
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from geokitten_spark.operators.bpe import (  # noqa: E402
+from geokitten_spark.operators.bpe import (
     _apply_merge,
     bpe_merges,
     bpe_tokenize,
@@ -18,7 +13,7 @@ from geokitten_spark.operators.bpe import (  # noqa: E402
     bpe_word,
 )
 
-SF_SMOKE = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMOKE
 
 
 # ---------------------------------------------------------------------------
