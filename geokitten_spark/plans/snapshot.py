@@ -39,7 +39,22 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["SnapshotStore", "StageResult", "iceberg_available"]
+__all__ = [
+    "SnapshotStore",
+    "StageResult",
+    "iceberg_available",
+    "ICEBERG_FILES_CONTRACT",
+]
+
+# The slice of Iceberg's published ``.files`` metadata-table schema the
+# lineage reader depends on (column -> accepted Spark SQL types). Stable
+# across Iceberg format v1/v2; asserted by _files_relation_metrics so a
+# future runtime-jar drop-in is a config change, not a code round.
+ICEBERG_FILES_CONTRACT = {
+    "file_path": ("string",),
+    "record_count": ("bigint", "int", "long"),
+    "file_size_in_bytes": ("bigint", "int", "long"),
+}
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -257,10 +272,42 @@ class SnapshotStore:
     def _iceberg_file_metrics(spark: SparkSession, table_ident: str) -> list[dict]:
         """Per-partition lineage metrics from the table's own ``.files``
         metadata relation (no data pass — Iceberg tracks them natively)."""
-        rows = spark.sql(
-            f"SELECT file_path, record_count, file_size_in_bytes "
-            f"FROM {table_ident}.files ORDER BY file_path"
-        ).collect()
+        return SnapshotStore._files_relation_metrics(
+            spark.table(f"{table_ident}.files")
+        )
+
+    @staticmethod
+    def _files_relation_metrics(files_df) -> list[dict]:
+        """Extract lineage metrics from an Iceberg ``.files`` metadata
+        relation (or any DataFrame honoring the same contract).
+
+        Contract (``ICEBERG_FILES_CONTRACT``): the relation must expose the
+        three columns the lineage reader depends on — ``file_path``
+        (string), ``record_count`` and ``file_size_in_bytes`` (integral).
+        These are part of Iceberg's published metadata-table spec (stable
+        across the v1/v2 formats), so a runtime-jar drop-in only needs the
+        catalog config — this method asserts the contract up front and
+        fails with the exact gap rather than a downstream AttributeError.
+        """
+        missing = [c for c in ICEBERG_FILES_CONTRACT if c not in files_df.columns]
+        if missing:
+            raise ValueError(
+                "files metadata relation is missing required column(s) "
+                f"{missing}; lineage reader contract needs "
+                f"{sorted(ICEBERG_FILES_CONTRACT)} (got {files_df.columns})"
+            )
+        for col, kinds in ICEBERG_FILES_CONTRACT.items():
+            typ = dict(files_df.dtypes)[col]
+            if typ not in kinds:
+                raise ValueError(
+                    f"files metadata column {col!r} has type {typ!r}; "
+                    f"lineage reader contract expects one of {sorted(kinds)}"
+                )
+        rows = (
+            files_df.select("file_path", "record_count", "file_size_in_bytes")
+            .orderBy("file_path")
+            .collect()
+        )
         return [
             {"file": r.file_path, "rows": int(r.record_count),
              "bytes": int(r.file_size_in_bytes)}

@@ -140,3 +140,43 @@ def test_snapshot_format_auto_resolves_parquet_in_sandbox(spark, tmp_path):
     )
     r = store.run_stage(spark, "s1", lambda s: s.range(10))
     assert r.manifest["row_count"] == 10 and not r.resumed
+
+
+def test_iceberg_files_contract_extraction(spark):
+    """The lineage reader's slice of Iceberg's .files metadata schema,
+    exercised without the runtime jar: a local DataFrame shaped like the
+    published metadata table (including columns the reader ignores) must
+    extract cleanly, and a contract violation must fail with the exact gap."""
+    import pytest
+
+    from geokitten_spark.plans.snapshot import (
+        ICEBERG_FILES_CONTRACT,
+        SnapshotStore,
+    )
+
+    files = spark.createDataFrame(
+        [
+            (0, "wh/db/t/data/k=1/b.parquet", "PARQUET", 40, 2048),
+            (0, "wh/db/t/data/k=0/a.parquet", "PARQUET", 60, 4096),
+        ],
+        "content int, file_path string, file_format string, "
+        "record_count bigint, file_size_in_bytes bigint",
+    )
+    got = SnapshotStore._files_relation_metrics(files)
+    assert got == [
+        {"file": "wh/db/t/data/k=0/a.parquet", "rows": 60, "bytes": 4096},
+        {"file": "wh/db/t/data/k=1/b.parquet", "rows": 40, "bytes": 2048},
+    ]
+    assert sum(p["rows"] for p in got) == 100
+
+    with pytest.raises(ValueError, match="record_count"):
+        SnapshotStore._files_relation_metrics(files.drop("record_count"))
+    with pytest.raises(ValueError, match="expects one of"):
+        SnapshotStore._files_relation_metrics(
+            files.withColumn("record_count", files.record_count.cast("string"))
+        )
+    assert set(ICEBERG_FILES_CONTRACT) == {
+        "file_path",
+        "record_count",
+        "file_size_in_bytes",
+    }
