@@ -8,9 +8,10 @@ runs unchanged against this engine's vendored implementation::
 Scalar in, scalar out, lowercase-hex STRING cell ids — the public h3-py
 v4 calling convention. Vector workloads should use cells/h3core directly
 (numpy arrays end to end); this facade is for API compatibility and
-interactive use. Divergences (documented in h3core): grid_disk matches
-gridDiskUnsafe+dedupe near pentagon distortion; cell_to_boundary omits
-the interpolated vertex where an edge crosses an icosahedron edge.
+interactive use. Divergences (documented in h3core): cell_to_boundary
+omits the interpolated vertex where an edge crosses an icosahedron edge.
+grid_disk is exact everywhere, including pentagon distortion (BFS over
+derived adjacency in the warp zone; fast geometric path elsewhere).
 """
 
 from __future__ import annotations

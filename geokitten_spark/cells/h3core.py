@@ -985,16 +985,22 @@ def _disk_offsets(k):
 def grid_disk(h, k):
     """Cells within grid distance ``k`` of cell ``h`` (single cell input).
 
-    Computed by offsetting the center's face ijk and re-indexing each
-    offset position's geo center; exact away from pentagon distortion
-    (matches the published gridDiskUnsafe + dedupe elsewhere).
+    Exact everywhere: cells whose disk cannot reach pentagon distortion
+    (no icosahedron vertex within ``k + margin`` cell spacings) take the
+    vectorized face-ijk offset + re-index fast path; cells inside the
+    warp zone take an exact BFS over the derived neighbor graph (the
+    published implementation's gridDisk -> safe-fallback structure,
+    with table-free adjacency derived from shared boundary vertices).
     """
     sets = grid_disk_arrays(np.atleast_1d(_u64(h)), k)
     return sets[0]
 
 
-def grid_disk_arrays(cells, k):
-    """grid_disk for an array of cells -> list of uint64 arrays."""
+def _grid_disk_arrays_unsafe(cells, k):
+    """Geometric disk (gridDiskUnsafe + dedupe semantics): offset the
+    center's face ijk by every position within hex distance k and
+    re-index each offset position's geo center. Exact away from pentagon
+    distortion; callers must route warp-zone cells to the BFS path."""
     cells = np.atleast_1d(_u64(cells))
     if cells.size == 0:
         return []
@@ -1011,6 +1017,129 @@ def grid_disk_arrays(cells, k):
     return [np.unique(row) for row in out]
 
 
+_ICOSA_VERTEX_XYZ = None
+
+
+def _icosa_vertex_xyz():
+    """Unit xyz of the 12 icosahedron vertices = the 12 res-0 pentagon
+    centers (pentagons sit exactly on the icosahedron vertices)."""
+    global _ICOSA_VERTEX_XYZ
+    if _ICOSA_VERTEX_XYZ is None:
+        pents = (
+            (np.uint64(1) << np.uint64(59))
+            | (PENTAGON_BASE_CELLS.astype(np.uint64) << np.uint64(45))
+            | np.uint64((1 << 45) - 1)
+        )
+        la, lo = cell_to_latlng(pents, degrees=False)
+        _ICOSA_VERTEX_XYZ = _geo_to_xyz(la, lo)  # (12, 3)
+    return _ICOSA_VERTEX_XYZ
+
+
+def _pentagon_warp_zone(cells, k):
+    """Boolean mask: True where a cell's k-disk could reach pentagon
+    distortion — i.e. an icosahedron vertex lies within (k + 4) cell
+    spacings of the center (margin absorbs class III / gnomonic scale
+    variation). Vectorized: 12 dot products per cell."""
+    cells = np.atleast_1d(_u64(cells))
+    res = get_resolution(cells)
+    la, lo = cell_to_latlng(cells, degrees=False)
+    xyz = _geo_to_xyz(la, lo)  # (n, 3)
+    cos_near = np.max(xyz @ _icosa_vertex_xyz().T, axis=1)
+    ang = np.arccos(np.clip(cos_near, -1.0, 1.0))
+    spacing = _CELL_SPACING_RAD_BY_RES[np.atleast_1d(res)]
+    return ang <= (k + 4) * spacing
+
+
+_NEIGHBOR_CACHE: dict = {}
+_NEIGHBOR_CACHE_MAX = 1 << 16
+
+
+def _boundary_xyz(h):
+    b = cell_to_boundary(np.uint64(h))
+    return _geo_to_xyz(np.radians(b[:, 0]), np.radians(b[:, 1]))
+
+
+def cell_neighbors(h):
+    """Edge-adjacent cells of ``h`` (6 for hexagons, 5 for pentagons),
+    exact including across pentagon distortion.
+
+    Derived, not transcribed: candidates come from the geometric 2-disk,
+    and true adjacency is decided by shared boundary vertices — two
+    cells are edge neighbors iff their boundaries share the edge's two
+    corner vertices (cross-face vertex agreement is pinned to <1e-9 by
+    the sphere-tiling test). Raises if the derived degree is not the
+    spec's 5/6 — a loud failure beats a silently wrong disk.
+    """
+    h = int(np.atleast_1d(_u64(h))[0])
+    hit = _NEIGHBOR_CACHE.get(h)
+    if hit is not None:
+        return hit
+    cand = _grid_disk_arrays_unsafe(np.uint64(h), 2)[0]
+    bh = _boundary_xyz(h)
+    neigh = []
+    for c in cand:
+        c = int(c)
+        if c == h:
+            continue
+        bc = _boundary_xyz(c)
+        # pairwise chordal distances; count matched corner vertices
+        d2 = np.sum((bh[:, None, :] - bc[None, :, :]) ** 2, axis=2)
+        if int(np.sum(d2.min(axis=1) < 1e-18)) >= 2:
+            neigh.append(c)
+    expected = 5 if bool(np.atleast_1d(is_pentagon(np.uint64(h)))[0]) else 6
+    if len(neigh) != expected:
+        raise AssertionError(
+            f"derived neighbor degree {len(neigh)} != {expected} for "
+            f"{h:x}; adjacency derivation invariant violated"
+        )
+    arr = np.array(sorted(neigh), dtype=np.uint64)
+    if len(_NEIGHBOR_CACHE) >= _NEIGHBOR_CACHE_MAX:
+        _NEIGHBOR_CACHE.clear()
+    _NEIGHBOR_CACHE[h] = arr
+    return arr
+
+
+def grid_disk_distances_safe(h, k):
+    """Exact (cell -> grid distance) map within distance ``k`` of ``h``
+    via BFS on the derived neighbor graph. Pentagon-proof; used as the
+    warp-zone fallback and as the oracle for the fast path in tests."""
+    h0 = int(np.atleast_1d(_u64(h))[0])
+    dist = {h0: 0}
+    frontier = [h0]
+    for d in range(1, k + 1):
+        nxt = []
+        for c in frontier:
+            for nb in cell_neighbors(c):
+                nb = int(nb)
+                if nb not in dist:
+                    dist[nb] = d
+                    nxt.append(nb)
+        frontier = nxt
+    return dist
+
+
+def grid_disk_arrays(cells, k):
+    """grid_disk for an array of cells -> list of uint64 arrays.
+
+    Splits per cell: vectorized geometric path away from icosahedron
+    vertices (the overwhelming majority at working resolutions), exact
+    BFS inside the pentagon warp zone."""
+    cells = np.atleast_1d(_u64(cells))
+    if cells.size == 0:
+        return []
+    warp = _pentagon_warp_zone(cells, k)
+    out: list = [None] * cells.size
+    safe_idx = np.nonzero(~warp)[0]
+    if safe_idx.size:
+        fast = _grid_disk_arrays_unsafe(cells[safe_idx], k)
+        for i, d in zip(safe_idx, fast):
+            out[i] = d
+    for i in np.nonzero(warp)[0]:
+        dist = grid_disk_distances_safe(cells[i], k)
+        out[i] = np.array(sorted(dist), dtype=np.uint64)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # polygon -> cells (polyfill) and cell -> boundary
 # ---------------------------------------------------------------------------
@@ -1018,6 +1147,11 @@ def grid_disk_arrays(cells, k):
 def _cell_spacing_rad(res):
     """Approximate center-to-center spacing at ``res`` (radians)."""
     return math.atan(RES0_U_GNOMONIC / (M_SQRT7 ** res))
+
+
+_CELL_SPACING_RAD_BY_RES = np.array(
+    [_cell_spacing_rad(r) for r in range(MAX_RES + 1)], dtype=np.float64
+)
 
 
 def _ring_contains(lats, lngs, ring):

@@ -415,3 +415,75 @@ def test_h3compat_compact_uncompact():
     comp = h3.compact_cells(missing)
     assert len(comp) < len(missing)
     assert sorted(h3.uncompact_cells(comp, 7)) == sorted(missing)
+
+
+# ---------------------------------------------------------------------------
+# pentagon-safe grid_disk (round 4): derived adjacency + BFS fallback
+# ---------------------------------------------------------------------------
+
+def test_res1_neighbor_graph_exact():
+    """Complete res-1 adjacency derived from shared boundary vertices:
+    every pentagon has degree 5, every hexagon 6, the relation is
+    symmetric, and the edge total is (830*6 + 12*5)/2 = 2520 — a full
+    exactness check over all base-cell configs and face crossings."""
+    res0 = np.array(
+        [(1 << 59) | (b << 45) | ((1 << 45) - 1) for b in range(122)],
+        dtype=np.uint64,
+    )
+    cells = np.unique(np.concatenate([hc.cell_to_children(c, 1) for c in res0]))
+    assert cells.size == 842
+    adj = {int(c): set(int(x) for x in hc.cell_neighbors(c)) for c in cells}
+    pent = {int(c) for c in cells if bool(np.atleast_1d(hc.is_pentagon(np.atleast_1d(c)))[0])}
+    assert len(pent) == 12
+    for c, nbs in adj.items():
+        assert len(nbs) == (5 if c in pent else 6), format(c, "x")
+        for nb in nbs:
+            assert c in adj[nb], (format(c, "x"), format(nb, "x"))
+    assert sum(len(v) for v in adj.values()) == 2 * 2520
+
+
+def test_pentagon_disk_sizes_published_law():
+    """Published pentagon disk counts: |disk(k)| = 1 + 5k(k+1)/2 (rings
+    of 5k), exact for all 12 pentagons at res 1-3, k 1-3."""
+    for bc in hc.PENTAGON_BASE_CELLS:
+        c0 = np.uint64((1 << 59) | (int(bc) << 45) | ((1 << 45) - 1))
+        for res in (1, 2, 3):
+            cp = hc.cell_to_center_child(c0, res)[0]
+            got = [len(hc.grid_disk(cp, k)) for k in (1, 2, 3)]
+            assert got == [1 + 5 * k * (k + 1) // 2 for k in (1, 2, 3)], (
+                format(int(cp), "x"), got
+            )
+
+
+def test_grid_disk_fast_path_matches_bfs_oracle():
+    """The vectorized geometric path must agree exactly with the BFS over
+    the derived neighbor graph wherever the router selects it."""
+    rng = np.random.RandomState(7)
+    lat = rng.uniform(-80, 80, 200)
+    lng = rng.uniform(-180, 180, 200)
+    for res in (2, 6):
+        cells = np.unique(hc.latlng_to_cell(lat, lng, res))[:40]
+        for k in (1, 2):
+            for c, f in zip(cells, hc.grid_disk_arrays(cells, k)):
+                bfs = set(hc.grid_disk_distances_safe(c, k))
+                assert set(int(x) for x in f) == bfs, (format(int(c), "x"), res, k)
+
+
+def test_grid_disk_symmetric_across_path_boundary():
+    """Cells straddling the warp-zone router boundary around a pentagon:
+    membership must be symmetric between BFS-zone and fast-path cells
+    (b in disk(a,k) iff a in disk(b,k)) — cross-validates the two paths
+    against each other at their seam."""
+    bc = int(hc.PENTAGON_BASE_CELLS[3])
+    c0 = np.uint64((1 << 59) | (bc << 45) | ((1 << 45) - 1))
+    pent = hc.cell_to_center_child(c0, 2)[0]
+    zone = sorted(hc.grid_disk_distances_safe(pent, 10))  # reaches past the router margin at k=1
+    zone = np.array(zone, dtype=np.uint64)
+    k = 1
+    routed = hc._pentagon_warp_zone(zone, k)
+    assert routed.any() and (~routed).any()  # the sample truly straddles
+    disks = {int(c): set(int(x) for x in d) for c, d in zip(zone, hc.grid_disk_arrays(zone, k))}
+    for a, da in disks.items():
+        for b in da:
+            if b in disks and b != a:
+                assert a in disks[b], (format(a, "x"), format(b, "x"))
