@@ -9,10 +9,12 @@ signatures, partitioning). The decode kernel dispatches per payload:
   valid P6 payloads for image rows, so the image pipeline exercises a
   genuine binary→pixels decode end to end with no external codec.
 * **PNG** — REAL decode, stdlib zlib + numpy (chunk walk with CRC
-  checks, inflate, all five scanline defilters; 8-bit gray/RGB/RGBA,
-  interlace 0 — see ``decode_png``/``encode_png``). The media fixture
-  emits PNG for even image ids and PPM for odd ones, so both binary
-  parses run end to end with no external codec.
+  checks, inflate, all five scanline defilters; every legal depth/color
+  combo of the spec — gray 1/2/4/8/16, palette 1/2/4/8, RGB/GA/RGBA
+  8/16 — at interlace 0 AND Adam7; see ``decode_png``/``encode_png``/
+  ``encode_png_adam7``/``encode_png16``/``encode_png_palette``). The
+  media fixture cycles PNG variants with PPM/JPEG, so the binary parses
+  run end to end with no external codec.
 * **JPEG (baseline)** — REAL decode, pure numpy + stdlib (marker walk,
   stream-read DQT/DHT tables, huffman entropy decode incl. restart
   markers, batched IDCT, 4:4:4/4:2:2/4:2:0 chroma upsampling — see
@@ -122,8 +124,10 @@ def synth_payload(doc_id: int, text: str) -> bytes:
     oracles so the two execution paths see byte-identical inputs.
 
     * image rows (id % 3 == 0): cycle PNG / PPM / baseline JPEG /
-      PROGRESSIVE JPEG by (id//3) % 4 so all four real binary parses run
-      end to end (progressive exercises the multi-scan SOF2 decoder);
+      PROGRESSIVE JPEG / ADAM7 PNG / 16-BIT PNG by (id//3) % 6 so all
+      six real binary parses run end to end (progressive exercises the
+      multi-scan SOF2 decoder; Adam7 the 7-pass de-interlace; 16-bit the
+      high-byte reduction);
     * audio rows (id % 3 == 1): REAL RIFF/WAVE PCM16 — int16 samples
       derived from the text bytes;
     * video rows (id % 3 == 2): REAL MJPEG AVI — n_frames baseline-JPEG
@@ -135,9 +139,14 @@ def synth_payload(doc_id: int, text: str) -> bytes:
     h = doc_id % 48 + 16
     kind = doc_id % 3
     if kind == 0:
-        enc = [encode_png, encode_ppm, encode_jpeg, encode_jpeg_progressive][
-            (doc_id // 3) % 4
-        ]
+        enc = [
+            encode_png,
+            encode_ppm,
+            encode_jpeg,
+            encode_jpeg_progressive,
+            encode_png_adam7,
+            encode_png16,
+        ][(doc_id // 3) % 6]
         return enc(_tile_pixels(text, w, h))
     if kind == 1:
         raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
@@ -262,13 +271,95 @@ def _paeth(a, b, c):
     return c
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """PNG bytes → HxWx3 uint8 (gray replicated, alpha dropped).
+# Adam7 pass geometry per the PNG spec: (row_start, col_start,
+# row_increment, col_increment), pass order 1..7.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (0, 4, 8, 8),
+    (4, 0, 8, 4),
+    (0, 2, 4, 4),
+    (2, 0, 4, 2),
+    (0, 1, 2, 2),
+    (1, 0, 2, 1),
+)
 
-    Pure stdlib-zlib + numpy: chunk walk (IHDR/IDAT/IEND with CRC check),
-    inflate, per-scanline defilter (None/Sub/Up/Average/Paeth).
-    Supported: bit depth 8, color types 0/2/4/6, interlace 0. Palette
-    (type 3), 16-bit and Adam7 raise ``NotImplementedError``.
+# color type -> allowed bit depths (PNG spec table 11.1)
+_PNG_ALLOWED_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
+def _png_defilter(raw: bytes, off: int, n_rows: int, row_bytes: int, bpp: int):
+    """Undo per-scanline filtering for one (sub-)image: ``n_rows``
+    scanlines of ``row_bytes`` bytes each, filter-byte prefixed, with
+    ``bpp`` = filter-unit bytes per pixel (max(1, bits_per_pixel // 8)).
+    Returns (rows uint8 (n_rows, row_bytes), next offset)."""
+    out = np.zeros((n_rows, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.uint8)
+    p = off
+    if len(raw) < off + n_rows * (row_bytes + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    for y in range(n_rows):
+        ftype = raw[p]
+        line = np.frombuffer(raw, dtype=np.uint8, count=row_bytes, offset=p + 1).copy()
+        p += row_bytes + 1
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line
+            for i in range(bpp, row_bytes):
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line.astype(np.int64) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average
+            cur = line
+            for i in range(row_bytes):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + (left + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for i in range(row_bytes):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(cur[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = cur
+        prev = out[y]
+    return out, p
+
+
+def _png_rows_to_samples(rows: np.ndarray, w: int, ch: int, depth: int):
+    """Defiltered scanline bytes -> (h, w, ch) uint8 samples. 16-bit takes
+    the high byte (the standard 16->8 reduction); sub-byte depths unpack
+    MSB-first per the spec, values left as raw indices (callers scale
+    gray or look up the palette)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * ch].reshape(h, w, ch)
+    if depth == 16:
+        return rows[:, : w * ch * 2 : 2].reshape(h, w, ch)
+    bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+    if depth == 1:
+        return bits.reshape(h, w, 1)
+    vals = bits.reshape(h, w, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (vals * weights).sum(axis=2, dtype=np.uint16).astype(np.uint8)[:, :, None]
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → HxWx3 uint8 (gray replicated, alpha dropped, palette
+    resolved, 16-bit reduced to the high byte).
+
+    Pure stdlib-zlib + numpy: chunk walk (IHDR/PLTE/IDAT/IEND with CRC
+    check), inflate, per-scanline defilter (None/Sub/Up/Average/Paeth).
+    Supported: every legal depth/color combination of the spec (gray
+    1/2/4/8/16, palette 1/2/4/8, RGB/gray+alpha/RGBA 8/16) at interlace
+    0 and Adam7 (7-pass de-interlace with per-pass filtering).
     """
     import struct
     import zlib
@@ -277,6 +368,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload")
     pos = 8
     ihdr = None
+    plte = None
     idat = []
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos : pos + 4])
@@ -289,6 +381,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if length % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -297,49 +393,47 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = ihdr
-    if depth != 8 or color not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"only 8-bit gray/RGB(A) PNG supported (depth={depth}, "
-            f"color type={color})"
+    if color not in _PNG_ALLOWED_DEPTHS or depth not in _PNG_ALLOWED_DEPTHS[color]:
+        raise ValueError(f"illegal PNG depth/color combo ({depth}, {color})")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    if comp != 0 or filt != 0:
+        raise ValueError(
+            f"PNG compression/filter method ({comp}, {filt}) invalid"
         )
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
-    ch = _PNG_CHANNELS[color]
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace method {interlace} invalid")
+    ch = 1 if color == 3 else _PNG_CHANNELS[color]
+    bits_pp = ch * depth
+    bpp = max(1, bits_pp // 8)
     raw = zlib.decompress(b"".join(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+
+    samples = np.zeros((h, w, ch), dtype=np.uint8)
+    if interlace == 0:
+        passes = [(0, 0, 1, 1)]
+    else:
+        passes = _ADAM7_PASSES
+    off = 0
+    for r0, c0, ri, ci in passes:
+        pw = (w - c0 + ci - 1) // ci
+        ph = (h - r0 + ri - 1) // ri
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes no bytes (spec)
+        row_bytes = (pw * bits_pp + 7) // 8
+        rows, off = _png_defilter(raw, off, ph, row_bytes, bpp)
+        samples[r0::ri, c0::ci] = _png_rows_to_samples(rows, pw, ch, depth)
+    if off != len(raw):
         raise ValueError("PNG pixel data length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ftype = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).copy()
-        if ftype == 0:  # None
-            cur = line
-        elif ftype == 1:  # Sub
-            cur = line
-            for i in range(ch, stride):
-                cur[i] = (int(cur[i]) + int(cur[i - ch])) & 0xFF
-        elif ftype == 2:  # Up
-            cur = (line.astype(np.int64) + prev).astype(np.uint8)
-        elif ftype == 3:  # Average
-            cur = line
-            for i in range(stride):
-                left = int(cur[i - ch]) if i >= ch else 0
-                cur[i] = (int(cur[i]) + (left + int(prev[i])) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            cur = line
-            for i in range(stride):
-                left = int(cur[i - ch]) if i >= ch else 0
-                ul = int(prev[i - ch]) if i >= ch else 0
-                cur[i] = (int(cur[i]) + _paeth(left, int(prev[i]), ul)) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {ftype} invalid")
-        out[y] = cur
-        prev = out[y]
-    img = out.reshape(h, w, ch)
+
+    if color == 3:
+        idx = samples[:, :, 0]
+        if int(idx.max(initial=0)) >= plte.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
+    if color in (0, 4) and depth < 8:
+        # left-bit-replication gray scaling: max sample -> 255 exactly
+        samples = samples * np.uint8(255 // ((1 << depth) - 1))
+    img = samples
     if color == 0:
         return np.repeat(img, 3, axis=2)
     if color == 2:
@@ -349,64 +443,160 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img[:, :, :3]  # RGBA: drop alpha
 
 
-def encode_png(img: np.ndarray) -> bytes:
-    """HxWx3 (RGB) / HxWx4 (RGBA) / HxW (gray) uint8 → PNG bytes.
-
-    Filter type cycles per row (y % 5) so decoders exercise every
-    defilter path; zlib level 6 — fully deterministic."""
-    import struct
-    import zlib
-
-    img = np.asarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        color, ch = 0, 1
-        img = img[:, :, None]
-    elif img.shape[2] == 3:
-        color, ch = 2, 3
-    elif img.shape[2] == 4:
-        color, ch = 6, 4
-    else:
-        raise ValueError("expected HxW, HxWx3 or HxWx4")
-    h, w = img.shape[:2]
-    stride = w * ch
-    flat = img.reshape(h, stride).astype(np.int64)
+def _png_filter_scanlines(flat: np.ndarray, bpp: int) -> bytes:
+    """Filter (n_rows, row_bytes) int64 sample-byte rows for one
+    (sub-)image. Filter type cycles per row (y % 5) so decoders exercise
+    every defilter path; fully deterministic."""
+    n_rows, row_bytes = flat.shape
     lines = []
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
+    prev = np.zeros(row_bytes, dtype=np.int64)
+    for y in range(n_rows):
         cur = flat[y]
         ftype = y % 5
         if ftype == 0:
             enc = cur
         elif ftype == 1:
-            left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
             enc = cur - left
         elif ftype == 2:
             enc = cur - prev
         elif ftype == 3:
-            left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
             enc = cur - (left + prev) // 2
         else:
-            left = np.concatenate([np.zeros(ch, dtype=np.int64), cur[:-ch]])
-            ul = np.concatenate([np.zeros(ch, dtype=np.int64), prev[:-ch]])
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
             pred = np.array(
-                [_paeth(left[i], prev[i], ul[i]) for i in range(stride)],
+                [_paeth(left[i], prev[i], ul[i]) for i in range(row_bytes)],
                 dtype=np.int64,
             )
             enc = cur - pred
         lines.append(bytes([ftype]) + (enc & 0xFF).astype(np.uint8).tobytes())
         prev = cur
+    return b"".join(lines)
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_color_type(img: np.ndarray):
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        return img[:, :, None], 0, 1
+    if img.shape[2] == 3:
+        return img, 2, 3
+    if img.shape[2] == 4:
+        return img, 6, 4
+    raise ValueError("expected HxW, HxWx3 or HxWx4")
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """HxWx3 (RGB) / HxWx4 (RGBA) / HxW (gray) uint8 → PNG bytes
+    (8-bit, interlace 0); zlib level 6 — fully deterministic."""
+    import struct
+    import zlib
+
+    img, color, ch = _png_color_type(img)
+    h, w = img.shape[:2]
+    body = _png_filter_scanlines(img.reshape(h, w * ch).astype(np.int64), ch)
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    idat = zlib.compress(b"".join(lines), 6)
-    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_adam7(img: np.ndarray) -> bytes:
+    """Adam7-interlaced PNG encoder (8-bit gray/RGB/RGBA): each of the 7
+    spec passes extracted, independently filtered (cycling filter types),
+    concatenated into one IDAT stream. Deterministic."""
+    import struct
+    import zlib
+
+    img, color, ch = _png_color_type(img)
+    h, w = img.shape[:2]
+    body = b""
+    for r0, c0, ri, ci in _ADAM7_PASSES:
+        sub = img[r0::ri, c0::ci]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        ph, pw = sub.shape[:2]
+        body += _png_filter_scanlines(
+            sub.reshape(ph, pw * ch).astype(np.int64), ch
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png16(img: np.ndarray) -> bytes:
+    """16-bit PNG encoder (gray/RGB/RGBA, interlace 0): each 8-bit sample
+    bit-replicated to 16 (v<<8 | v, the spec's depth-scaling), so the
+    decoder's high-byte reduction recovers the input exactly."""
+    import struct
+    import zlib
+
+    img, color, ch = _png_color_type(img)
+    h, w = img.shape[:2]
+    wide = np.repeat(img.reshape(h, w * ch), 2, axis=1)  # hi, lo = v, v
+    body = _png_filter_scanlines(wide.astype(np.int64), ch * 2)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(idx: np.ndarray, palette: np.ndarray, depth: int = 8) -> bytes:
+    """Palette (color type 3) PNG encoder at depth 1/2/4/8 from an HxW
+    index array + (n, 3) palette; interlace 0. Sub-byte depths pack
+    indices MSB-first per the spec."""
+    import struct
+    import zlib
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8)
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("palette depth must be 1/2/4/8")
+    if int(idx.max(initial=0)) >= min(palette.shape[0], 1 << depth):
+        raise ValueError("palette index out of range for depth")
+    h, w = idx.shape
+    if depth == 8:
+        rows = idx.astype(np.int64)
+    else:
+        bits = (
+            (idx[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(h, w * depth).astype(np.uint8)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.pad(bits, ((0, 0), (0, pad)))
+        rows = np.packbits(bits, axis=1).astype(np.int64)
+    body = _png_filter_scanlines(rows, 1)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(body, 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def _decode_fake(payload: bytes, width: int, height: int) -> np.ndarray:

@@ -185,9 +185,9 @@ def test_ppm_codec_roundtrip_and_comments():
 
 def test_image_rows_really_decode(spark):
     """Fixture image payloads cycle PNG / P6 / baseline JPEG /
-    progressive JPEG by (id//3) % 4; image_features must go through the
-    REAL decode (pixel histogram of the decoded image), bit-equal to
-    decoding the payload driver-side."""
+    progressive JPEG / Adam7 PNG / 16-bit PNG by (id//3) % 6;
+    image_features must go through the REAL decode (pixel histogram of
+    the decoded image), bit-equal to decoding the payload driver-side."""
     import numpy as np
 
     from geokitten_spark.functions.jpeg import decode_jpeg
@@ -200,18 +200,23 @@ def test_image_rows_really_decode(spark):
     media = synthetic_media(spark, SF_SMOKE, n_rows=30)
     img_rows = media.filter("kind = 'image'").collect()
     assert img_rows
+    def _ihdr(p, field):  # field: 8=depth offset, 12=interlace offset
+        return p[16 + field]
+
     sigs = {
-        0: lambda p: p[:8] == _PNG_SIG,
+        0: lambda p: p[:8] == _PNG_SIG and _ihdr(p, 8) == 8 and _ihdr(p, 12) == 0,
         1: lambda p: p[:2] == b"P6",
         2: lambda p: p[:2] == b"\xff\xd8" and b"\xff\xc0" in p,  # baseline
         3: lambda p: p[:2] == b"\xff\xd8" and b"\xff\xc2" in p,  # progressive
+        4: lambda p: p[:8] == _PNG_SIG and _ihdr(p, 12) == 1,  # Adam7
+        5: lambda p: p[:8] == _PNG_SIG and _ihdr(p, 8) == 16,  # 16-bit
     }
     seen = set()
     for r in img_rows:
-        flavor = (r.media_id // 3) % 4
+        flavor = (r.media_id // 3) % 6
         assert sigs[flavor](bytes(r.payload))
         seen.add(flavor)
-    assert seen == {0, 1, 2, 3}  # all four formats present across the fixture
+    assert seen == set(range(6))  # all six formats present across the fixture
 
     feats = {r.media_id: r.embedding for r in image_features(media).collect()
              if r.kind == "image"}
@@ -261,7 +266,7 @@ def test_png_codec_rejects_bad_payloads():
     good[-5] ^= 0xFF  # inside IEND CRC
     with pytest.raises(ValueError):
         decode_png(bytes(good))
-    # unsupported: 16-bit depth header
+    # 16-bit depth decodes since round 4 (hand-built zero image)
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
@@ -272,8 +277,16 @@ def test_png_codec_rejects_bad_payloads():
         struct.pack(">I", len(idat_raw)) + b"IDAT" + idat_raw
         + struct.pack(">I", zlib.crc32(b"IDAT" + idat_raw) & 0xFFFFFFFF)
     )
-    with pytest.raises(NotImplementedError):
-        decode_png(_PNG_SIG + chunk + idat)
+    out = decode_png(_PNG_SIG + chunk + idat)
+    assert out.shape == (2, 2, 3) and (out == 0).all()
+    # truncated pixel data still fails loudly
+    short = zlib.compress(b"\x00" * 20)
+    idat_short = (
+        struct.pack(">I", len(short)) + b"IDAT" + short
+        + struct.pack(">I", zlib.crc32(b"IDAT" + short) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_png(_PNG_SIG + chunk + idat_short)
 
 
 def test_h3_choropleth_end_to_end():
@@ -306,3 +319,91 @@ def test_h3_choropleth_end_to_end():
     html = render_continuous_choropleth(pdf, "n_docs", title="h3 density")
     assert "<svg" in html and "n_docs" in html and "h3 density" in html
     assert html.count("<polygon") == len(pdf)
+
+
+def test_png_adam7_16bit_palette_roundtrips():
+    """Round 4 PNG variants: Adam7 de-interlace (gray/RGB/RGBA), 16-bit
+    high-byte reduction, palette at depths 1/2/4/8 — all exact, across
+    sizes that exercise empty and partial interlace passes."""
+    import numpy as np
+
+    from geokitten_spark.functions.multimodal import (
+        decode_png,
+        encode_png16,
+        encode_png_adam7,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(11)
+    for (h, w) in [(1, 1), (2, 3), (8, 8), (9, 10), (33, 31)]:
+        rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+        assert (decode_png(encode_png_adam7(rgb)) == rgb).all()
+        assert (
+            decode_png(encode_png_adam7(gray))
+            == np.repeat(gray[:, :, None], 3, 2)
+        ).all()
+        assert (decode_png(encode_png_adam7(rgba)) == rgba[:, :, :3]).all()
+        assert (decode_png(encode_png16(rgb)) == rgb).all()
+        for d in (1, 2, 4, 8):
+            n = 1 << min(d, 4)
+            pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+            idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+            assert (decode_png(encode_png_palette(idx, pal, d)) == pal[idx]).all()
+
+
+def test_png_subbyte_gray_and_guards():
+    """Sub-byte grayscale decodes with left-bit-replication scaling;
+    illegal depth/color combos and bad methods fail loudly."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from geokitten_spark.functions.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        _png_filter_scanlines,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(5)
+    for depth, scale in [(1, 255), (2, 85), (4, 17)]:
+        vals = rng.integers(0, 1 << depth, (6, 11), dtype=np.uint8)
+        bits = (
+            (vals[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).reshape(6, 11 * depth).astype(np.uint8)
+        pad = (-bits.shape[1]) % 8
+        rows = np.packbits(
+            np.pad(bits, ((0, 0), (0, pad))), axis=1
+        ).astype(np.int64)
+        ihdr = struct.pack(">IIBBBBB", 11, 6, depth, 0, 0, 0, 0)
+        p = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(_png_filter_scanlines(rows, 1), 6))
+            + _png_chunk(b"IEND", b"")
+        )
+        got = decode_png(p)
+        assert (got == np.repeat((vals * scale)[:, :, None], 3, 2)).all()
+
+    def mk(depth, color, interlace=0, comp=0, filt=0):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, color, comp, filt, interlace)
+        body = _png_filter_scanlines(np.zeros((1, 1), dtype=np.int64), 1)
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(body, 6))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ValueError, match="illegal"):
+        decode_png(mk(4, 2))  # RGB at depth 4 is not a legal combo
+    with pytest.raises(ValueError, match="missing PLTE"):
+        decode_png(mk(8, 3))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(mk(8, 0, interlace=2))
+    with pytest.raises(ValueError, match="compression/filter"):
+        decode_png(mk(8, 0, filt=1))
