@@ -2236,6 +2236,48 @@ def q_geo_aggregates(spark, sf_dir):
     return out.select(*[F.round(F.col(c), 6).alias(c) for c in out.columns])
 
 
+def q_h3_pentagon_disk(spark, sf_dir):
+    """Round-4 flagship evidence: grid_disk is exact across pentagon
+    distortion (cells/h3core.py BFS-over-derived-adjacency fallback).
+    Origins = the 12 res-2 pentagons plus each one's disk(1) — 72 cells,
+    all inside the warp-zone router — expanded executor-side by the
+    h3_kring UDF at k=2; per-origin disk count + min/max cell id
+    checksums. Pentagon origins must show n_disk = 16 (1+5+10)."""
+    from geokitten_spark.functions.cells_udfs import h3_kring
+    from geokitten_spark.oracles import h3_pentagon_disk_origins
+
+    df = spark.createDataFrame(
+        [(o,) for o in h3_pentagon_disk_origins()], "origin_cell long"
+    )
+    disk = df.select(
+        "origin_cell",
+        F.explode(h3_kring(2)(F.col("origin_cell"))).alias("cell_id"),
+    )
+    return disk.groupBy("origin_cell").agg(
+        F.count(F.lit(1)).alias("n_disk"),
+        F.min("cell_id").alias("min_cell"),
+        F.max("cell_id").alias("max_cell"),
+    )
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for training shards: concat-and-chunk metadata
+    (stream offset, first/last sequence index, span) per document in the
+    deterministic hash-shuffle order — the two-phase prefix sum of
+    operators/packing.py (bucket sums -> driver prefix -> per-bucket
+    window), never a global single-reducer window."""
+    from geokitten_spark.functions.text import token_count_ws
+    from geokitten_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = docs.select("doc_id", token_count_ws(F.col("text")).alias("n_tokens"))
+    return pack_sequences(
+        t, key_col="doc_id", tokens_col="n_tokens", seq_len=2048
+    ).select(
+        "doc_id", "n_tokens", "stream_offset", "first_seq", "last_seq", "n_seqs"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
@@ -2353,6 +2395,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_paragraph_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
         "split_assign": q_split_assign,
+        # --- new in r4 (appended past the 50-query driver window so the
+        # window stays on the never-checked set; covered by STRICT_r04) ---
+        "h3_pentagon_disk": q_h3_pentagon_disk,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2386,6 +2432,7 @@ def oracle_sql() -> dict[str, str]:
         sample_token_budget_sql,
     )
     from geokitten_spark.operators.lm import lm_perplexity_sql
+    from geokitten_spark.operators.packing import pack_sequences_sql
     from geokitten_spark.functions.geocode import (
         url_host_sql,
         haversine_km_sql,
@@ -3176,6 +3223,14 @@ def oracle_sql() -> dict[str, str]:
         "h3_vectorize": _ora.h3_vectorize_sql(),
         "h3_adaptive_tiles": _ora.h3_adaptive_tiles_sql(),
         "ann_batch_topk": _ora.ann_batch_topk_sql(),
+        "h3_pentagon_disk": _ora.h3_pentagon_disk_sql(),
+        "pack_sequences": pack_sequences_sql(
+            "doc_id, __tok AS n_tokens",
+            "(SELECT doc_id, text FROM documents)",
+            "doc_id",
+            token_count_ws_sql("text"),
+            2048,
+        ),
     }
     # the streaming session-window query folds to the exact shape of the
     # batch sessionize query — one oracle checks both (batch/stream duality)

@@ -843,6 +843,42 @@ def h3_polyfill_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return _cell_count_values(cells.astype(np.int64)[keep])
 
 
+def h3_pentagon_disk_origins() -> list[int]:
+    """The 72 warp-zone origins for q_h3_pentagon_disk: each of the 12
+    res-2 pentagons plus its disk(1) — every cell the pentagon-safe BFS
+    router must handle."""
+    from .cells import h3core
+
+    origins: set[int] = set()
+    for b in h3core.PENTAGON_BASE_CELLS:
+        c0 = np.uint64((1 << 59) | (int(b) << 45) | ((1 << 45) - 1))
+        p2 = h3core.cell_to_center_child(c0, 2)[0]
+        origins.update(int(x) for x in h3core.grid_disk(p2, 1))
+    return sorted(origins)
+
+
+@lru_cache(maxsize=1)
+def h3_pentagon_disk_sql() -> str:
+    """Expected (origin_cell, n_disk, min_cell, max_cell) for
+    q_h3_pentagon_disk: disk(2) of every pentagon-adjacent res-2 origin,
+    replicated driver-side (pentagon origins must count 16 = 1+5+10)."""
+    from .cells import h3core
+
+    rows = []
+    for o in h3_pentagon_disk_origins():
+        d = h3core.grid_disk(np.uint64(o), 2).astype(np.int64)
+        rows.append((o, int(d.size), int(d.min()), int(d.max())))
+    return values_sql(
+        rows,
+        [
+            ("origin_cell", "BIGINT"),
+            ("n_disk", "BIGINT"),
+            ("min_cell", "BIGINT"),
+            ("max_cell", "BIGINT"),
+        ],
+    )
+
+
 @lru_cache(maxsize=4)
 def h3_vectorize_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     """Expected (cell_id, n_docs, wkt) for q_h3_vectorize: the res-2 tile
