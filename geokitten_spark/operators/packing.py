@@ -105,16 +105,22 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_in = F.coalesce(F.sum(tokens_col).over(w), F.lit(0)).cast("long")
-    off = (F.col("__bucket_off") + cum_in).cast("long")
-    tok = F.col(tokens_col).cast("long")
-    first = F.floor(off / seq_len).cast("long")
-    last = F.floor((off + tok - F.lit(1)) / seq_len).cast("long")
+    # materialize stream_offset once (a single window sum in the plan),
+    # then derive the chunk indices from the column; `div` keeps the
+    # arithmetic in exact int64 (offsets are non-negative, so div==floor)
+    # instead of FLOOR(double) which loses exactness past 2^53 tokens
+    first = F.expr(f"stream_offset div {seq_len}")
     return (
         t.join(F.broadcast(off_df), on="__b")
-        .withColumn("stream_offset", off)
-        .withColumn("first_seq", first)
-        .withColumn("last_seq", last)
-        .withColumn("n_seqs", (last - first + F.lit(1)).cast("long"))
+        .withColumn("stream_offset", (F.col("__bucket_off") + cum_in).cast("long"))
+        .withColumn("first_seq", first.cast("long"))
+        .withColumn(
+            "last_seq",
+            F.expr(f"(stream_offset + {tokens_col} - 1) div {seq_len}").cast("long"),
+        )
+        .withColumn(
+            "n_seqs", (F.col("last_seq") - F.col("first_seq") + F.lit(1)).cast("long")
+        )
         .drop("__h", "__b", "__bucket_off")
     )
 
@@ -135,10 +141,10 @@ def pack_sequences_sql(
     return f"""
         SELECT {select_cols},
                CAST(stream_offset AS BIGINT) AS stream_offset,
-               CAST(FLOOR(stream_offset / {seq_len}) AS BIGINT) AS first_seq,
-               CAST(FLOOR((stream_offset + __tok - 1) / {seq_len}) AS BIGINT) AS last_seq,
-               CAST(FLOOR((stream_offset + __tok - 1) / {seq_len})
-                    - FLOOR(stream_offset / {seq_len}) + 1 AS BIGINT) AS n_seqs
+               CAST(stream_offset // {seq_len} AS BIGINT) AS first_seq,
+               CAST((stream_offset + __tok - 1) // {seq_len} AS BIGINT) AS last_seq,
+               CAST((stream_offset + __tok - 1) // {seq_len}
+                    - stream_offset // {seq_len} + 1 AS BIGINT) AS n_seqs
         FROM (
             SELECT *,
                    COALESCE(SUM(__tok) OVER (
