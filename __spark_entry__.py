@@ -2278,6 +2278,23 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+def q_distinct_sketch(spark, sf_dir):
+    """HyperLogLog distinct accounting (operators/sketch.py): per-source
+    estimated distinct texts (classic HLL over the engine-portable
+    hash60, exact integer register math — the DuckDB oracle reproduces
+    the estimate bit-for-bit) side by side with the exact count. At
+    10^12 rows the sketch's shuffle is m x groups rows; COUNT(DISTINCT)
+    shuffles every distinct key."""
+    from geokitten_spark.operators.sketch import hll_distinct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    est = hll_distinct(docs, "text", ["source"])
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("text").cast("long").alias("n_exact")
+    )
+    return est.join(exact, on="source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
@@ -2399,6 +2416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window stays on the never-checked set; covered by STRICT_r04) ---
         "h3_pentagon_disk": q_h3_pentagon_disk,
         "pack_sequences": q_pack_sequences,
+        "distinct_sketch": q_distinct_sketch,
     }
 
 
@@ -2433,6 +2451,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from geokitten_spark.operators.lm import lm_perplexity_sql
     from geokitten_spark.operators.packing import pack_sequences_sql
+    from geokitten_spark.operators.sketch import hll_distinct_sql
     from geokitten_spark.functions.geocode import (
         url_host_sql,
         haversine_km_sql,
@@ -3231,6 +3250,13 @@ def oracle_sql() -> dict[str, str]:
             token_count_ws_sql("text"),
             2048,
         ),
+        "distinct_sketch": f"""
+            SELECT h.source, h.hll_distinct, e.n_exact
+            FROM ({hll_distinct_sql("source", "text", "documents")}) h
+            JOIN (SELECT source, CAST(COUNT(DISTINCT text) AS BIGINT) AS n_exact
+                  FROM documents GROUP BY source) e
+            USING (source)
+        """,
     }
     # the streaming session-window query folds to the exact shape of the
     # batch sessionize query — one oracle checks both (batch/stream duality)

@@ -1,0 +1,158 @@
+"""Deterministic cardinality sketches for 100-TB pipeline accounting.
+
+``COUNT(DISTINCT key)`` over 10^12 rows is a full shuffle of every
+distinct key; the standard fix is HyperLogLog. Spark's built-in
+``approx_count_distinct`` is HLL++ with an engine-private hash, so its
+estimates can't be oracle-checked. This module implements classic
+HyperLogLog (Flajolet et al. 2007) over the repo's engine-portable
+``hash60`` (md5-prefix) hash with EXACT integer register arithmetic, so
+Spark and DuckDB produce bit-identical estimates:
+
+* register index = ``hash60 % m`` (m = 2^p registers), sub-hash
+  ``w = hash60 // m`` (60-p bits), rank rho = leading-zeros(w)+1
+  computed via binary-string length — no floating point;
+* per (group, register) max-rank — a corpus-sized shuffle whose output
+  is <= m x groups rows, with map-side partial max;
+* the harmonic mean's denominator is kept as an exact int64 numerator
+  N = sum 2^(bits+1-rho) (dyadic terms scaled integer; max m*2^bits <
+  2^63), so the only floating-point steps are one IEEE division and the
+  (rounded) small-range ln correction — deterministic across engines.
+
+Standard error ~1.04/sqrt(m): 6.5% at the default m=256; raise m for
+tighter accounting (m rows per group cross the final shuffle either way).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import hash60, hash60_sql
+
+__all__ = ["hll_distinct", "hll_distinct_sql"]
+
+_HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _check_m(m: int) -> int:
+    p = m.bit_length() - 1
+    if m < 16 or (1 << p) != m:
+        raise ValueError("m must be a power of two >= 16")
+    return p
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    *,
+    m: int = 256,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate of ``key_col``.
+
+    Output: group columns + ``hll_distinct`` (double, rounded to 2
+    decimals — the raw estimate is deterministic; rounding absorbs any
+    last-ulp ``ln`` divergence of the small-range correction between
+    engines). Null keys are ignored (SQL COUNT DISTINCT semantics).
+    """
+    p = _check_m(m)
+    bits = _HASH_BITS - p
+    alpha = _alpha(m)
+
+    h = hash60(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    t = (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__h", h)
+        .withColumn("__reg", F.pmod(F.col("__h"), F.lit(m)))
+        .withColumn("__w", F.expr(f"__h div {m}"))
+        .withColumn(
+            "__rho",
+            F.when(F.col("__w") == 0, F.lit(bits + 1)).otherwise(
+                F.lit(bits + 1) - F.length(F.bin(F.col("__w")))
+            ).cast("int"),
+        )
+    )
+    regs = t.groupBy(*group_cols, "__reg").agg(F.max("__rho").alias("__R"))
+    scale = bits + 1  # numerator term = 2^(scale - R), R in [1, scale]
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {scale} - __R)")
+        ).alias("__N_present"),
+        F.count(F.lit(1)).alias("__present"),
+    )
+    zeros = F.lit(m) - F.col("__present")
+    n_num = (
+        F.col("__N_present")
+        + zeros * F.lit(1 << scale).cast("long")
+    ).cast("double")
+    e_raw = F.lit(alpha * m * m * float(1 << scale)) / n_num
+    small = (zeros > 0) & (e_raw <= F.lit(2.5 * m))
+    est = F.when(
+        small, F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    ).otherwise(e_raw)
+    return agg.select(*group_cols, F.round(est, 2).alias("hll_distinct"))
+
+
+def hll_distinct_sql(
+    group_exprs: str,
+    key_expr: str,
+    from_clause: str,
+    *,
+    m: int = 256,
+    salt: str = "hll",
+) -> str:
+    """The DuckDB twin: same hash, same integer register math, same
+    rounding — estimates match Spark's bit-for-bit."""
+    p = _check_m(m)
+    bits = _HASH_BITS - p
+    alpha = _alpha(m)
+    scale = bits + 1
+    h = hash60_sql(f"'{salt}:' || CAST({key_expr} AS VARCHAR)")
+    # NB: plain decimal-point literals parse as DECIMAL in DuckDB (whose
+    # fixed-point multiply overflows here); explicit DOUBLE casts instead
+    num = f"(CAST({alpha!r} AS DOUBLE) * {m} * {m} * CAST({1 << scale} AS DOUBLE))"
+    return f"""
+        SELECT {group_exprs},
+               ROUND(CASE WHEN ({m} - __present) > 0
+                          AND ({num} / __N) <= {2.5 * m}
+                     THEN CAST({m} AS DOUBLE) * LN(CAST({m} AS DOUBLE)
+                          / CAST({m} - __present AS DOUBLE))
+                     ELSE {num} / __N
+                     END, 2) AS hll_distinct
+        FROM (
+            SELECT {group_exprs},
+                   CAST(SUM(1::BIGINT << ({scale} - __R))
+                        + ({m} - COUNT(*)) * (1::BIGINT << {scale})
+                        AS DOUBLE) AS __N,
+                   COUNT(*) AS __present
+            FROM (
+                SELECT {group_exprs}, __reg, MAX(__rho) AS __R
+                FROM (
+                    SELECT {group_exprs},
+                           (__h % {m}) AS __reg,
+                           CASE WHEN (__h // {m}) = 0 THEN {bits + 1}
+                                ELSE {bits + 1} - length(bin(__h // {m}))
+                           END AS __rho
+                    FROM (
+                        SELECT *, {h} AS __h FROM {from_clause}
+                        WHERE {key_expr} IS NOT NULL
+                    )
+                )
+                GROUP BY {group_exprs}, __reg
+            )
+            GROUP BY {group_exprs}
+        )
+    """
