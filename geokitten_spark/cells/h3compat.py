@@ -31,6 +31,9 @@ __all__ = [
     "is_valid_cell",
     "is_pentagon",
     "grid_disk",
+    "grid_ring",
+    "grid_distance",
+    "grid_path_cells",
     "cell_to_boundary",
     "polygon_to_cells",
     "str_to_int",
@@ -85,6 +88,20 @@ def is_pentagon(cell: str) -> bool:
 
 def grid_disk(cell: str, k: int = 1) -> list:
     out = _c.grid_disk(np.uint64(int(cell, 16)), k)
+    return [format(int(x), "x") for x in out]
+
+
+def grid_ring(cell: str, k: int = 1) -> list:
+    out = _c.grid_ring(np.uint64(int(cell, 16)), k)
+    return [format(int(x), "x") for x in out]
+
+
+def grid_distance(a: str, b: str) -> int:
+    return _c.grid_distance(np.uint64(int(a, 16)), np.uint64(int(b, 16)))
+
+
+def grid_path_cells(a: str, b: str) -> list:
+    out = _c.grid_path_cells(np.uint64(int(a, 16)), np.uint64(int(b, 16)))
     return [format(int(x), "x") for x in out]
 
 

@@ -55,6 +55,10 @@ __all__ = [
     "is_valid_cell",
     "grid_disk",
     "grid_disk_arrays",
+    "grid_distance",
+    "grid_ring",
+    "grid_path_cells",
+    "cell_neighbors",
     "cell_to_string",
     "string_to_cell",
 ]
@@ -1116,6 +1120,69 @@ def grid_disk_distances_safe(h, k):
                     nxt.append(nb)
         frontier = nxt
     return dist
+
+
+def grid_distance(a, b, max_k: int = 256):
+    """Exact grid distance between two same-res cells, pentagon-proof:
+    BFS on the derived neighbor graph from ``a`` until ``b`` appears.
+    Cost O(|disk(d)|) — intended for driver-side / small-d use (the
+    vectorized tiling paths never need pairwise distances). Raises if
+    the distance exceeds ``max_k`` (antipodal queries are out of scope,
+    matching the published implementation's failure mode there)."""
+    a0 = int(np.atleast_1d(_u64(a))[0])
+    b0 = int(np.atleast_1d(_u64(b))[0])
+    ra = int(np.atleast_1d(get_resolution(np.uint64(a0)))[0])
+    rb = int(np.atleast_1d(get_resolution(np.uint64(b0)))[0])
+    if ra != rb:
+        raise ValueError("grid_distance requires equal resolutions")
+    if a0 == b0:
+        return 0
+    dist = {a0: 0}
+    frontier = [a0]
+    for d in range(1, max_k + 1):
+        nxt = []
+        for c in frontier:
+            for nb in cell_neighbors(c):
+                nb = int(nb)
+                if nb == b0:
+                    return d
+                if nb not in dist:
+                    dist[nb] = d
+                    nxt.append(nb)
+        frontier = nxt
+        if not frontier:
+            break
+    raise ValueError(f"grid_distance exceeds max_k={max_k}")
+
+
+def grid_ring(h, k):
+    """Cells at grid distance EXACTLY ``k`` (hollow ring), exact
+    including pentagon distortion; sorted uint64 array."""
+    if k == 0:
+        return np.atleast_1d(_u64(h)).copy()
+    dist = grid_disk_distances_safe(h, k)
+    return np.array(sorted(c for c, d in dist.items() if d == k), dtype=np.uint64)
+
+
+def grid_path_cells(a, b, max_k: int = 256):
+    """A minimal grid path from ``a`` to ``b`` inclusive (length =
+    grid_distance + 1), deterministic (smallest-id descent), exact
+    across pentagon distortion: BFS distances from ``b``, then walk
+    from ``a`` always stepping to a neighbor one closer to ``b``."""
+    a0 = int(np.atleast_1d(_u64(a))[0])
+    b0 = int(np.atleast_1d(_u64(b))[0])
+    d = grid_distance(a0, b0, max_k=max_k)
+    dist_from_b = grid_disk_distances_safe(b0, d)
+    path = [a0]
+    cur = a0
+    for step in range(d, 0, -1):
+        nxt = min(
+            int(nb) for nb in cell_neighbors(cur)
+            if dist_from_b.get(int(nb), step) == step - 1
+        )
+        path.append(nxt)
+        cur = nxt
+    return np.array(path, dtype=np.uint64)
 
 
 def grid_disk_arrays(cells, k):

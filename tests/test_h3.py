@@ -487,3 +487,50 @@ def test_grid_disk_symmetric_across_path_boundary():
         for b in da:
             if b in disks and b != a:
                 assert a in disks[b], (format(a, "x"), format(b, "x"))
+
+
+def test_grid_distance_ring_path():
+    """grid_distance / grid_ring / grid_path_cells: ring-k membership has
+    distance exactly k, distance is symmetric, paths have length d+1 with
+    consecutive-adjacency — including around a pentagon."""
+    c = hc.latlng_to_cell(48.8566, 2.3522, 5)[0]
+    disk3 = hc.grid_disk_distances_safe(c, 3)
+    for cell, d in list(disk3.items())[::7]:
+        assert hc.grid_distance(c, cell) == d
+        assert hc.grid_distance(cell, c) == d  # symmetric
+    for k in (1, 2, 3):
+        ring = hc.grid_ring(c, k)
+        assert len(ring) == 6 * k
+        assert all(disk3[int(x)] == k for x in ring)
+    # pentagon: ring sizes 5k, distances exact through the warp zone
+    bc = int(hc.PENTAGON_BASE_CELLS[0])
+    pent = hc.cell_to_center_child(
+        np.uint64((1 << 59) | (bc << 45) | ((1 << 45) - 1)), 2
+    )[0]
+    for k in (1, 2, 3):
+        assert len(hc.grid_ring(pent, k)) == 5 * k
+    far = int(hc.grid_ring(pent, 3)[0])
+    assert hc.grid_distance(pent, far) == 3
+    path = hc.grid_path_cells(pent, far)
+    assert len(path) == 4
+    assert int(path[0]) == int(pent) and int(path[-1]) == far
+    for u, v in zip(path, path[1:]):
+        assert int(v) in {int(x) for x in hc.cell_neighbors(u)}
+    # determinism + error modes
+    assert list(hc.grid_path_cells(pent, far)) == list(path)
+    import pytest
+    with pytest.raises(ValueError, match="resolutions"):
+        hc.grid_distance(pent, c)
+    assert hc.grid_distance(c, c) == 0
+    assert len(hc.grid_path_cells(c, c)) == 1
+
+
+def test_h3compat_grid_ops():
+    from geokitten_spark.cells import h3compat as h3
+
+    a = h3.latlng_to_cell(37.7752702151959, -122.418307270836, 7)
+    ring2 = h3.grid_ring(a, 2)
+    assert len(ring2) == 12 and all(isinstance(x, str) for x in ring2)
+    assert h3.grid_distance(a, ring2[0]) == 2
+    p = h3.grid_path_cells(a, ring2[0])
+    assert p[0] == a and p[-1] == ring2[0] and len(p) == 3
