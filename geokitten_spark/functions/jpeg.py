@@ -17,8 +17,9 @@ Scope (ITU-T T.81):
   first/refine with EOB-run coding, spectral selection + successive
   approximation — accumulating coefficients across scans before one
   shared IDCT. Huffman/quant tables are read FROM THE STREAM, so
-  third-party JPEGs decode with their own tables. Arithmetic coding and
-  12-bit precision still raise ``NotImplementedError``.
+  third-party JPEGs decode with their own tables. 12-bit sample
+  precision decodes (level shift 2048, 255/4095 output reduction);
+  arithmetic coding still raises ``NotImplementedError``.
 * **encode_jpeg** — baseline with the published Annex K tables (IJG
   quality scaling); 4:4:4 or 4:2:0; optional restart intervals.
 * **encode_jpeg_progressive** — the standard 10-scan
@@ -531,6 +532,84 @@ def encode_jpeg(
 
 
 # ---------------------------------------------------------------------------
+# 12-bit extended-sequential encoder (SOF1) — fixture source for the
+# 12-bit decode lane. Flat canonical huffman tables cover the full
+# extended category ranges (DC 0-15 at length 5: Kraft 16/32; AC
+# EOB/ZRL + run 0-15 x size 1-14 = 226 symbols at length 8: 226/256) —
+# compression is secondary to coverage in a fixture encoder.
+# ---------------------------------------------------------------------------
+
+_DC12_BITS = [0, 0, 0, 0, 16] + [0] * 11
+_DC12_VALS = list(range(16))
+_AC12_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 15)
+]
+_AC12_BITS = [0] * 16
+_AC12_BITS[7] = len(_AC12_VALS)
+
+
+def encode_jpeg12(img: np.ndarray, quality: int = 90) -> bytes:
+    """HxWx3 RGB (or HxW gray) uint8 -> 12-bit extended-sequential JPEG
+    (SOF1, 4:4:4). Samples are bit-replicated 8->12 (v*16 + v//16) so
+    the decoder's 255/4095 reduction recovers the input up to quant
+    error. Deterministic."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"expected HxWx3 or HxW uint8, got {img.shape}")
+    h, w = img.shape[:2]
+    f = img.astype(np.float64)
+    f = f * 16.0 + np.floor(f / 16.0)  # 8->12 bit replication
+    r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 2048.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 2048.0
+
+    qy = _scaled_quant(QUANT_LUMA, quality)
+    qc = _scaled_quant(QUANT_CHROMA, quality)
+
+    def quant12(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+        blocks = _plane_blocks(_pad_edge(plane, 8) - 2048.0)
+        coefs = fdct_blocks(blocks)
+        qz = np.round(coefs / qt).astype(np.int64)
+        # keep AC inside the size-14 category range the tables cover
+        qz = np.clip(qz, -16383, 16383)
+        return qz.reshape(-1, 64)[:, ZIGZAG]
+
+    zzy = quant12(y, qy)
+    zzcb = quant12(cb, qc)
+    zzcr = quant12(cr, qc)
+
+    dc12 = _build_encode_table(_DC12_BITS, _DC12_VALS)
+    ac12 = _build_encode_table(_AC12_BITS, _AC12_VALS)
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+    for bi in range(zzy.shape[0]):
+        pred[0] = _encode_block(writer, zzy[bi], pred[0], dc12, ac12)
+        pred[1] = _encode_block(writer, zzcb[bi], pred[1], dc12, ac12)
+        pred[2] = _encode_block(writer, zzcr[bi], pred[2], dc12, ac12)
+    writer.pad_to_byte()
+
+    sof_comps = bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sof1 = b"\xff\xc1" + struct.pack(">HBHH", 8 + 3 * 3, 12, h, w) + sof_comps
+    sos = b"\xff\xda" + struct.pack(">HB", 6 + 2 * 3, 3) + bytes(
+        [1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]
+    )
+    return (
+        b"\xff\xd8"
+        + _dqt_segment(0, qy)
+        + _dqt_segment(1, qc)
+        + sof1
+        + _dht_segment(0, 0, _DC12_BITS, _DC12_VALS)
+        + _dht_segment(1, 0, _AC12_BITS, _AC12_VALS)
+        + sos
+        + bytes(writer.buf)
+        + b"\xff\xd9"
+    )
+
+
+# ---------------------------------------------------------------------------
 # progressive encoder (T.81 Annex G: spectral selection + successive
 # approximation) — exists chiefly to manufacture REAL progressive streams
 # for the decoder's tests in a container with no external codec, so it
@@ -983,10 +1062,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline or progressive JPEG bytes -> HxWx3 uint8 RGB.
 
     Reads quantization + huffman tables from the stream (third-party
-    JPEGs decode with their own tables). Sequential (SOF0/1) and
-    progressive (SOF2, spectral selection + successive approximation,
-    T.81 Annex G) streams decode; arithmetic coding and 12-bit
-    precision raise ``NotImplementedError``.
+    JPEGs decode with their own tables). Sequential (SOF0/1, 8- and
+    12-bit sample precision) and progressive (SOF2, spectral selection
+    + successive approximation, T.81 Annex G) streams decode; arithmetic
+    coding raises ``NotImplementedError``. 12-bit output is reduced to
+    8-bit RGB (scale 255/4095), mirroring the 16-bit PNG lane.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -1040,13 +1120,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             progressive = marker == 0xC2
             prec, ih, iw, nc = struct.unpack(">BHHB", data[:6])
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG precision supported")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"JPEG sample precision {prec} not supported (8/12 only)"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
-            sof = (ih, iw, comps)
+            sof = (ih, iw, comps, prec)
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             mcus_x = -(-iw // (8 * hmax))
@@ -1096,7 +1178,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if sof is None or scans_decoded == 0:
         raise ValueError("JPEG missing SOF/SOS")
 
-    ih, iw, comps = sof
+    ih, iw, comps, prec = sof
+    center = float(1 << (prec - 1))
+    maxval = float((1 << prec) - 1)
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-iw // (8 * hmax))
@@ -1112,7 +1196,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             spatial.reshape(bh, bw, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(bh * 8, bw * 8)
-        ) + 128.0
+        ) + center
         # integer-ratio upsample to the full MCU grid
         ry, rx = vmax // cv, hmax // ch
         if ry * cv != vmax or rx * ch != hmax:
@@ -1124,13 +1208,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         planes.append(plane[:ih, :iw])
 
     if len(planes) == 1:
-        yp = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        yp = planes[0] if prec == 8 else planes[0] * (255.0 / maxval)
+        yp = np.clip(np.round(yp), 0, 255).astype(np.uint8)
         return np.repeat(yp[:, :, None], 3, axis=2)
     if len(planes) != 3:
         raise NotImplementedError(f"{len(planes)}-component JPEG not supported")
     y, cb, cr = planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
     rgb = np.stack([r, g, b], axis=2)
+    if prec != 8:
+        # 12-bit samples -> 8-bit output (same reduction as the 16-bit
+        # PNG lane: scale to [0, 255], round)
+        rgb = np.clip(rgb, 0.0, maxval) * (255.0 / maxval)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

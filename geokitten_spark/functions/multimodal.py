@@ -124,15 +124,16 @@ def synth_payload(doc_id: int, text: str) -> bytes:
     oracles so the two execution paths see byte-identical inputs.
 
     * image rows (id % 3 == 0): cycle PNG / PPM / baseline JPEG /
-      PROGRESSIVE JPEG / ADAM7 PNG / 16-BIT PNG by (id//3) % 6 so all
-      six real binary parses run end to end (progressive exercises the
-      multi-scan SOF2 decoder; Adam7 the 7-pass de-interlace; 16-bit the
-      high-byte reduction);
+      PROGRESSIVE JPEG / ADAM7 PNG / 16-BIT PNG / 12-BIT JPEG by
+      (id//3) % 7 so all seven real binary parses run end to end
+      (progressive exercises the multi-scan SOF2 decoder; Adam7 the
+      7-pass de-interlace; 16-bit PNG and 12-bit JPEG the high-precision
+      reductions);
     * audio rows (id % 3 == 1): REAL RIFF/WAVE PCM16 — int16 samples
       derived from the text bytes;
     * video rows (id % 3 == 2): REAL MJPEG AVI — n_frames baseline-JPEG
       frames of byte-rotated pixel tiles."""
-    from .jpeg import encode_jpeg, encode_jpeg_progressive
+    from .jpeg import encode_jpeg, encode_jpeg12, encode_jpeg_progressive
     from .riff import encode_avi_mjpeg, encode_wav
 
     w = doc_id % 64 + 16
@@ -146,7 +147,8 @@ def synth_payload(doc_id: int, text: str) -> bytes:
             encode_jpeg_progressive,
             encode_png_adam7,
             encode_png16,
-        ][(doc_id // 3) % 6]
+            encode_jpeg12,
+        ][(doc_id // 3) % 7]
         return enc(_tile_pixels(text, w, h))
     if kind == 1:
         raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)

@@ -216,3 +216,47 @@ def test_progressive_is_sof2_multiscan_and_deterministic():
     assert p1 == encode_jpeg_progressive(img)
     assert b"\xff\xc2" in p1  # SOF2
     assert p1.count(b"\xff\xda") == 10  # the 10-scan script
+
+
+def test_jpeg12_roundtrip_and_structure():
+    """12-bit extended-sequential (SOF1) encode/decode: smooth gradients
+    recover within +/-1 of the 8-bit source after the 255/4095 output
+    reduction; headers carry precision 12; the 8-bit guard is gone but
+    unknown precisions still fail loudly."""
+    import numpy as np
+    import pytest
+
+    from geokitten_spark.functions.jpeg import decode_jpeg, encode_jpeg12
+
+    for (h, w) in [(8, 8), (17, 23), (33, 31)]:
+        x = np.linspace(0, 255, w)
+        y = np.linspace(0, 200, h)
+        img = np.clip(
+            np.round(
+                y[:, None, None] * 0.5
+                + x[None, :, None] * 0.5
+                + np.array([0.0, 20.0, 40.0])[None, None, :]
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        p = encode_jpeg12(img, quality=95)
+        assert p[:2] == b"\xff\xd8" and b"\xff\xc1" in p
+        assert p[p.index(b"\xff\xc1") + 4] == 12  # SOF precision byte
+        out = decode_jpeg(p)
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    # noisy content also stays tight at 4:4:4 / q95 with 12-bit headroom
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (24, 16, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg12(img, quality=95))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+    # unsupported precision still raises with the value in the message
+    import struct
+    bad = bytearray(encode_jpeg12(img))
+    i = bad.index(b"\xff\xc1")
+    bad[i + 4] = 10
+    with pytest.raises(NotImplementedError, match="10"):
+        decode_jpeg(bytes(bad))
