@@ -2295,6 +2295,24 @@ def q_distinct_sketch(spark, sf_dir):
     return est.join(exact, on="source")
 
 
+def q_distinct_sketch_union(spark, sf_dir):
+    """Mergeable-HLL increment path (operators/sketch.py): slice the
+    corpus three ways by a key hash, sketch each slice to its register
+    table (<= m rows/group each), max-merge the tables, estimate. The
+    merge is LOSSLESS — registers are maxes of per-key ranks, so the
+    oracle is simply the single-pass sketch SQL. This is the 100-TB
+    ingest shape: daily increments each sketch their own slice; history
+    distinct accounting max-merges tiny register tables, never re-scans."""
+    from geokitten_spark.operators.sketch import hll_registers, hll_union_distinct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    slices = [
+        docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i) for i in range(3)
+    ]
+    regs = [hll_registers(s, "text", ["source"]) for s in slices]
+    return hll_union_distinct(regs, ["source"])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
@@ -2417,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "h3_pentagon_disk": q_h3_pentagon_disk,
         "pack_sequences": q_pack_sequences,
         "distinct_sketch": q_distinct_sketch,
+        "distinct_sketch_union": q_distinct_sketch_union,
     }
 
 
@@ -3257,6 +3276,9 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents GROUP BY source) e
             USING (source)
         """,
+        # the register max-merge is lossless, so the union-of-slices query's
+        # oracle IS the single-pass sketch (see hll_union_distinct docstring)
+        "distinct_sketch_union": hll_distinct_sql("source", "text", "documents"),
     }
     # the streaming session-window query folds to the exact shape of the
     # batch sessionize query — one oracle checks both (batch/stream duality)

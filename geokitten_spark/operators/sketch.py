@@ -20,6 +20,16 @@ Spark and DuckDB produce bit-identical estimates:
 
 Standard error ~1.04/sqrt(m): 6.5% at the default m=256; raise m for
 tighter accounting (m rows per group cross the final shuffle either way).
+
+The register table is the sketch's merge surface: ``hll_registers``
+exposes it, and ``hll_union_distinct`` max-merges register tables built
+over disjoint (or overlapping — union is idempotent) slices. Because a
+register is a max over a set of per-key ranks, slicing + merging is
+LOSSLESS: the union of per-slice sketches is bit-identical to the
+single-pass sketch of the whole corpus. That is the property that makes
+the sketch usable at 100 TB — each ingest increment sketches its own
+slice (m rows out), and history-wide distinct accounting is a max-merge
+of tiny register tables, never a re-scan.
 """
 
 from __future__ import annotations
@@ -31,7 +41,12 @@ from pyspark.sql import functions as F
 
 from .dedup import hash60, hash60_sql
 
-__all__ = ["hll_distinct", "hll_distinct_sql"]
+__all__ = [
+    "hll_distinct",
+    "hll_distinct_sql",
+    "hll_registers",
+    "hll_union_distinct",
+]
 
 _HASH_BITS = 60
 
@@ -53,7 +68,7 @@ def _check_m(m: int) -> int:
     return p
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame,
     key_col: str,
     group_cols: list[str],
@@ -61,17 +76,15 @@ def hll_distinct(
     m: int = 256,
     salt: str = "hll",
 ) -> DataFrame:
-    """Per-group HyperLogLog distinct estimate of ``key_col``.
+    """Per-group HLL register table: group columns + ``__reg`` (int in
+    [0, m)) + ``__R`` (max rank seen, int in [1, 61-log2(m)]).
 
-    Output: group columns + ``hll_distinct`` (double, rounded to 2
-    decimals — the raw estimate is deterministic; rounding absorbs any
-    last-ulp ``ln`` divergence of the small-range correction between
-    engines). Null keys are ignored (SQL COUNT DISTINCT semantics).
+    This is the sketch's persistence/merge format — at most ``m`` rows
+    per group regardless of corpus size, max-mergeable across slices
+    (see ``hll_union_distinct``). Null keys are ignored.
     """
     p = _check_m(m)
     bits = _HASH_BITS - p
-    alpha = _alpha(m)
-
     h = hash60(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
     t = (
         df.filter(F.col(key_col).isNotNull())
@@ -85,7 +98,15 @@ def hll_distinct(
             ).cast("int"),
         )
     )
-    regs = t.groupBy(*group_cols, "__reg").agg(F.max("__rho").alias("__R"))
+    return t.groupBy(*group_cols, "__reg").agg(F.max("__rho").alias("__R"))
+
+
+def _hll_estimate(regs: DataFrame, group_cols: list[str], m: int) -> DataFrame:
+    """Shared estimate step over a register table — the only floating
+    point in the sketch lives here (one IEEE division + rounded ln)."""
+    p = _check_m(m)
+    bits = _HASH_BITS - p
+    alpha = _alpha(m)
     scale = bits + 1  # numerator term = 2^(scale - R), R in [1, scale]
     agg = regs.groupBy(*group_cols).agg(
         F.sum(
@@ -104,6 +125,51 @@ def hll_distinct(
         small, F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
     ).otherwise(e_raw)
     return agg.select(*group_cols, F.round(est, 2).alias("hll_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    *,
+    m: int = 256,
+    salt: str = "hll",
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate of ``key_col``.
+
+    Output: group columns + ``hll_distinct`` (double, rounded to 2
+    decimals — the raw estimate is deterministic; rounding absorbs any
+    last-ulp ``ln`` divergence of the small-range correction between
+    engines). Null keys are ignored (SQL COUNT DISTINCT semantics).
+    """
+    return _hll_estimate(
+        hll_registers(df, key_col, group_cols, m=m, salt=salt), group_cols, m
+    )
+
+
+def hll_union_distinct(
+    parts: list[DataFrame],
+    group_cols: list[str],
+    *,
+    m: int = 256,
+) -> DataFrame:
+    """Distinct estimate from the max-merge of per-slice register tables
+    (each built by ``hll_registers`` with the SAME m and salt).
+
+    Lossless by construction: max of per-slice maxes == corpus max, so
+    the result is bit-identical to ``hll_distinct`` over the
+    concatenated slices — the oracle for a union query is simply the
+    single-pass sketch. Each input contributes <= m rows per group, so
+    merging a year of daily increments shuffles days x m x groups rows,
+    never the corpus.
+    """
+    if not parts:
+        raise ValueError("hll_union_distinct needs at least one register table")
+    merged = parts[0]
+    for nxt in parts[1:]:
+        merged = merged.unionByName(nxt)
+    regs = merged.groupBy(*group_cols, "__reg").agg(F.max("__R").alias("__R"))
+    return _hll_estimate(regs, group_cols, m)
 
 
 def hll_distinct_sql(

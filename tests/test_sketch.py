@@ -4,7 +4,12 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from geokitten_spark.operators.sketch import hll_distinct, hll_distinct_sql
+from geokitten_spark.operators.sketch import (
+    hll_distinct,
+    hll_distinct_sql,
+    hll_registers,
+    hll_union_distinct,
+)
 
 
 def _toy(spark, n_keys=500, rows_per_key=3):
@@ -62,6 +67,53 @@ def test_hll_null_keys_ignored_and_m_validated(spark):
         hll_distinct(df, "k", ["grp"], m=100)
     with pytest.raises(ValueError, match="power of two"):
         hll_distinct(df, "k", ["grp"], m=8)
+
+
+def test_hll_union_merge_is_lossless(spark):
+    """Max-merging per-slice register tables must be BIT-identical to the
+    single-pass sketch — disjoint slices, overlapping slices, and a
+    degenerate 1-slice union all collapse to the same estimate."""
+    df = _toy(spark, n_keys=700)
+    single = {r.grp: r.hll_distinct for r in hll_distinct(df, "k", ["grp"]).collect()}
+
+    slices = [df.filter(F.pmod(F.xxhash64("k"), F.lit(3)) == i) for i in range(3)]
+    regs = [hll_registers(s, "k", ["grp"]) for s in slices]
+    merged = {
+        r.grp: r.hll_distinct
+        for r in hll_union_distinct(regs, ["grp"]).collect()
+    }
+    assert merged == single
+
+    # overlap is idempotent: re-adding a slice's registers changes nothing
+    overlapped = {
+        r.grp: r.hll_distinct
+        for r in hll_union_distinct(regs + [regs[0]], ["grp"]).collect()
+    }
+    assert overlapped == single
+
+    one = {
+        r.grp: r.hll_distinct
+        for r in hll_union_distinct(
+            [hll_registers(df, "k", ["grp"])], ["grp"]
+        ).collect()
+    }
+    assert one == single
+
+    with pytest.raises(ValueError, match="at least one"):
+        hll_union_distinct([], ["grp"])
+
+
+def test_hll_union_mixed_m_registers_bounded(spark):
+    """A register table never exceeds m rows per group, whatever the
+    slice size — the property that makes the merge shuffle O(slices*m)."""
+    df = _toy(spark, n_keys=5000, rows_per_key=1)
+    counts = (
+        hll_registers(df, "k", ["grp"], m=64)
+        .groupBy("grp")
+        .count()
+        .collect()
+    )
+    assert counts and all(r["count"] <= 64 for r in counts)
 
 
 def test_hll_plan_shape(spark):
