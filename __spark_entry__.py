@@ -2313,6 +2313,34 @@ def q_distinct_sketch_union(spark, sf_dir):
     return hll_union_distinct(regs, ["source"])
 
 
+def q_heavy_hitters_cms(spark, sf_dir):
+    """Count-min heavy hitters (operators/sketch.py): frequency side of
+    the sketch pair. Build a 4x1024 counter grid over the token stream
+    in one map-side-combined pass (the exchange carries <= d*w rows per
+    task, never the corpus), then probe the exact top-20 tokens against
+    it — cms_count is min-of-4 counters, one-sided (>= exact). All
+    int64 on hash60, so the DuckDB twin matches bit-for-bit. At 100 TB
+    the grid is the merge surface: per-increment grids SUM-merge
+    losslessly and any candidate set probes via a broadcast of the
+    <= 4096-row grid, no corpus re-scan."""
+    from geokitten_spark.operators.sketch import cms_counters, cms_lookup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        ).alias("tok")
+    )
+    counters = cms_counters(toks, "tok", d=4, w=1024)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    return cms_lookup(counters, top, "tok", d=4, w=1024)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
@@ -2436,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "distinct_sketch": q_distinct_sketch,
         "distinct_sketch_union": q_distinct_sketch_union,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
     }
 
 
@@ -2470,7 +2499,11 @@ def oracle_sql() -> dict[str, str]:
     )
     from geokitten_spark.operators.lm import lm_perplexity_sql
     from geokitten_spark.operators.packing import pack_sequences_sql
-    from geokitten_spark.operators.sketch import hll_distinct_sql
+    from geokitten_spark.operators.sketch import (
+        cms_counters_sql,
+        cms_lookup_sql,
+        hll_distinct_sql,
+    )
     from geokitten_spark.functions.geocode import (
         url_host_sql,
         haversine_km_sql,
@@ -3279,6 +3312,21 @@ def oracle_sql() -> dict[str, str]:
         # the register max-merge is lossless, so the union-of-slices query's
         # oracle IS the single-pass sketch (see hll_union_distinct docstring)
         "distinct_sketch_union": hll_distinct_sql("source", "text", "documents"),
+        "heavy_hitters_cms": f"""
+            WITH toks AS (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+                FROM documents
+            ),
+            counters AS ({cms_counters_sql("tok", "toks", d=4, w=1024)}),
+            top AS (
+                SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+                FROM toks GROUP BY tok
+                ORDER BY exact_cnt DESC, tok ASC LIMIT 20
+            )
+            {cms_lookup_sql("counters", "top", "tok", "k.tok, k.exact_cnt",
+                            d=4, w=1024)}
+        """,
     }
     # the streaming session-window query folds to the exact shape of the
     # batch sessionize query — one oracle checks both (batch/stream duality)

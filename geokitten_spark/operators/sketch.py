@@ -46,6 +46,11 @@ __all__ = [
     "hll_distinct_sql",
     "hll_registers",
     "hll_union_distinct",
+    "cms_counters",
+    "cms_merge",
+    "cms_lookup",
+    "cms_counters_sql",
+    "cms_lookup_sql",
 ]
 
 _HASH_BITS = 60
@@ -221,4 +226,172 @@ def hll_distinct_sql(
             )
             GROUP BY {group_exprs}
         )
+    """
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+#
+# The frequency-side twin of the HLL above: where HLL answers "how many
+# distinct keys", count-min answers "how often does THIS key occur"
+# without a per-key groupBy of the corpus. The sketch is a d x w integer
+# counter grid; every occurrence increments one counter per hash row, a
+# point query reads the MIN of its d counters (one-sided error: never an
+# underestimate, overestimate <= 2N/w with prob 1 - 2^-d).
+#
+# Scale shape at 100 TB:
+#   * build: ONE pass; posexplode to d rows/occurrence is map-side
+#     combined down to <= d*w rows per task before the only shuffle, so
+#     the exchange carries O(tasks * d * w), never O(corpus);
+#   * the counter table (<= d*w rows of 3 ints) is the persistence AND
+#     merge surface — counters are sums, so per-increment sketches
+#     SUM-merge losslessly (cms_merge), same contract as the HLL
+#     register max-merge;
+#   * lookup: broadcast the tiny counter grid against any candidate key
+#     set — no corpus re-scan.
+#
+# All arithmetic is int64 on the engine-portable hash60, so Spark and
+# DuckDB agree bit-for-bit (no floating point anywhere in the sketch).
+
+
+def _cms_buckets(key: Column, d: int, w: int, salt: str) -> Column:
+    """Array of the d bucket indices of ``key`` (int in [0, w))."""
+    return F.array(
+        *[
+            F.pmod(
+                hash60(F.concat(F.lit(f"{salt}{j}:"), key.cast("string"))),
+                F.lit(w),
+            ).cast("int")
+            for j in range(d)
+        ]
+    )
+
+
+def _cms_buckets_sql(key_expr: str, d: int, w: int, salt: str, j_expr: str) -> str:
+    """DuckDB twin of one bucket index, parameterized over the hash-row
+    index expression ``j_expr`` (joined against generate_series)."""
+    salted = f"'{salt}' || CAST({j_expr} AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR)"
+    return f"CAST({hash60_sql(salted)} % {w} AS INT)"
+
+
+def cms_counters(
+    df: DataFrame,
+    key_col: str,
+    *,
+    d: int = 4,
+    w: int = 1024,
+    weight_col: str | None = None,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build the d x w count-min counter grid over ``key_col``.
+
+    Output: ``__d`` (hash row, int in [0, d)), ``__bucket`` (int in
+    [0, w)), ``cnt`` (int64 sum of weights; 1 per occurrence when
+    ``weight_col`` is None). At most d*w rows regardless of corpus
+    size. Null keys are ignored.
+    """
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 hash rows and w >= 2 buckets")
+    weight = F.col(weight_col) if weight_col else F.lit(1)
+    t = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(
+            F.posexplode(_cms_buckets(F.col(key_col), d, w, salt)).alias(
+                "__d", "__bucket"
+            ),
+            weight.cast("long").alias("__w"),
+        )
+    )
+    return t.groupBy("__d", "__bucket").agg(F.sum("__w").alias("cnt"))
+
+
+def cms_merge(parts: list[DataFrame]) -> DataFrame:
+    """Sum-merge counter grids built with the SAME (d, w, salt).
+
+    Counters are sums, so merging per-slice sketches is LOSSLESS: the
+    merged grid is identical to the single-pass grid over the
+    concatenated slices — each increment ships <= d*w rows, never its
+    corpus slice.
+    """
+    if not parts:
+        raise ValueError("cms_merge needs at least one counter grid")
+    merged = parts[0]
+    for nxt in parts[1:]:
+        merged = merged.unionByName(nxt)
+    return merged.groupBy("__d", "__bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    counters: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cms",
+    out_col: str = "cms_count",
+) -> DataFrame:
+    """Point-query every row of ``keys`` against a counter grid.
+
+    Returns ``keys``'s columns + ``out_col`` = min over the d hash rows
+    (0 for keys the sketch never saw). The grid is <= d*w rows, so the
+    join broadcasts — candidate sets of any size probe without a
+    corpus-sized shuffle. (d, w, salt) must match the build.
+    """
+    carry = keys.columns
+    probed = keys.select(
+        *carry,
+        F.posexplode(_cms_buckets(F.col(key_col), d, w, salt)).alias(
+            "__d", "__bucket"
+        ),
+    )
+    joined = probed.join(F.broadcast(counters), ["__d", "__bucket"], "left")
+    return joined.groupBy(*carry).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col)
+    )
+
+
+def cms_counters_sql(
+    key_expr: str,
+    from_clause: str,
+    *,
+    d: int = 4,
+    w: int = 1024,
+    weight_expr: str = "1",
+    salt: str = "cms",
+) -> str:
+    """DuckDB twin of ``cms_counters`` (columns __d, __bucket, cnt)."""
+    bucket = _cms_buckets_sql(key_expr, d, w, salt, "g.j")
+    return f"""
+        SELECT CAST(g.j AS INT) AS __d, {bucket} AS __bucket,
+               CAST(SUM({weight_expr}) AS BIGINT) AS cnt
+        FROM {from_clause} CROSS JOIN generate_series(0, {d - 1}) AS g(j)
+        WHERE {key_expr} IS NOT NULL
+        GROUP BY 1, 2
+    """
+
+
+def cms_lookup_sql(
+    counters_cte: str,
+    keys_cte: str,
+    key_expr: str,
+    carry_exprs: str,
+    *,
+    d: int = 4,
+    w: int = 1024,
+    salt: str = "cms",
+    out_col: str = "cms_count",
+) -> str:
+    """DuckDB twin of ``cms_lookup``: probe ``keys_cte`` (aliased k)
+    against ``counters_cte`` (aliased c). ``carry_exprs`` are k-qualified
+    output columns."""
+    bucket = _cms_buckets_sql(f"k.{key_expr}", d, w, salt, "g.j")
+    return f"""
+        SELECT {carry_exprs}, MIN(COALESCE(c.cnt, 0)) AS {out_col}
+        FROM {keys_cte} k
+        CROSS JOIN generate_series(0, {d - 1}) AS g(j)
+        LEFT JOIN {counters_cte} c
+               ON c.__d = CAST(g.j AS INT) AND c.__bucket = {bucket}
+        GROUP BY {carry_exprs}
     """

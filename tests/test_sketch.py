@@ -127,3 +127,60 @@ def test_hll_plan_shape(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final x two aggs
     assert "SinglePartition" not in plan
     assert "Python" not in plan  # pure Catalyst
+
+
+def test_cms_one_sided_and_merge_lossless(spark):
+    """cms_count >= exact for every key; sum-merging per-slice grids is
+    bit-identical to the single-pass grid; unseen keys probe to 0."""
+    from geokitten_spark.operators.sketch import cms_counters, cms_lookup, cms_merge
+
+    df = _toy(spark, n_keys=400, rows_per_key=5)
+    counters = cms_counters(df, "k", d=4, w=256)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    probed = cms_lookup(counters, exact, "k", d=4, w=256).collect()
+    assert probed and all(r.cms_count >= r.exact_cnt for r in probed)
+
+    # the grid never exceeds d*w rows however large the input
+    assert counters.count() <= 4 * 256
+
+    # slice three ways, build per-slice grids, sum-merge: identical grid
+    slices = [df.filter(F.pmod(F.xxhash64("k"), F.lit(3)) == i) for i in range(3)]
+    merged = cms_merge([cms_counters(s, "k", d=4, w=256) for s in slices])
+    single = {(r["__d"], r["__bucket"]): r.cnt for r in counters.collect()}
+    assert {(r["__d"], r["__bucket"]): r.cnt for r in merged.collect()} == single
+
+    # a dense grid never underestimates an unseen key either — it reads
+    # collision mass, so only >= 0 holds there; the guaranteed-zero path
+    # needs an empty bucket, i.e. a SPARSE grid (1 key, d=2, w=64: the
+    # fixed hash60 puts "never-seen-key-xyz" in an untouched bucket)
+    unseen = spark.createDataFrame([("never-seen-key-xyz",)], "k string")
+    got = cms_lookup(counters, unseen, "k", d=4, w=256).collect()
+    assert got[0].cms_count >= 0
+    sparse = cms_counters(
+        spark.createDataFrame([("only-key",)], "k string"), "k", d=2, w=64
+    )
+    got = cms_lookup(sparse, unseen, "k", d=2, w=64).collect()
+    assert got[0].cms_count == 0
+
+    with pytest.raises(ValueError, match="at least one"):
+        cms_merge([])
+    with pytest.raises(ValueError, match="d >= 1"):
+        cms_counters(df, "k", d=0, w=256)
+
+
+def test_cms_weighted_counts(spark):
+    """weight_col sums weights instead of occurrences (token-weighted
+    domain accounting shape); null keys are ignored."""
+    from geokitten_spark.operators.sketch import cms_counters, cms_lookup
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 5), ("b", 7), (None, 99)], "k string, wt int"
+    )
+    counters = cms_counters(df, "k", d=3, w=64, weight_col="wt")
+    keys = spark.createDataFrame([("a",), ("b",)], "k string")
+    got = {r.k: r.cms_count for r in cms_lookup(counters, keys, "k", d=3, w=64).collect()}
+    assert got["a"] >= 15 and got["b"] >= 7
+    # total mass per hash row == total weight of non-null keys (22)
+    per_row = {r["__d"]: r.total for r in
+               counters.groupBy("__d").agg(F.sum("cnt").alias("total")).collect()}
+    assert all(v == 22 for v in per_row.values())
