@@ -1062,18 +1062,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline or progressive JPEG bytes -> HxWx3 uint8 RGB.
 
     Reads quantization + huffman tables from the stream (third-party
-    JPEGs decode with their own tables). Sequential (SOF0/1, 8- and
-    12-bit sample precision) and progressive (SOF2, spectral selection
-    + successive approximation, T.81 Annex G) streams decode; arithmetic
-    coding raises ``NotImplementedError``. 12-bit output is reduced to
-    8-bit RGB (scale 255/4095), mirroring the 16-bit PNG lane.
+    JPEGs decode with their own tables). Sequential huffman (SOF0/1,
+    8- and 12-bit sample precision), progressive huffman (SOF2,
+    spectral selection + successive approximation, T.81 Annex G), and
+    sequential arithmetic (SOF9, QM coder per Annex D/F — see
+    ``jpeg_arith.py``) streams decode; lossless, hierarchical, and
+    progressive-arithmetic processes raise ``NotImplementedError``.
+    12-bit output is reduced to 8-bit RGB (scale 255/4095), mirroring
+    the 16-bit PNG lane.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple, dict] = {}
+    conditioning: dict[tuple, object] = {}
     sof = None
     progressive = False
+    arith = False
     restart_interval = 0
     stores = None
     geom = None
@@ -1117,8 +1122,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 values = list(data[j + 17 : j + 17 + nv])
                 htables[(tclass, tid)] = _build_decode_table(bits, values)
                 j += 17 + nv
-        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            j = 0
+            while j + 1 < len(data):
+                tc, tb = data[j] >> 4, data[j] & 15
+                if tc == 0:
+                    conditioning[("dc", tb)] = (data[j + 1] & 15, data[j + 1] >> 4)
+                else:
+                    conditioning[("ac", tb)] = data[j + 1]
+                j += 2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # sequential / progressive
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             prec, ih, iw, nc = struct.unpack(">BHHB", data[:6])
             if prec not in (8, 12):
                 raise NotImplementedError(
@@ -1138,9 +1153,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 np.zeros((mcus_y * cv * mcus_x * ch, 64), dtype=np.int64)
                 for cid, ch, cv, tq in comps
             ]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (non-huffman/non-DCT coding) not supported"
+                f"JPEG SOF{marker - 0xC0} (lossless/hierarchical/progressive-"
+                "arithmetic coding) not supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
@@ -1156,21 +1172,36 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             ah_, al_ = a_ >> 4, a_ & 15
             if not progressive:
                 ss_, se_, ah_, al_ = 0, 63, 0, 0
-            i = _decode_scan(
-                payload,
-                i + 2 + seglen,
-                scan_comps,
-                comps,
-                stores,
-                htables,
-                restart_interval,
-                geom,
-                progressive,
-                ss_,
-                se_,
-                ah_,
-                al_,
-            )
+            if arith:
+                from geokitten_spark.functions.jpeg_arith import decode_scan_arith
+
+                i = decode_scan_arith(
+                    payload,
+                    i + 2 + seglen,
+                    scan_comps,
+                    comps,
+                    stores,
+                    conditioning,
+                    restart_interval,
+                    geom,
+                    _split_scan,
+                )
+            else:
+                i = _decode_scan(
+                    payload,
+                    i + 2 + seglen,
+                    scan_comps,
+                    comps,
+                    stores,
+                    htables,
+                    restart_interval,
+                    geom,
+                    progressive,
+                    ss_,
+                    se_,
+                    ah_,
+                    al_,
+                )
             scans_decoded += 1
             continue
         # APPn / COM / others: skip

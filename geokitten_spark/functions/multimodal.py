@@ -15,12 +15,13 @@ signatures, partitioning). The decode kernel dispatches per payload:
   ``encode_png_adam7``/``encode_png16``/``encode_png_palette``). The
   media fixture cycles PNG variants with PPM/JPEG, so the binary parses
   run end to end with no external codec.
-* **JPEG (baseline)** — REAL decode, pure numpy + stdlib (marker walk,
-  stream-read DQT/DHT tables, huffman entropy decode incl. restart
-  markers, batched IDCT, 4:4:4/4:2:2/4:2:0 chroma upsampling — see
-  ``jpeg.decode_jpeg``). Image ids ≡ 2 (mod 3) in the fixture carry
-  JPEG payloads, so the lossy path runs end to end with no external
-  codec. Progressive JPEG raises ``NotImplementedError``.
+* **JPEG** — REAL decode, pure numpy + stdlib (marker walk, stream-read
+  DQT/DHT/DAC tables, huffman AND QM-arithmetic entropy decode incl.
+  restart markers, batched IDCT, 4:4:4/4:2:2/4:2:0 chroma upsampling —
+  see ``jpeg.decode_jpeg`` / ``jpeg_arith.py``). Sequential (SOF0/1,
+  8/12-bit), progressive (SOF2), and sequential-arithmetic (SOF9)
+  processes all decode; lossless/hierarchical/progressive-arithmetic
+  raise ``NotImplementedError``.
 * **WAV (PCM16) / MJPEG-AVI** — REAL container parses for the audio and
   video lanes (stdlib struct + numpy chunk walks; AVI frames decode via
   the baseline-JPEG codec) — see :mod:`geokitten_spark.functions.riff`.
@@ -124,16 +125,18 @@ def synth_payload(doc_id: int, text: str) -> bytes:
     oracles so the two execution paths see byte-identical inputs.
 
     * image rows (id % 3 == 0): cycle PNG / PPM / baseline JPEG /
-      PROGRESSIVE JPEG / ADAM7 PNG / 16-BIT PNG / 12-BIT JPEG by
-      (id//3) % 7 so all seven real binary parses run end to end
-      (progressive exercises the multi-scan SOF2 decoder; Adam7 the
-      7-pass de-interlace; 16-bit PNG and 12-bit JPEG the high-precision
-      reductions);
+      PROGRESSIVE JPEG / ADAM7 PNG / 16-BIT PNG / 12-BIT JPEG /
+      ARITHMETIC JPEG by (id//3) % 8 so all eight real binary parses
+      run end to end (progressive exercises the multi-scan SOF2
+      decoder; Adam7 the 7-pass de-interlace; 16-bit PNG and 12-bit
+      JPEG the high-precision reductions; arithmetic the SOF9 QM-coder
+      path);
     * audio rows (id % 3 == 1): REAL RIFF/WAVE PCM16 — int16 samples
       derived from the text bytes;
     * video rows (id % 3 == 2): REAL MJPEG AVI — n_frames baseline-JPEG
       frames of byte-rotated pixel tiles."""
     from .jpeg import encode_jpeg, encode_jpeg12, encode_jpeg_progressive
+    from .jpeg_arith import encode_jpeg_arith
     from .riff import encode_avi_mjpeg, encode_wav
 
     w = doc_id % 64 + 16
@@ -148,7 +151,8 @@ def synth_payload(doc_id: int, text: str) -> bytes:
             encode_png_adam7,
             encode_png16,
             encode_jpeg12,
-        ][(doc_id // 3) % 7]
+            encode_jpeg_arith,
+        ][(doc_id // 3) % 8]
         return enc(_tile_pixels(text, w, h))
     if kind == 1:
         raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)

@@ -146,12 +146,14 @@ def test_420_subsampling_roundtrip():
     assert psnr(img, out) > 25.0  # chroma halved: looser bound
 
 
-def test_arithmetic_coding_raises():
+def test_progressive_arithmetic_coding_raises():
+    # sequential arithmetic (SOF9) decodes since round 4 (jpeg_arith.py);
+    # the progressive-arithmetic process (SOF10) remains guarded
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     payload = bytearray(encode_jpeg(img))
-    idx = payload.find(b"\xff\xc0")  # SOF0 -> SOF9 (arithmetic sequential)
+    idx = payload.find(b"\xff\xc0")  # SOF0 -> SOF10
     assert idx > 0
-    payload[idx + 1] = 0xC9
+    payload[idx + 1] = 0xCA
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(payload))
 

@@ -1,0 +1,167 @@
+"""Offline verification of the arithmetic-coded JPEG entropy layer.
+
+No independent JPEG library exists in this container, so correctness
+rests on the strongest checks available offline:
+
+* bit-level QM coder roundtrips over adversarial context/bias mixes
+  (exercising renormalization, conditional exchange, byte stuffing, and
+  carry walk-back),
+* full encode->decode roundtrips at several shapes/qualities,
+* cross-entropy-coding pixel PARITY: the huffman and arithmetic
+  encoders share one quantization pipeline, so their outputs must
+  decode to byte-identical pixels — a lossless-entropy-layer proof that
+  does not depend on either layer being trusted,
+* the structural claims a third-party reader would check first (SOF9
+  marker, DAC segment present, no DHT, smaller-than-huffman output on
+  compressible images).
+"""
+
+import numpy as np
+import pytest
+
+from geokitten_spark.functions.jpeg import decode_jpeg, encode_jpeg
+from geokitten_spark.functions.jpeg_arith import (
+    ArithDecoder,
+    ArithEncoder,
+    encode_jpeg_arith,
+    QE_TABLE,
+)
+
+
+def _unstuff(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        out.append(data[i])
+        if data[i] == 0xFF:
+            assert i + 1 < len(data) and data[i + 1] == 0x00, "unstuffed 0xFF"
+            i += 2
+        else:
+            i += 1
+    return bytes(out)
+
+
+def _coder_roundtrip(ctxs, bits, n_ctx=64):
+    enc = ArithEncoder()
+    st = bytearray(n_ctx)
+    for c, b in zip(ctxs, bits):
+        enc.encode(st, int(c), int(b))
+    dec = ArithDecoder(_unstuff(enc.scan()))
+    st2 = bytearray(n_ctx)
+    return [dec.decode(st2, int(c)) for c in ctxs]
+
+
+def test_qe_table_shape_and_fixed_state():
+    assert len(QE_TABLE) == 114
+    qe, nmps, nlps, switch = QE_TABLE[113]
+    assert (nmps, nlps, switch) == (113, 113, 0)  # fixed bin never adapts
+    for qe, nmps, nlps, _ in QE_TABLE:
+        assert 1 <= qe <= 0x5B12
+        assert 0 <= nmps <= 113 and 0 <= nlps <= 113
+
+
+def test_coder_roundtrip_random_biased_streams():
+    rng = np.random.default_rng(42)
+    for _ in range(30):
+        n = int(rng.integers(1, 3000))
+        nctx = int(rng.integers(1, 50))
+        bias = rng.random(nctx)
+        ctxs = rng.integers(0, nctx, n)
+        bits = (rng.random(n) < bias[ctxs]).astype(int)
+        assert _coder_roundtrip(ctxs, bits, 64) == list(bits)
+
+
+def test_coder_roundtrip_extreme_biases_force_carry_paths():
+    # long all-MPS runs drive A into repeated renormalization and emit
+    # 0xFF runs whose carries must walk back through the byte list
+    for pattern in (
+        [0] * 5000 + [1] + [0] * 5000,
+        [1] * 5000 + [0] + [1] * 5000,
+        ([0] * 200 + [1]) * 40,
+        [0, 1] * 2500,
+    ):
+        ctxs = [0] * len(pattern)
+        assert _coder_roundtrip(ctxs, pattern, 4) == pattern
+
+
+def test_coder_stuffing_invariant():
+    # every 0xFF in the entropy segment must be followed by 0x00
+    rng = np.random.default_rng(3)
+    bits = (rng.random(20000) < 0.95).astype(int)
+    enc = ArithEncoder()
+    st = bytearray(4)
+    for b in bits:
+        enc.encode(st, 0, int(b))
+    data = enc.scan()
+    i = 0
+    while i < len(data):
+        if data[i] == 0xFF:
+            assert data[i + 1] == 0x00
+            i += 2
+        else:
+            i += 1
+
+
+@pytest.mark.parametrize(
+    "shape,sub,q",
+    [
+        ((16, 16), "4:4:4", 90),
+        ((33, 25), "4:4:4", 75),
+        ((40, 56), "4:2:0", 85),
+        ((8, 8), "4:2:0", 50),
+        ((64, 48), "4:4:4", 95),
+    ],
+)
+def test_pixel_parity_with_huffman_encoder(shape, sub, q):
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (4, 4, 3)).astype(np.float64)
+    img = np.kron(base, np.ones((shape[0] // 4 + 1, shape[1] // 4 + 1, 1)))
+    img = img[: shape[0], : shape[1], :]
+    img = (img + rng.normal(0, 10, img.shape)).clip(0, 255).astype(np.uint8)
+    hb = encode_jpeg(img, q, sub)
+    ab = encode_jpeg_arith(img, q, sub)
+    assert np.array_equal(decode_jpeg(hb), decode_jpeg(ab))
+
+
+def test_arith_stream_structure_and_compression_win():
+    rng = np.random.default_rng(11)
+    grad = np.linspace(0, 255, 64 * 64).reshape(64, 64)
+    img = np.stack([grad, grad.T, (grad + grad.T) / 2], axis=2)
+    img = (img + rng.normal(0, 3, img.shape)).clip(0, 255).astype(np.uint8)
+    ab = encode_jpeg_arith(img, 90)
+    hb = encode_jpeg(img, 90)
+    assert b"\xff\xc9" in ab  # SOF9
+    assert b"\xff\xcc" in ab  # DAC
+    assert b"\xff\xc4" not in ab  # no huffman tables
+    assert len(ab) < len(hb)  # adaptive coder beats fixed tables here
+    assert np.array_equal(decode_jpeg(ab), decode_jpeg(hb))
+
+
+def test_non_default_conditioning_roundtrips():
+    # non-default DAC bounds change both the encoder model and the
+    # decoder's parsed conditioning — parity proves DAC is honored
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8).astype(np.uint8)
+    for dc_l, dc_u, ac_kx in [(0, 2, 3), (1, 3, 1), (0, 0, 63)]:
+        ab = encode_jpeg_arith(img, 80, dc_l=dc_l, dc_u=dc_u, ac_kx=ac_kx)
+        hb = encode_jpeg(img, 80)
+        assert np.array_equal(decode_jpeg(ab), decode_jpeg(hb))
+
+
+def test_grayscale_and_flat_images():
+    flat = np.full((16, 24), 128, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_arith(flat, 90)), decode_jpeg(encode_jpeg(flat, 90))
+    )
+    rng = np.random.default_rng(17)
+    noisy = rng.integers(0, 256, (17, 19), dtype=np.uint8).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg_arith(noisy, 60)),
+        decode_jpeg(encode_jpeg(noisy, 60)),
+    )
+
+
+def test_determinism():
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8).astype(np.uint8)
+    assert encode_jpeg_arith(img, 85) == encode_jpeg_arith(img, 85)

@@ -185,10 +185,10 @@ def test_ppm_codec_roundtrip_and_comments():
 
 def test_image_rows_really_decode(spark):
     """Fixture image payloads cycle PNG / P6 / baseline JPEG /
-    progressive JPEG / Adam7 PNG / 16-bit PNG / 12-bit JPEG by
-    (id//3) % 7; image_features must go through the REAL decode (pixel
-    histogram of the decoded image), bit-equal to decoding the payload
-    driver-side."""
+    progressive JPEG / Adam7 PNG / 16-bit PNG / 12-bit JPEG /
+    arithmetic JPEG by (id//3) % 8; image_features must go through the
+    REAL decode (pixel histogram of the decoded image), bit-equal to
+    decoding the payload driver-side."""
     import numpy as np
 
     from geokitten_spark.functions.jpeg import decode_jpeg
@@ -214,13 +214,16 @@ def test_image_rows_really_decode(spark):
         # 12-bit extended sequential: SOF1 with precision byte 12
         6: lambda p: p[:2] == b"\xff\xd8" and b"\xff\xc1" in p
         and p[p.index(b"\xff\xc1") + 4] == 12,
+        # sequential arithmetic: SOF9 + a DAC conditioning segment
+        7: lambda p: p[:2] == b"\xff\xd8" and b"\xff\xc9" in p
+        and b"\xff\xcc" in p and b"\xff\xc4" not in p,
     }
     seen = set()
     for r in img_rows:
-        flavor = (r.media_id // 3) % 7
+        flavor = (r.media_id // 3) % 8
         assert sigs[flavor](bytes(r.payload))
         seen.add(flavor)
-    assert seen == set(range(7))  # all seven formats present across the fixture
+    assert seen == set(range(8))  # all eight formats present across the fixture
 
     feats = {r.media_id: r.embedding for r in image_features(media).collect()
              if r.kind == "image"}
