@@ -417,6 +417,289 @@ def q_tpch_q20_nested_agg(spark, sf_dir):
     )
 
 
+def _cents(col):
+    """Exact integer cents for a dollar column (engine-portable: both
+    Spark and DuckDB round the same double to the same integer)."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def q_tpch_q2_min_cost(spark, sf_dir):
+    """Cheapest supplier per part (TPC-H Q2 shape; lineitem is the
+    part-supplier link since the schema has no partsupp). The winner per
+    part is elected with ONE map-side-combinable min(struct(price_cents,
+    suppkey)) — exact integer cents, supplier-key tie-break — instead of
+    a per-part window, then decorated with broadcast supplier/nation/
+    region dims and restricted to EUROPE suppliers."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") >= 40)
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    best = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "l_partkey",
+            F.struct(
+                _cents("l_extendedprice").alias("price_cents"),
+                F.col("l_suppkey").alias("suppkey"),
+            ).alias("offer"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.min("offer").alias("b"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("b.price_cents").alias("price_cents"),
+            F.col("b.suppkey").alias("suppkey"),
+        )
+    )
+    eur = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        best.join(s, best.suppkey == s.s_suppkey)
+        .join(F.broadcast(eur), s.s_nationkey == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            F.round(F.col("price_cents") / 100.0, 2).alias("min_price"),
+            "s_acctbal",
+        )
+    )
+
+
+def q_tpch_q8_market_share(spark, sf_dir):
+    """National market share (TPC-H Q8 shape): per ship year, NATION_3
+    suppliers' share of ECONOMY-part volume bought by AMERICA-region
+    customers. Volume sums in exact BIGINT (cents x discount points) so
+    the share is ONE IEEE division of two exact integers — bit-identical
+    across engines regardless of aggregation order."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_type") == "ECONOMY"
+    )
+    amer = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("c_nk")
+    )
+    supp_nation = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _cents("l_extendedprice") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(amer), c.c_nationkey == F.col("c_nk"), "left_semi")
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(supp_nation), s.s_nationkey == F.col("s_nk"))
+    )
+    return (
+        j.groupBy(F.year("l_shipdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0))
+            .cast("long")
+            .alias("nat_vol4"),
+            F.sum(vol).cast("long").alias("tot_vol4"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            "o_year",
+            F.round(
+                F.col("nat_vol4").cast("double") / F.col("tot_vol4").cast("double"),
+                4,
+            ).alias("mkt_share"),
+            F.round(F.col("tot_vol4").cast("double") / 10000.0, 2).alias(
+                "total_volume"
+            ),
+            "n_lines",
+        )
+    )
+
+
+def q_tpch_q9_profit(spark, sf_dir):
+    """Product-type profit (TPC-H Q9 shape) for parts named '%red%',
+    by supplier nation x ship year. p_retailprice stands in for the
+    missing ps_supplycost; revenue and cost both scale to exact BIGINT
+    1e-4 dollars (cents x discount points vs retail cents x qty x 100)
+    so the profit sum is order-independent."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter(
+        F.col("p_name").like("%red%")
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation")
+    )
+    rev4 = _cents("l_extendedprice") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    cost4 = (
+        _cents("p_retailprice")
+        * F.round(F.col("l_quantity")).cast("long")
+        * F.lit(100)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == F.col("s_nk"))
+        .groupBy("nation", F.year("l_shipdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(rev4 - cost4).cast("double") / 10000.0, 2).alias(
+                "sum_profit"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q11_important_stock(spark, sf_dir):
+    """Important-stock value (TPC-H Q11 shape; lineitem stands in for
+    partsupp): per-part shipped value restricted to ASIA-region
+    suppliers, keeping parts worth more than 2x the mean per-part value
+    — a scale-invariant analog of the spec's fixed fraction (which
+    degenerates as the part count grows). The threshold compare is
+    exact BIGINT (value x n_parts > 2 x total), no floating-point
+    fraction; the scalar (total, count) rides a broadcast cross-join."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.col("n_nationkey").alias("s_nk")
+    )
+    asia_supp = s.join(
+        F.broadcast(asia), s.s_nationkey == F.col("s_nk"), "left_semi"
+    ).select("s_suppkey")
+    vol = _cents("l_extendedprice") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    per_part = (
+        li.join(F.broadcast(asia_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(vol).cast("long").alias("val4"))
+    )
+    total = per_part.agg(
+        F.sum("val4").cast("long").alias("tot4"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val4") * F.col("n_parts") > 2 * F.col("tot4"))
+        # value stays exact BIGINT 1e-4 dollars: round(x, 2) on the double
+        # quotient is the one place Spark (BigDecimal HALF_UP) and DuckDB
+        # disagree at .005 boundaries, and with O(parts) output rows one
+        # boundary hit is near-certain at sf0.1
+        .select("p_partkey", F.col("val4").alias("value4"))
+    )
+
+
+def q_tpch_q13_order_dist(spark, sf_dir):
+    """Customer order-count distribution (TPC-H Q13 shape): left join
+    keeps zero-order customers, urgent orders are excluded, and the
+    histogram is all-integer (two small shuffles, no windows)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    """Top supplier by quarterly revenue (TPC-H Q15 shape). Revenue
+    accumulates in exact BIGINT so the arg-max compare against the
+    broadcast scalar maximum cannot tie-break differently across
+    engines; ties (if any) all surface, as in the spec."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    vol = _cents("l_extendedprice") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(vol).cast("long").alias("rev4"))
+    mx = rev.agg(F.max("rev4").alias("max4"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev4") == F.col("max4"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev4").cast("double") / 10000.0, 2).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+def q_tpch_q21_waiting_supplier(spark, sf_dir):
+    """Suppliers who held up multi-supplier orders (TPC-H Q21 shape;
+    l_shipdate stands in for the missing commit/receipt dates): in
+    finished ('F') orders with >1 supplier, blame the supplier who was
+    the SOLE latest shipper. Two aggregations replace the spec's
+    exists/not-exists self-joins — per-order stats and per-(order,
+    supplier) max — all date/integer logic, deterministic top-20."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .join(o, F.col("l_orderkey") == o.o_orderkey, "left_semi")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    ordstats = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    suppmax = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("my_max")
+    )
+    at_max = (
+        suppmax.join(ordstats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("my_max") == F.col("max_ship")))
+    )
+    sole = (
+        at_max.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_at_max"))
+        .filter(F.col("n_at_max") == 1)
+        .select("l_orderkey")
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        at_max.join(sole, "l_orderkey", "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
 def q_window_lag_delta(spark, sf_dir):
     """Window-frame showcase: per-user event stream ordered by (ts,
     event_id) — LAG delta and a 3-row moving average, folded to a per-type
@@ -2465,6 +2748,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch": q_distinct_sketch,
         "distinct_sketch_union": q_distinct_sketch_union,
         "heavy_hitters_cms": q_heavy_hitters_cms,
+        "tpch_q2_min_cost": q_tpch_q2_min_cost,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q9_profit": q_tpch_q9_profit,
+        "tpch_q11_important_stock": q_tpch_q11_important_stock,
+        "tpch_q13_order_dist": q_tpch_q13_order_dist,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
     }
 
 
@@ -3326,6 +3616,151 @@ def oracle_sql() -> dict[str, str]:
             )
             {cms_lookup_sql("counters", "top", "tok", "k.tok, k.exact_cnt",
                             d=4, w=1024)}
+        """,
+        "tpch_q2_min_cost": """
+            WITH offers AS (
+                SELECT l_partkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+                       l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_type = 'LARGE' AND p_size >= 40
+            ),
+            best AS (
+                SELECT l_partkey, price_cents, l_suppkey
+                FROM (SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY l_partkey
+                          ORDER BY price_cents, l_suppkey) AS rn
+                      FROM offers)
+                WHERE rn = 1
+            )
+            SELECT b.l_partkey AS p_partkey, s_name, n_name,
+                   round(b.price_cents / 100.0, 2) AS min_price, s_acctbal
+            FROM best b
+            JOIN supplier ON b.l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        """,
+        "tpch_q8_market_share": """
+            WITH j AS (
+                SELECT year(l_shipdate) AS o_year, n2.n_name AS supp_nation,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol
+                FROM lineitem
+                JOIN part     ON l_partkey = p_partkey
+                JOIN orders   ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region   ON n1.n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+            )
+            SELECT CAST(o_year AS INT) AS o_year,
+                   round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                                       THEN vol ELSE 0 END) AS DOUBLE)
+                         / CAST(SUM(vol) AS DOUBLE), 4) AS mkt_share,
+                   round(CAST(SUM(vol) AS DOUBLE) / 10000.0, 2) AS total_volume,
+                   COUNT(*) AS n_lines
+            FROM j GROUP BY 1
+        """,
+        "tpch_q9_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(l_shipdate) AS INT) AS o_year,
+                   round(CAST(SUM(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                       - CAST(round(p_retailprice * 100) AS BIGINT)
+                         * CAST(round(l_quantity) AS BIGINT) * 100
+                   ) AS DOUBLE) / 10000.0, 2) AS sum_profit,
+                   COUNT(*) AS n_lines
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2
+        """,
+        "tpch_q11_important_stock": """
+            WITH per_part AS (
+                SELECT l_partkey AS p_partkey,
+                       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS val4
+                FROM lineitem
+                WHERE l_suppkey IN (
+                    SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+                    WHERE r_name = 'ASIA')
+                GROUP BY 1
+            )
+            SELECT p_partkey, CAST(val4 AS BIGINT) AS value4
+            FROM per_part
+            WHERE val4 * (SELECT COUNT(*) FROM per_part)
+                  > 2 * (SELECT SUM(val4) FROM per_part)
+        """,
+        "tpch_q13_order_dist": """
+            WITH per_cust AS (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer LEFT JOIN (
+                    SELECT * FROM orders
+                    WHERE o_orderpriority <> '1-URGENT') o
+                  ON c_custkey = o.o_custkey
+                GROUP BY 1
+            )
+            SELECT c_count, COUNT(*) AS custdist FROM per_cust GROUP BY 1
+        """,
+        "tpch_q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS rev4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name,
+                   round(CAST(rev4 AS DOUBLE) / 10000.0, 2) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev4 = (SELECT MAX(rev4) FROM rev)
+        """,
+        "tpch_q21_waiting_supplier": """
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey, l_shipdate
+                FROM lineitem
+                WHERE l_orderkey IN (
+                    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+            ),
+            ordstats AS (
+                SELECT l_orderkey, MAX(l_shipdate) AS max_ship,
+                       COUNT(DISTINCT l_suppkey) AS n_supp
+                FROM li GROUP BY 1
+            ),
+            suppmax AS (
+                SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS my_max
+                FROM li GROUP BY 1, 2
+            ),
+            at_max AS (
+                SELECT s.l_orderkey, s.l_suppkey
+                FROM suppmax s JOIN ordstats o ON s.l_orderkey = o.l_orderkey
+                WHERE o.n_supp > 1 AND s.my_max = o.max_ship
+            ),
+            sole AS (
+                SELECT l_orderkey FROM at_max
+                GROUP BY 1 HAVING COUNT(*) = 1
+            )
+            SELECT s_name, numwait
+            FROM (
+                SELECT l_suppkey, COUNT(*) AS numwait
+                FROM at_max
+                WHERE l_orderkey IN (SELECT l_orderkey FROM sole)
+                GROUP BY 1
+            ) w JOIN supplier ON w.l_suppkey = s_suppkey
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 20
         """,
     }
     # the streaming session-window query folds to the exact shape of the
