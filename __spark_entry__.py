@@ -2624,6 +2624,26 @@ def q_heavy_hitters_cms(spark, sf_dir):
     return cms_lookup(counters, top, "tok", d=4, w=1024)
 
 
+def q_quantile_sketch(spark, sf_dir):
+    """HDR-histogram quantiles (operators/sketch.py:qhist): per-source
+    p50/p90/p99 text length without a per-group sort. Spark's
+    approx_percentile is a stream-order-dependent KLL/GK sketch that
+    can't be oracle-checked; the HDR bucket grid is a pure function of
+    the value multiset — exact int64 bucket math (sig=8: <= 0.4%
+    relative error), counts SUM-merge losslessly across increments like
+    the CMS grid, and the quantile read windows over the tiny bucket
+    table partitioned BY GROUP (never a SinglePartition). The DuckDB
+    twin matches bit-for-bit."""
+    from geokitten_spark.operators.sketch import qhist
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return qhist(
+        docs.select("source", F.length("text").cast("long").alias("text_len")),
+        "text_len",
+        ["source"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
@@ -2748,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch": q_distinct_sketch,
         "distinct_sketch_union": q_distinct_sketch_union,
         "heavy_hitters_cms": q_heavy_hitters_cms,
+        "quantile_sketch": q_quantile_sketch,
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
         "tpch_q8_market_share": q_tpch_q8_market_share,
         "tpch_q9_profit": q_tpch_q9_profit,
@@ -2793,6 +2814,7 @@ def oracle_sql() -> dict[str, str]:
         cms_counters_sql,
         cms_lookup_sql,
         hll_distinct_sql,
+        qhist_sql,
     )
     from geokitten_spark.functions.geocode import (
         url_host_sql,
@@ -3617,6 +3639,7 @@ def oracle_sql() -> dict[str, str]:
             {cms_lookup_sql("counters", "top", "tok", "k.tok, k.exact_cnt",
                             d=4, w=1024)}
         """,
+        "quantile_sketch": qhist_sql("source", "length(text)", "documents"),
         "tpch_q2_min_cost": """
             WITH offers AS (
                 SELECT l_partkey,

@@ -51,6 +51,11 @@ __all__ = [
     "cms_lookup",
     "cms_counters_sql",
     "cms_lookup_sql",
+    "qhist",
+    "qhist_counters",
+    "qhist_merge",
+    "qhist_quantiles",
+    "qhist_sql",
 ]
 
 _HASH_BITS = 60
@@ -394,4 +399,206 @@ def cms_lookup_sql(
         LEFT JOIN {counters_cte} c
                ON c.__d = CAST(g.j AS INT) AND c.__bucket = {bucket}
         GROUP BY {carry_exprs}
+    """
+
+# ---------------------------------------------------------------------------
+# quantile histogram sketch (HDR-histogram bucketing, Tene's hdrhistogram)
+# ---------------------------------------------------------------------------
+#
+# The quantile side of the family: HLL answers "how many distinct", CMS
+# "how often this key", this answers "what is the p50/p90/p99" without a
+# per-group full sort. Spark's approx_percentile is a KLL/GK-style
+# sketch whose compactions depend on stream order — unreproducible
+# across engines or even partitionings — so it can't be oracle-checked.
+# An HDR histogram is a pure FUNCTION of the value multiset:
+#
+#   bucket(v) for non-negative int64 v with `sig` significant bits:
+#     exp  = max(0, bit_length(v) - sig)
+#     mant = v >> exp
+#     idx  = exp * 2^sig + mant
+#
+# Values < 2^sig are exact; above that the bucket lower bound
+# (mant << exp) is within relative error 2^-(sig-1) of the true value
+# (default sig=8: 0.4%). All arithmetic is int64 — Spark and DuckDB
+# agree bit-for-bit, and a quantile read is deterministic: smallest
+# bucket whose cumulative count reaches rank ceil(p*n/100), reported as
+# that bucket's exact integer lower bound.
+#
+# Scale shape at 100 TB:
+#   * build: ONE pass, map-side combined to <= buckets-per-group rows
+#     per task before the only shuffle (buckets <= (64-sig) * 2^sig,
+#     ~14k at sig=8, vs a full per-group sort's corpus shuffle);
+#   * the counter table is the persistence AND merge surface — counts
+#     sum, so per-increment sketches merge losslessly (qhist_merge),
+#     the same contract as HLL register max-merge and CMS counter sum;
+#   * the quantile read runs over the tiny counter table only (window
+#     partitioned BY GROUP — never a SinglePartition).
+
+
+def _qhist_index(v: str, sig: int):
+    """Bucket index column for non-negative int64 column name ``v``
+    (raises at runtime on negative input via assert_true)."""
+    idx = (
+        f"CASE WHEN {v} = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(greatest(0, length(bin({v})) - {sig}) AS BIGINT) * {1 << sig} "
+        f"     + shiftright({v}, greatest(0, length(bin({v})) - {sig})) END"
+    )
+    guard = F.coalesce(
+        F.assert_true(
+            F.col(v) >= 0, F.lit("qhist: negative values unsupported")
+        ).cast("long"),
+        F.lit(0),
+    )
+    return F.expr(idx) + guard
+
+
+def _qhist_index_sql(v: str, sig: int) -> str:
+    return (
+        f"CASE WHEN {v} = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE CAST(greatest(0, length(bin({v})) - {sig}) AS BIGINT) * {1 << sig} "
+        f"     + ({v} >> greatest(0, length(bin({v})) - {sig})) END"
+    )
+
+
+def _check_percents(percents) -> list[int]:
+    ps = list(percents)
+    if not ps or any((not isinstance(p, int)) or p < 1 or p > 100 for p in ps):
+        raise ValueError("percents must be non-empty integers in [1, 100]")
+    return ps
+
+
+def qhist_counters(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    sig: int = 8,
+) -> DataFrame:
+    """Per-group HDR bucket counts of non-negative int64 ``value_col``.
+
+    Output: group columns + ``__qb`` (bucket index) + ``cnt`` (int64).
+    At most (65-sig) * 2^sig rows per group regardless of corpus size.
+    Null values are ignored; negative values raise.
+    """
+    if not 2 <= sig <= 20:
+        raise ValueError("sig must be in [2, 20]")
+    t = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        _qhist_index(value_col, sig).alias("__qb"),
+    )
+    return t.groupBy(*group_cols, "__qb").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def qhist_merge(parts: list[DataFrame]) -> DataFrame:
+    """Sum-merge bucket tables built with the SAME sig. Counts are sums,
+    so the merged table is bit-identical to the single-pass sketch of
+    the concatenated slices (lossless, like cms_merge)."""
+    if not parts:
+        raise ValueError("qhist_merge needs at least one bucket table")
+    merged = parts[0]
+    for nxt in parts[1:]:
+        merged = merged.unionByName(nxt)
+    keys = [c for c in merged.columns if c != "cnt"]
+    return merged.groupBy(*keys).agg(F.sum("cnt").alias("cnt"))
+
+
+def qhist_quantiles(
+    counters: DataFrame,
+    group_cols: list[str],
+    *,
+    percents=(50, 90, 99),
+    sig: int = 8,
+) -> DataFrame:
+    """Quantile read over a bucket table: for each group and integer
+    percent p, the exact lower bound of the smallest bucket whose
+    cumulative count reaches rank ceil(p*n/100).
+
+    Output: group columns + ``percent`` (int) + ``quantile_est``
+    (int64) + ``n_rows`` (int64). Window runs over the tiny bucket
+    table, partitioned by group — no SinglePartition anywhere.
+    """
+    from pyspark.sql import Window
+
+    ps = _check_percents(percents)
+    w = Window.partitionBy(*group_cols).orderBy("__qb")
+    cum = counters.select(
+        *group_cols,
+        "__qb",
+        F.sum("cnt").over(w).alias("__cum"),
+        F.sum("cnt").over(Window.partitionBy(*group_cols)).alias("__n"),
+    )
+    hit = (
+        cum.select(
+            *group_cols,
+            "__qb",
+            "__cum",
+            "__n",
+            F.explode(F.array(*[F.lit(p) for p in ps])).alias("percent"),
+        )
+        .filter(
+            F.col("__cum") * 100 >= F.col("percent").cast("long") * F.col("__n")
+        )
+        .groupBy(*group_cols, "percent")
+        .agg(F.min("__qb").alias("__qb"), F.max("__n").alias("n_rows"))
+    )
+    lb = F.expr(f"shiftleft(__qb % {1 << sig}, CAST(__qb div {1 << sig} AS INT))")
+    return hit.select(
+        *group_cols, "percent", lb.cast("long").alias("quantile_est"), "n_rows"
+    )
+
+
+def qhist(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    percents=(50, 90, 99),
+    sig: int = 8,
+) -> DataFrame:
+    """One-pass per-group quantile estimates (build + read)."""
+    return qhist_quantiles(
+        qhist_counters(df, value_col, group_cols, sig=sig),
+        group_cols,
+        percents=percents,
+        sig=sig,
+    )
+
+
+def qhist_sql(
+    group_exprs: str,
+    value_expr: str,
+    from_clause: str,
+    *,
+    percents=(50, 90, 99),
+    sig: int = 8,
+) -> str:
+    """DuckDB twin of ``qhist`` — same integer bucket math, same rank
+    rule, bit-identical output."""
+    ps = _check_percents(percents)
+    idx = _qhist_index_sql("__v", sig)
+    plist = ", ".join(str(p) for p in ps)
+    return f"""
+        SELECT {group_exprs}, CAST(p.percent AS INT) AS percent,
+               CAST((MIN(__qb) % {1 << sig}) << CAST(MIN(__qb) // {1 << sig} AS INT)
+                    AS BIGINT) AS quantile_est,
+               CAST(MAX(__n) AS BIGINT) AS n_rows
+        FROM (
+            SELECT {group_exprs}, __qb,
+                   SUM(cnt) OVER (PARTITION BY {group_exprs}
+                                  ORDER BY __qb) AS __cum,
+                   SUM(cnt) OVER (PARTITION BY {group_exprs}) AS __n
+            FROM (
+                SELECT {group_exprs}, {idx} AS __qb, COUNT(*) AS cnt
+                FROM (
+                    SELECT {group_exprs}, CAST({value_expr} AS BIGINT) AS __v
+                    FROM {from_clause}
+                    WHERE {value_expr} IS NOT NULL
+                )
+                GROUP BY {group_exprs}, __qb
+            )
+        ) CROSS JOIN (SELECT unnest([{plist}]) AS percent) p
+        WHERE __cum * 100 >= p.percent * __n
+        GROUP BY {group_exprs}, p.percent
     """

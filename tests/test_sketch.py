@@ -184,3 +184,97 @@ def test_cms_weighted_counts(spark):
     per_row = {r["__d"]: r.total for r in
                counters.groupBy("__d").agg(F.sum("cnt").alias("total")).collect()}
     assert all(v == 22 for v in per_row.values())
+
+
+def _qtoy(spark, n=4000):
+    rows = [(f"g{i % 3}", (i * i * 7919) % 100000) for i in range(n)]
+    return spark.createDataFrame(rows, "grp string, v long"), rows
+
+
+def test_qhist_accuracy_and_exact_small_values(spark):
+    """Bucket lower bound within 2^-(sig-1) relative error of the true
+    inverted-CDF percentile; values < 2^sig are represented exactly."""
+    from geokitten_spark.operators.sketch import qhist
+
+    df, rows = _qtoy(spark)
+    got = {(r.grp, r.percent): r.quantile_est for r in qhist(df, "v", ["grp"]).collect()}
+    for g in ("g0", "g1", "g2"):
+        vs = np.sort(np.array([v for gg, v in rows if gg == g]))
+        for p in (50, 90, 99):
+            true = vs[int(np.ceil(p * len(vs) / 100)) - 1]
+            est = got[(g, p)]
+            assert est <= true and true - est <= true * 2 ** -7, (g, p, est, true)
+
+    small = spark.createDataFrame(
+        [("a", v) for v in [0, 1, 5, 100, 255]], "grp string, v long"
+    )
+    exact = {r.percent: r.quantile_est for r in qhist(small, "v", ["grp"]).collect()}
+    assert exact == {50: 5, 90: 255, 99: 255}  # sub-2^sig values land exactly
+
+
+def test_qhist_duckdb_twin_bit_identical(spark):
+    import duckdb
+
+    from geokitten_spark.operators.sketch import qhist, qhist_sql
+
+    df, _ = _qtoy(spark, n=1500)
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    got = sorted(tuple(r) for r in qhist(df, "v", ["grp"]).collect())
+    want = sorted(tuple(r) for r in con.sql(qhist_sql("grp", "v", "t")).fetchall())
+    assert got == want
+
+
+def test_qhist_merge_lossless_and_bounded(spark):
+    """Sum-merging per-slice bucket tables is bit-identical to the
+    single-pass sketch; the bucket table stays <= (65-sig)*2^sig rows per
+    group however large the corpus."""
+    from geokitten_spark.operators.sketch import (
+        qhist,
+        qhist_counters,
+        qhist_merge,
+        qhist_quantiles,
+    )
+
+    df, _ = _qtoy(spark)
+    single = sorted(tuple(r) for r in qhist(df, "v", ["grp"]).collect())
+    slices = [df.filter(F.pmod(F.xxhash64("v"), F.lit(3)) == i) for i in range(3)]
+    merged = qhist_quantiles(
+        qhist_merge([qhist_counters(s, "v", ["grp"]) for s in slices]), ["grp"]
+    )
+    assert sorted(tuple(r) for r in merged.collect()) == single
+
+    counts = qhist_counters(df, "v", ["grp"], sig=4).groupBy("grp").count().collect()
+    assert counts and all(r["count"] <= 61 * 16 for r in counts)
+
+    with pytest.raises(ValueError, match="at least one"):
+        qhist_merge([])
+
+
+def test_qhist_guards_and_plan_shape(spark):
+    """Negative values raise, nulls are ignored, bad percents/sig raise;
+    the build partial-combines map-side and nothing hits SinglePartition
+    (the read windows per group over the tiny bucket table)."""
+    from geokitten_spark.operators.sketch import qhist, qhist_counters
+
+    with pytest.raises(Exception, match="negative"):
+        qhist(
+            spark.createDataFrame([("a", -5)], "grp string, v long"), "v", ["grp"]
+        ).collect()
+    df = spark.createDataFrame([("a", 7), ("a", None)], "grp string, v long")
+    [r] = qhist_counters(df, "v", ["grp"]).collect()
+    assert r.cnt == 1
+    with pytest.raises(ValueError, match="percents"):
+        qhist(df, "v", ["grp"], percents=[0])
+    with pytest.raises(ValueError, match="percents"):
+        qhist(df, "v", ["grp"], percents=[50.5])
+    with pytest.raises(ValueError, match="sig"):
+        qhist(df, "v", ["grp"], sig=1)
+
+    big, _ = _qtoy(spark)
+    plan = (
+        qhist(big, "v", ["grp"])._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("HashAggregate") >= 2
+    assert "SinglePartition" not in plan
+    assert "Python" not in plan
