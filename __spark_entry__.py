@@ -2644,6 +2644,27 @@ def q_quantile_sketch(spark, sf_dir):
     )
 
 
+def q_media_phash(spark, sf_dir):
+    """Perceptual-hash image dedup (functions/phash.py): hash the image
+    lane (real PNG/PPM/JPEG decodes) AND a JPEG-recompressed copy of
+    each image (the same picture crawled again at another quality),
+    then find cross-corpus near-dups with the pigeonhole-banded Hamming
+    join (16 bands of 4 bits > max_hamming=12). Expected output: each
+    original pairs with exactly its own recompressed copy
+    (fixture-measured at all three SFs: copies within 9 bits, distinct
+    images >= 18). Only (id, 64-bit hash) rows cross the shuffle —
+    never pixels; candidate verify is JVM-side bit_count(xor). Oracle =
+    the same kernels driver-side + brute-force all-pairs Hamming."""
+    from geokitten_spark.functions.multimodal import synthetic_media
+    from geokitten_spark.functions.phash import phash_neardup_pairs, recompress_jpeg
+
+    media = synthetic_media(spark, sf_dir, n_rows=100).filter(
+        F.col("kind") == "image"
+    )
+    copies = recompress_jpeg(media, id_offset=100000)
+    return phash_neardup_pairs(media, copies, max_hamming=12, bands=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
@@ -2769,6 +2790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_sketch_union": q_distinct_sketch_union,
         "heavy_hitters_cms": q_heavy_hitters_cms,
         "quantile_sketch": q_quantile_sketch,
+        "media_phash": q_media_phash,
         "tpch_q2_min_cost": q_tpch_q2_min_cost,
         "tpch_q8_market_share": q_tpch_q8_market_share,
         "tpch_q9_profit": q_tpch_q9_profit,
@@ -3588,6 +3610,7 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": _ora.semdedup_sql(),
         "geojson_roundtrip": _ora.geojson_roundtrip_sql(),
         "media_features": _ora.media_features_sql(),
+        "media_phash": _ora.media_phash_sql(),
         "media_frames": _ora.media_frames_sql(),
         "media_audio": _ora.media_audio_sql(),
         "bpe_vocab": _ora.bpe_vocab_sql(),

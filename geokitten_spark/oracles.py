@@ -960,3 +960,40 @@ def bpe_vocab_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
 
     rows = bpe_vocab_stats_oracle_rows(sf_dir)
     return values_sql(rows, [("token", "VARCHAR"), ("n_occ", "BIGINT")])
+
+
+@lru_cache(maxsize=4)
+def media_phash_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (id_a, id_b, hamming) for q_media_phash: originals plus
+    baseline-JPEG recompressed copies (ids +100000) hashed with the
+    SAME pure-numpy pHash kernel on the driver, then brute-force
+    all-pairs Hamming <= 12 — the pigeonhole band join finds exactly
+    this set (bands=16 > max_hamming=12 guarantees no misses)."""
+    import pyarrow.parquet as pq
+
+    from .functions.jpeg import encode_jpeg
+    from .functions.multimodal import _decode, synth_payload
+    from .functions.phash import phash64
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    doc_ids = tbl.column("doc_id").to_pylist()[:100]
+    texts = tbl.column("text").to_pylist()[:100]
+    hashes: list[tuple[int, int]] = []
+    for doc_id, text in zip(doc_ids, texts):
+        if doc_id % 3 != 0:
+            continue
+        w, h = doc_id % 64 + 16, doc_id % 48 + 16
+        img = _decode(synth_payload(doc_id, text), w, h, True)
+        hashes.append((doc_id, phash64(img)))
+        hashes.append((doc_id + 100000, phash64(_decode(encode_jpeg(img), w, h, True))))
+    rows = []
+    for i, (ida, ha) in enumerate(hashes):
+        for idb, hb in hashes[i + 1 :]:
+            a, b = min(ida, idb), max(ida, idb)
+            ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if ham <= 12:
+                rows.append((a, b, ham))
+    rows.sort()
+    return values_sql(
+        rows, [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "BIGINT")]
+    )
