@@ -167,6 +167,15 @@ def hamming_neardup(
     precomputed fingerprint (band equi-join on (band, slice), JVM-side
     ``bit_count(xor)`` verify; only (id, hash) rows ever shuffle).
 
+    Candidate volume scales with band WIDTH (bits/bands): each band
+    bucket holds ~n/2^width ids, so the equi-join emits ~bands * n^2 /
+    2^width candidate pairs. At corpus scale keep slices wide — bands=4
+    (16-bit slices, Hamming <= 3) is the production setting; many
+    narrow bands (e.g. 16x4 for Hamming <= 12, as the fixture query
+    uses for its measured 9-vs-18-bit margin) trade recall radius for
+    a quadratic candidate blow-up and suit bounded corpora or a
+    pre-blocked (e.g. per-domain) key space only.
+
     Output: (id_a, id_b, hamming) with id_a < id_b."""
     if bands <= max_hamming:
         raise ValueError("pigeonhole requires bands > max_hamming")
