@@ -173,13 +173,17 @@ def test_pipeline_stage_bucketing_exchange_free(spark, tmp_path):
         # kNN with cell_col reuse: the exploded probe side and the window
         # shuffle; the build side inherits the bucketed distribution.
         # Without bucketing the same plan has one more exchange.
+        # (prune=False: this audits bucketing provenance — the bound-prune
+        # pre-pass adds its own exchanges on both sides symmetrically and
+        # is covered by test_knn_bound_prune_identity.)
         pts = res1.df.select("doc_id", "lon", "lat", "cell_id")
         knn_bucketed = knn_join(
-            pts, id_col="doc_id", k=3, res=7, ring_k=1, cell_col="cell_id"
+            pts, id_col="doc_id", k=3, res=7, ring_k=1, cell_col="cell_id",
+            prune=False,
         )
         plain = knn_join(
             res1.df.select("doc_id", "lon", "lat"),
-            id_col="doc_id", k=3, res=7, ring_k=1,
+            id_col="doc_id", k=3, res=7, ring_k=1, prune=False,
         )
         assert n_hash_exchanges(knn_bucketed) == n_hash_exchanges(plain) - 1
 
@@ -233,3 +237,27 @@ def test_h3_adaptive_tiles_conservation_and_leaf_purity(spark):
             )), f"leaf at res {coarser} is an ancestor of a res-{res} leaf"
     # thresholds respected on non-max leaves
     assert all(r["n_docs"] <= 6 for r in leaves if r["res"] < 3)
+
+
+def test_knn_bound_prune_identity(spark):
+    """The same-cell k-th-neighbor bound prune must be output-IDENTICAL
+    to the unpruned join (it only removes candidates strictly beaten by
+    k same-cell ones), across k values, include_self, and a corpus
+    where many cells hold fewer than k+1 points (NULL bound path)."""
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.operators.knn import knn_join
+    from tests.conftest import SF_SMOKE
+
+    pts = web_documents(spark, SF_SMOKE).select("doc_id", "lon", "lat")
+    for k, res, ring_k, inc in [(3, 7, 2, False), (1, 5, 1, False), (4, 6, 2, True)]:
+        a = knn_join(
+            pts, id_col="doc_id", k=k, res=res, ring_k=ring_k,
+            include_self=inc, prune=True,
+        )
+        b = knn_join(
+            pts, id_col="doc_id", k=k, res=res, ring_k=ring_k,
+            include_self=inc, prune=False,
+        )
+        got = sorted(map(tuple, a.collect()))
+        want = sorted(map(tuple, b.collect()))
+        assert got == want, (k, res, ring_k, inc, len(got), len(want))
