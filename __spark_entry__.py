@@ -2665,6 +2665,47 @@ def q_media_phash(spark, sf_dir):
     return phash_neardup_pairs(media, copies, max_hamming=12, bands=16)
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC lane end-to-end (sources/warc.py): web_documents → executor-side
+    ``.warc.gz`` export (ISO 28500, one gzip member per record like Common
+    Crawl) → binaryFile+mapInPandas scan → HTML text extraction. Proves the
+    input_hint invariant through a REAL container format: byte-identical
+    html payload AND extracted text per url (md5-compared), plus the WARC
+    header surface (record-id derivation, WARC-Date, HTTP status). Oracle =
+    pure DuckDB SQL over `documents` (oracles.warc_roundtrip_sql) — no
+    Python twin; the md5s must match the renderer+parser+extractor chain
+    bit-for-bit."""
+    import os
+    import shutil
+    import tempfile
+
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.functions.text import extract_text
+    from geokitten_spark.sources.warc import read_warc_dir, write_warc_files
+
+    d = os.path.join(tempfile.gettempdir(), "geokitten_warc_fixture")
+    shutil.rmtree(d, ignore_errors=True)
+    # repartition → 8 parallel writers → 8 .warc.gz files → 8 scan splits
+    # (the sink/scan parallelism contract, not a single-file special case)
+    docs = (
+        web_documents(spark, sf_dir)
+        .select("url", "warc_ts", "html")
+        .repartition(8, "url")
+    )
+    # materialize the sink; the manifest is O(#files) control-plane rows
+    write_warc_files(docs, d).collect()
+    scan = read_warc_dir(spark, d)
+    return scan.select(
+        "url",
+        "record_id",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("warc_dt"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.length("html").cast("long").alias("html_bytes"),
+        F.md5("html").alias("html_md5"),
+        F.md5(extract_text(F.col("html")).cast("binary")).alias("text_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
@@ -2798,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q13_order_dist": q_tpch_q13_order_dist,
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
+        "warc_roundtrip": q_warc_roundtrip,
     }
 
 
@@ -3856,4 +3898,35 @@ def oracle_sql() -> dict[str, str]:
         f"FROM ({gh4}) GROUP BY 1"
         for p in (2, 3, 4)
     )
+    # WARC roundtrip: rebuild the html template / WARC-Date / record-id
+    # derivation in pure SQL — the Spark side must reproduce every value
+    # through render → gzip → parse → extract (sources/warc.py)
+    from geokitten_spark.functions.geocode import url_from_doc_id_sql
+
+    _w_url = url_from_doc_id_sql("doc_id", "lang")
+    out["warc_roundtrip"] = f"""
+        WITH w AS (
+            SELECT
+                {_w_url} AS url,
+                strftime(TIMESTAMP '2025-01-01 00:00:00'
+                         + INTERVAL (CAST((doc_id * 137) % 31536000 AS BIGINT)) SECOND,
+                         '%Y-%m-%dT%H:%M:%SZ') AS warc_dt,
+                ('<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                 || '</title></head><body><p>' || text
+                 || '</p></body></html>') AS html,
+                ('Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text) AS page_text
+            FROM documents
+        ),
+        h AS (SELECT *, md5(url || '|' || warc_dt) AS rid FROM w)
+        SELECT url,
+               ('<urn:uuid:' || substr(rid, 1, 8) || '-' || substr(rid, 9, 4)
+                || '-' || substr(rid, 13, 4) || '-' || substr(rid, 17, 4)
+                || '-' || substr(rid, 21, 12) || '>') AS record_id,
+               warc_dt,
+               CAST(200 AS INT) AS http_status,
+               CAST(strlen(html) AS BIGINT) AS html_bytes,
+               md5(html) AS html_md5,
+               md5(page_text) AS text_md5
+        FROM h
+    """
     return out
