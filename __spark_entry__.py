@@ -2651,8 +2651,10 @@ def q_media_phash(spark, sf_dir):
     then find cross-corpus near-dups with the pigeonhole-banded Hamming
     join (16 bands of 4 bits > max_hamming=12). Expected output: each
     original pairs with exactly its own recompressed copy
-    (fixture-measured at all three SFs: copies within 9 bits, distinct
-    images >= 18). Only (id, 64-bit hash) rows cross the shuffle —
+    (fixture-measured at all three SFs over the 9-format cycle: copies
+    within 3 bits, distinct images >= 18 — the low-frequency block
+    fixture keeps DCT sign bits stable under requantization). Only
+    (id, 64-bit hash) rows cross the shuffle —
     never pixels; candidate verify is JVM-side bit_count(xor). Oracle =
     the same kernels driver-side + brute-force all-pairs Hamming."""
     from geokitten_spark.functions.multimodal import synthetic_media

@@ -18,8 +18,13 @@ Scope (ITU-T T.81):
   approximation — accumulating coefficients across scans before one
   shared IDCT. Huffman/quant tables are read FROM THE STREAM, so
   third-party JPEGs decode with their own tables. 12-bit sample
-  precision decodes (level shift 2048, 255/4095 output reduction);
-  arithmetic coding still raises ``NotImplementedError``.
+  precision decodes (level shift 2048, 255/4095 output reduction).
+  Lossless (SOF3, Annex H) decodes: predictive sample reconstruction
+  modulo 2^16 with predictors 1-7, point transform, restart reset, any
+  precision 2-16 — no DCT, no color transform, pixel-EXACT roundtrip.
+  Only the hierarchical and arithmetic-lossless processes still raise
+  ``NotImplementedError`` (sequential arithmetic lives in
+  ``jpeg_arith.py``).
 * **encode_jpeg** — baseline with the published Annex K tables (IJG
   quality scaling); 4:4:4 or 4:2:0; optional restart intervals.
 * **encode_jpeg_progressive** — the standard 10-scan
@@ -57,6 +62,7 @@ import numpy as np
 __all__ = [
     "encode_jpeg",
     "encode_jpeg_progressive",
+    "encode_jpeg_lossless",
     "decode_jpeg",
     "QUANT_LUMA",
     "QUANT_CHROMA",
@@ -1079,6 +1085,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     sof = None
     progressive = False
     arith = False
+    lossless = False
+    ll_pt = 0
     restart_interval = 0
     stores = None
     geom = None
@@ -1131,11 +1139,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 else:
                     conditioning[("ac", tb)] = data[j + 1]
                 j += 2
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # sequential / progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # seq/prog/lossless
             progressive = marker == 0xC2
             arith = marker == 0xC9
+            lossless = marker == 0xC3
             prec, ih, iw, nc = struct.unpack(">BHHB", data[:6])
-            if prec not in (8, 12):
+            if lossless:
+                if not 2 <= prec <= 16:
+                    raise ValueError(f"lossless JPEG precision {prec}")
+            elif prec not in (8, 12):
                 raise NotImplementedError(
                     f"JPEG sample precision {prec} not supported (8/12 only)"
                 )
@@ -1144,19 +1156,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             sof = (ih, iw, comps, prec)
-            hmax = max(c[1] for c in comps)
-            vmax = max(c[2] for c in comps)
-            mcus_x = -(-iw // (8 * hmax))
-            mcus_y = -(-ih // (8 * vmax))
-            geom = (ih, iw, hmax, vmax, mcus_x, mcus_y)
-            stores = [
-                np.zeros((mcus_y * cv * mcus_x * ch, 64), dtype=np.int64)
-                for cid, ch, cv, tq in comps
-            ]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if lossless:
+                if any(ch != 1 or cv != 1 for _, ch, cv, _ in comps):
+                    raise NotImplementedError(
+                        "lossless JPEG with subsampled components"
+                    )
+                # per-component SAMPLE planes — no blocks, no DCT
+                stores = [np.zeros((ih, iw), dtype=np.int64) for _ in comps]
+                geom = None
+            else:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcus_x = -(-iw // (8 * hmax))
+                mcus_y = -(-ih // (8 * vmax))
+                geom = (ih, iw, hmax, vmax, mcus_x, mcus_y)
+                stores = [
+                    np.zeros((mcus_y * cv * mcus_x * ch, 64), dtype=np.int64)
+                    for cid, ch, cv, tq in comps
+                ]
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (lossless/hierarchical/progressive-"
-                "arithmetic coding) not supported"
+                f"JPEG SOF{marker - 0xC0} (hierarchical/progressive-"
+                "arithmetic/lossless-arithmetic coding) not supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
@@ -1170,9 +1191,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 scan_comps.append((cs, tbl >> 4, tbl & 15))
             ss_, se_, a_ = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
             ah_, al_ = a_ >> 4, a_ & 15
-            if not progressive:
+            if not progressive and not lossless:
                 ss_, se_, ah_, al_ = 0, 63, 0, 0
-            if arith:
+            if lossless:
+                # Ss = predictor selector, Al = point transform (Annex H)
+                ll_pt = al_
+                i = _decode_scan_lossless(
+                    payload,
+                    i + 2 + seglen,
+                    scan_comps,
+                    comps,
+                    stores,
+                    htables,
+                    restart_interval,
+                    (sof[0], sof[1]),
+                    ss_,
+                    al_,
+                    sof[3],
+                )
+            elif arith:
                 from geokitten_spark.functions.jpeg_arith import decode_scan_arith
 
                 i = decode_scan_arith(
@@ -1210,6 +1247,27 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("JPEG missing SOF/SOS")
 
     ih, iw, comps, prec = sof
+
+    if lossless:
+        # samples are already spatial: undo the point transform, reduce
+        # high precision to 8-bit, and emit components AS STORED — the
+        # lossless process has no color transform (components are RGB or
+        # gray exactly as the encoder saw them)
+        maxval = float((1 << prec) - 1)
+        planes = [st.astype(np.float64) * float(1 << ll_pt) for st in stores]
+        if len(planes) == 1:
+            yp = planes[0] if prec == 8 else planes[0] * (255.0 / maxval)
+            yp = np.clip(np.round(yp), 0, 255).astype(np.uint8)
+            return np.repeat(yp[:, :, None], 3, axis=2)
+        if len(planes) != 3:
+            raise NotImplementedError(
+                f"{len(planes)}-component lossless JPEG not supported"
+            )
+        rgb = np.stack(planes, axis=2)
+        if prec != 8:
+            rgb = rgb * (255.0 / maxval)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
     center = float(1 << (prec - 1))
     maxval = float((1 << prec) - 1)
     hmax = max(c[1] for c in comps)
@@ -1254,3 +1312,187 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         # PNG lane: scale to [0, 255], round)
         rgb = np.clip(rgb, 0.0, maxval) * (255.0 / maxval)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# lossless JPEG (SOF3 — T.81 Annex H: predictive, huffman-coded differences)
+# ---------------------------------------------------------------------------
+
+# one DC-class table covering every difference category 0..16: seventeen
+# 5-bit canonical codes (17 < 31, so the all-ones code stays unused and
+# the final-byte 1-padding can never alias a 17th symbol)
+_LL_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_LL_VALS = list(range(17))
+
+
+def _ll_predict(plane: np.ndarray, x: int, y: int, predictor: int,
+                default: int) -> int:
+    """Annex H.1.2 sample prediction. Positional overrides (H.1.2.2):
+    scan start -> 2^(P-Pt-1); rest of first line -> Ra; first column of
+    later lines -> Rb; everywhere else the selected predictor 1-7."""
+    if y == 0:
+        return default if x == 0 else int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    a = int(plane[y, x - 1])
+    b = int(plane[y - 1, x])
+    if predictor == 1:
+        return a
+    if predictor == 2:
+        return b
+    c = int(plane[y - 1, x - 1])
+    if predictor == 3:
+        return c
+    if predictor == 4:
+        return a + b - c
+    if predictor == 5:
+        return a + ((b - c) >> 1)
+    if predictor == 6:
+        return b + ((a - c) >> 1)
+    if predictor == 7:
+        return (a + b) >> 1
+    raise ValueError(f"lossless predictor {predictor} out of range 1-7")
+
+
+def _decode_scan_lossless(payload, start, scan_comps, comps, stores,
+                          htables, restart_interval, size, predictor, pt,
+                          prec):
+    """Decode one lossless scan into the per-component sample planes;
+    returns the offset of the marker that ended the scan.
+
+    Differences reconstruct modulo 2^16 (H.1.2.1); SSSS=16 means
+    Diff=32768 with no magnitude bits. A restart resets the entropy
+    stream (byte-aligned segment) AND the prediction of the next MCU to
+    the scan-start default for every component (H.2.2); later samples
+    resume positional rules over the already-reconstructed plane."""
+    ih, iw = size
+    segments, end = _split_scan(payload, start)
+    comp_index = {cid: k for k, (cid, ch, cv, tq) in enumerate(comps)}
+    planes = [stores[comp_index[cs]] for cs, td, ta in scan_comps]
+    tables = [htables[(0, td)] for cs, td, ta in scan_comps]
+    default = 1 << (prec - pt - 1)
+    reader = _BitReader(bytes(segments[0]))
+    seg = 0
+    n_mcu = 0
+    reset = False
+    for y in range(ih):
+        for x in range(iw):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                seg += 1
+                reader = _BitReader(bytes(segments[seg]))
+                reset = True
+            for plane, tbl in zip(planes, tables):
+                s = _decode_symbol(reader, tbl)
+                if s == 16:
+                    diff = 32768
+                else:
+                    diff = _extend(reader.read_bits(s), s)
+                px = default if reset else _ll_predict(plane, x, y,
+                                                       predictor, default)
+                plane[y, x] = (px + diff) & 0xFFFF
+            reset = False
+            n_mcu += 1
+    return end
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    predictor: int = 1,
+    precision: int = 8,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+) -> bytes:
+    """HxWx3 RGB (or HxW gray) uint8 -> LOSSLESS (SOF3) JPEG bytes.
+
+    Pixel-EXACT roundtrip at point_transform=0: lossless JPEG has no
+    quantization and no color transform — RGB components are coded as-is,
+    so ``decode_jpeg(encode_jpeg_lossless(img)) == img`` bit-for-bit
+    (the property no lossy lane can offer the dedup fixtures).
+
+    ``precision``: 8 codes samples as-is; 12/16 bit-replicate like the
+    12-bit JPEG / 16-bit PNG fixture encoders (v*16+v//16, v*257) so the
+    decoder's high-precision reduction restores the original exactly.
+    ``point_transform`` (Annex H "near-lossless"): samples are coded
+    right-shifted by Pt and the decoder scales back, so the roundtrip is
+    ``(v >> Pt) << Pt``. ``restart_interval`` emits DRI/RSTn every N
+    samples (MCUs) with scan-start prediction reset, mirroring the
+    decoder exactly.
+    """
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError(f"expected HxWx3 or HxW uint8, got {img.shape}")
+    if precision not in (8, 12, 16):
+        raise ValueError("precision must be 8, 12 or 16")
+    if not 0 <= point_transform < precision:
+        raise ValueError("point_transform must satisfy 0 <= Pt < precision")
+    samples = img.astype(np.int64)
+    if precision == 12:
+        samples = samples * 16 + samples // 16
+    elif precision == 16:
+        samples = samples * 257
+    samples >>= point_transform
+    h, w = img.shape[:2]
+    planes = [samples] if gray else [samples[:, :, k] for k in range(3)]
+    ncomp = len(planes)
+    tbl = _build_encode_table(_LL_BITS, _LL_VALS)
+    default = 1 << (precision - point_transform - 1)
+
+    writer = _BitWriter()
+    out_scan = bytearray()
+    rst = 0
+    n_mcu = 0
+    reset = False
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.pad_to_byte()
+                out_scan += writer.buf
+                out_scan += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                writer = _BitWriter()
+                reset = True
+            for plane in planes:
+                xval = int(plane[y, x])
+                px = default if reset else _ll_predict(plane, x, y,
+                                                       predictor, default)
+                d = (xval - px) & 0xFFFF
+                if d >= 0x8000:
+                    d -= 0x10000
+                if d == -32768:
+                    code, length = tbl[16]
+                    writer.write(code, length)
+                else:
+                    s = _category(d)
+                    code, length = tbl[s]
+                    writer.write(code, length)
+                    if s:
+                        writer.write(d if d > 0 else d + (1 << s) - 1, s)
+            reset = False
+            n_mcu += 1
+    writer.pad_to_byte()
+    out_scan += writer.buf
+
+    sof_comps = b"".join(
+        bytes([cid + 1, 0x11, 0]) for cid in range(ncomp)
+    )
+    sof = b"\xff\xc3" + struct.pack(
+        ">HBHH", 8 + 3 * ncomp, precision, h, w
+    ) + bytes([ncomp]) + sof_comps
+    sos = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp) + bytes(
+        [b for cid in range(ncomp) for b in (cid + 1, 0x00)]
+    ) + bytes([predictor, 0, point_transform])
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"
+        + sof
+        + _dht_segment(0, 0, _LL_BITS, _LL_VALS)
+        + dri
+        + sos
+        + out_scan
+        + b"\xff\xd9"
+    )

@@ -109,14 +109,24 @@ except ImportError:
 
 def _tile_pixels(text: str, w: int, h: int, rot: int = 0) -> np.ndarray:
     """Deterministic HxWx3 uint8 frame: the row's text bytes (optionally
-    byte-rotated for frame variety) tiled into the pixel grid."""
+    byte-rotated for frame variety) tiled into a quarter-resolution grid
+    and 4x4 block-upsampled.
+
+    The upsample makes fixture images LOW-FREQUENCY (natural-image-like)
+    on purpose: full-resolution byte noise has near-zero low-band DCT
+    energy, so perceptual-hash sign bits flip under JPEG requantization
+    and the media_phash planted pairs lose their margin. Block content
+    keeps dHash/pHash stable under recompression while still being a
+    pure function of (text, rot)."""
     raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     if rot:
         k = rot % max(1, len(raw))
         raw = np.concatenate([raw[k:], raw[:k]])
-    need = w * h * 3
+    gw, gh = -(-w // 4), -(-h // 4)
+    need = gw * gh * 3
     reps = (need + len(raw) - 1) // max(1, len(raw))
-    return np.tile(raw, reps)[:need].reshape(h, w, 3)
+    grid = np.tile(raw, reps)[:need].reshape(gh, gw, 3)
+    return np.repeat(np.repeat(grid, 4, axis=0), 4, axis=1)[:h, :w]
 
 
 def synth_payload(doc_id: int, text: str) -> bytes:
@@ -126,16 +136,21 @@ def synth_payload(doc_id: int, text: str) -> bytes:
 
     * image rows (id % 3 == 0): cycle PNG / PPM / baseline JPEG /
       PROGRESSIVE JPEG / ADAM7 PNG / 16-BIT PNG / 12-BIT JPEG /
-      ARITHMETIC JPEG by (id//3) % 8 so all eight real binary parses
-      run end to end (progressive exercises the multi-scan SOF2
-      decoder; Adam7 the 7-pass de-interlace; 16-bit PNG and 12-bit
-      JPEG the high-precision reductions; arithmetic the SOF9 QM-coder
-      path);
+      ARITHMETIC JPEG / LOSSLESS JPEG by (id//3) % 9 so all nine real
+      binary parses run end to end (progressive exercises the
+      multi-scan SOF2 decoder; Adam7 the 7-pass de-interlace; 16-bit
+      PNG and 12-bit JPEG the high-precision reductions; arithmetic
+      the SOF9 QM-coder path; lossless the SOF3 predictive path);
     * audio rows (id % 3 == 1): REAL RIFF/WAVE PCM16 — int16 samples
       derived from the text bytes;
     * video rows (id % 3 == 2): REAL MJPEG AVI — n_frames baseline-JPEG
       frames of byte-rotated pixel tiles."""
-    from .jpeg import encode_jpeg, encode_jpeg12, encode_jpeg_progressive
+    from .jpeg import (
+        encode_jpeg,
+        encode_jpeg12,
+        encode_jpeg_lossless,
+        encode_jpeg_progressive,
+    )
     from .jpeg_arith import encode_jpeg_arith
     from .riff import encode_avi_mjpeg, encode_wav
 
@@ -152,7 +167,8 @@ def synth_payload(doc_id: int, text: str) -> bytes:
             encode_png16,
             encode_jpeg12,
             encode_jpeg_arith,
-        ][(doc_id // 3) % 8]
+            encode_jpeg_lossless,
+        ][(doc_id // 3) % 9]
         return enc(_tile_pixels(text, w, h))
     if kind == 1:
         raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)

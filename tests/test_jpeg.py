@@ -262,3 +262,84 @@ def test_jpeg12_roundtrip_and_structure():
     bad[i + 4] = 10
     with pytest.raises(NotImplementedError, match="10"):
         decode_jpeg(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# lossless (SOF3, T.81 Annex H)
+# ---------------------------------------------------------------------------
+
+def test_lossless_roundtrip_exact_all_predictors():
+    from geokitten_spark.functions.jpeg import encode_jpeg_lossless
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (37, 53, 3), dtype=np.uint8)
+    for pred in range(1, 8):
+        p = encode_jpeg_lossless(img, predictor=pred)
+        assert p[:2] == b"\xff\xd8" and b"\xff\xc3" in p
+        assert b"\xff\xdb" not in p  # no quantization tables in lossless
+        out = decode_jpeg(p)
+        # bit-exact: the property the lossy lanes can never offer
+        assert np.array_equal(out, img), f"predictor {pred}"
+
+
+def test_lossless_gray_and_extreme_diffs():
+    from geokitten_spark.functions.jpeg import encode_jpeg_lossless
+
+    rng = np.random.RandomState(11)
+    gray = rng.randint(0, 256, (21, 19), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_lossless(gray, predictor=4))
+    assert np.array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+    # alternating extremes at precision 16 drive the mod-2^16 wrap and
+    # the SSSS=16 (Diff=32768, zero magnitude bits) escape lane
+    chk = np.zeros((16, 16, 3), dtype=np.uint8)
+    chk[::2, ::2] = 255
+    chk[1::2, 1::2] = 255
+    out = decode_jpeg(encode_jpeg_lossless(chk, predictor=4, precision=16))
+    assert np.array_equal(out, chk)
+
+
+def test_lossless_precision_reduction_restores_exactly():
+    from geokitten_spark.functions.jpeg import encode_jpeg_lossless
+
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (12, 18, 3), dtype=np.uint8)
+    # bit-replicated 12/16-bit samples reduce back to the original 8-bit
+    for prec, pred in ((12, 5), (16, 7)):
+        p = encode_jpeg_lossless(img, predictor=pred, precision=prec)
+        assert p[p.index(b"\xff\xc3") + 4] == prec  # SOF precision byte
+        assert np.array_equal(decode_jpeg(p), img)
+
+
+def test_lossless_point_transform_and_restart():
+    from geokitten_spark.functions.jpeg import encode_jpeg_lossless
+
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (23, 29, 3), dtype=np.uint8)
+    # Annex H near-lossless: decode == (v >> Pt) << Pt
+    out = decode_jpeg(encode_jpeg_lossless(img, predictor=2, point_transform=2))
+    assert np.array_equal(out, (img >> 2) << 2)
+    # restart markers reset prediction identically on both sides
+    p = encode_jpeg_lossless(img, predictor=6, restart_interval=100)
+    assert b"\xff\xd0" in p or b"\xff\xd1" in p
+    assert np.array_equal(decode_jpeg(p), img)
+
+
+def test_lossless_determinism_and_guards():
+    from geokitten_spark.functions.jpeg import encode_jpeg_lossless
+
+    img = np.arange(96, dtype=np.uint8).reshape(4, 8, 3)
+    assert encode_jpeg_lossless(img) == encode_jpeg_lossless(img)
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless(img, predictor=0)
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless(img, predictor=8)
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless(img, precision=10)
+    with pytest.raises(ValueError):
+        encode_jpeg_lossless(img, point_transform=8)
+    # subsampled lossless components are guarded, not silently wrong
+    p = bytearray(encode_jpeg_lossless(img))
+    i = p.index(b"\xff\xc3")
+    p[i + 11] = 0x22  # H/V of component 1 -> 2x2
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        decode_jpeg(bytes(p))

@@ -186,9 +186,9 @@ def test_ppm_codec_roundtrip_and_comments():
 def test_image_rows_really_decode(spark):
     """Fixture image payloads cycle PNG / P6 / baseline JPEG /
     progressive JPEG / Adam7 PNG / 16-bit PNG / 12-bit JPEG /
-    arithmetic JPEG by (id//3) % 8; image_features must go through the
-    REAL decode (pixel histogram of the decoded image), bit-equal to
-    decoding the payload driver-side."""
+    arithmetic JPEG / lossless JPEG by (id//3) % 9; image_features must
+    go through the REAL decode (pixel histogram of the decoded image),
+    bit-equal to decoding the payload driver-side."""
     import numpy as np
 
     from geokitten_spark.functions.jpeg import decode_jpeg
@@ -217,13 +217,16 @@ def test_image_rows_really_decode(spark):
         # sequential arithmetic: SOF9 + a DAC conditioning segment
         7: lambda p: p[:2] == b"\xff\xd8" and b"\xff\xc9" in p
         and b"\xff\xcc" in p and b"\xff\xc4" not in p,
+        # lossless: SOF3, no DQT (no quantization in the process)
+        8: lambda p: p[:2] == b"\xff\xd8" and b"\xff\xc3" in p
+        and b"\xff\xdb" not in p,
     }
     seen = set()
     for r in img_rows:
-        flavor = (r.media_id // 3) % 8
+        flavor = (r.media_id // 3) % 9
         assert sigs[flavor](bytes(r.payload))
         seen.add(flavor)
-    assert seen == set(range(8))  # all eight formats present across the fixture
+    assert seen == set(range(9))  # all nine formats present across the fixture
 
     feats = {r.media_id: r.embedding for r in image_features(media).collect()
              if r.kind == "image"}

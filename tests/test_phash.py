@@ -108,7 +108,7 @@ def test_hamming_neardup_equals_bruteforce(spark):
 def test_recompression_pairs_end_to_end(spark):
     """Originals vs JPEG-recompressed copies: every original pairs with
     exactly its own copy (fixture-measured margins across all SFs:
-    copies <= 9 bits, distinct images >= 18), and the join plan stays
+    copies <= 3 bits, distinct images >= 18), and the join plan stays
     JVM-side past the hashing pass (no SinglePartition; bit_count
     verify present)."""
     from geokitten_spark.functions.multimodal import synthetic_media
