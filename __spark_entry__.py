@@ -2708,6 +2708,40 @@ def q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def q_link_degrees(spark, sf_dir):
+    """Link graph over REAL href extraction (operators/linkgraph.py):
+    every fixture page carries three <link href="doc://T"> tags; edges
+    come out of the html column via one codegen regexp_extract_all pass,
+    degrees via two 8-byte-key count aggregates. Oracle derives the SAME
+    edges from the target formula — any extraction drift mismatches."""
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.operators.linkgraph import extract_links, link_degrees
+
+    docs = web_documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    return link_degrees(nodes, extract_links(docs))
+
+
+def q_link_pagerank(spark, sf_dir):
+    """Integer-exact damped PageRank, 5 iterations over the extracted
+    link graph (operators/linkgraph.py): ranks in int64 rank units,
+    contributions via `rank div out_degree`, damping via integer
+    percents — summation-order-independent, so the DuckDB chained-CTE
+    twin matches bit-for-bit (a double-precision PageRank could not be
+    hash-compared: distributed float sums are order-dependent)."""
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.operators.linkgraph import extract_links, pagerank
+
+    docs = web_documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    ranks = pagerank(nodes, extract_links(docs), n_iters=5)
+    return (
+        ranks.select("node", F.col("rank").alias("rank_units"))
+        .orderBy(F.desc("rank_units"), F.asc("node"))
+        .limit(25)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
@@ -2842,6 +2876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
         "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
         "warc_roundtrip": q_warc_roundtrip,
+        "link_degrees": q_link_degrees,
+        "link_pagerank": q_link_pagerank,
     }
 
 
@@ -3903,6 +3939,7 @@ def oracle_sql() -> dict[str, str]:
     # WARC roundtrip: rebuild the html template / WARC-Date / record-id
     # derivation in pure SQL — the Spark side must reproduce every value
     # through render → gzip → parse → extract (sources/warc.py)
+    from geokitten_spark.fixtures import head_links_sql
     from geokitten_spark.functions.geocode import url_from_doc_id_sql
 
     _w_url = url_from_doc_id_sql("doc_id", "lang")
@@ -3914,7 +3951,8 @@ def oracle_sql() -> dict[str, str]:
                          + INTERVAL (CAST((doc_id * 137) % 31536000 AS BIGINT)) SECOND,
                          '%Y-%m-%dT%H:%M:%SZ') AS warc_dt,
                 ('<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-                 || '</title></head><body><p>' || text
+                 || '</title>' || {head_links_sql("doc_id")}
+                 || '</head><body><p>' || text
                  || '</p></body></html>') AS html,
                 ('Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text) AS page_text
             FROM documents
@@ -3931,4 +3969,27 @@ def oracle_sql() -> dict[str, str]:
                md5(page_text) AS text_md5
         FROM h
     """
+    # link graph: formula-derived edges (fixtures.link_edges_sql) ==
+    # what extract_links parses from the html column
+    from geokitten_spark.fixtures import link_edges_sql
+    from geokitten_spark.operators.linkgraph import pagerank_sql
+
+    out["link_degrees"] = f"""
+        WITH nodes AS (SELECT doc_id AS node FROM documents),
+        edges AS ({link_edges_sql()})
+        SELECT n.node,
+               CAST(COALESCE(o.out_deg, 0) AS BIGINT) AS out_deg,
+               CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
+        FROM nodes n
+        LEFT JOIN (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src) o
+          ON n.node = o.src
+        LEFT JOIN (SELECT dst, COUNT(*) AS in_deg FROM edges GROUP BY dst) i
+          ON n.node = i.dst
+    """
+    out["link_pagerank"] = (
+        pagerank_sql("SELECT doc_id AS node FROM documents",
+                     link_edges_sql(), n_iters=5)
+        + "\nSELECT node, rank AS rank_units FROM r5"
+          " ORDER BY rank DESC, node LIMIT 25"
+    )
     return out

@@ -50,6 +50,54 @@ __all__ = [
 
 _SECONDS_PER_YEAR = 31_536_000
 
+# link-graph constants: every page carries N_LINKS <link href="doc://T">
+# elements in <head>; targets are a pure per-row function of doc_id with a
+# FIXED modulus (doc_ids 0..499 exist at every SF), so the derivation stays
+# streaming-safe (no corpus count) and identical in DuckDB SQL
+LINK_MULT = 7919
+LINK_STEP = 104_729
+LINK_DOMAIN = 500
+N_LINKS = 3
+
+
+def link_target(doc_id, k: int):
+    """k-th (1-based) link target of a page as a Spark Column."""
+    return (doc_id * LINK_MULT + LINK_STEP * k) % LINK_DOMAIN
+
+
+def link_target_sql(doc_id: str, k: int) -> str:
+    return f"(({doc_id}) * {LINK_MULT} + {LINK_STEP * k}) % {LINK_DOMAIN}"
+
+
+def _head_links(doc_id):
+    parts = []
+    for k in range(1, N_LINKS + 1):
+        parts += [
+            F.lit('<link href="doc://'),
+            link_target(doc_id, k).cast("string"),
+            F.lit('">'),
+        ]
+    return parts
+
+
+def head_links_sql(doc_id: str = "doc_id") -> str:
+    """The same three <link> tags as one SQL string expression."""
+    return " || ".join(
+        f"'<link href=\"doc://' || CAST({link_target_sql(doc_id, k)} AS VARCHAR) || '\">'"
+        for k in range(1, N_LINKS + 1)
+    )
+
+
+def link_edges_sql() -> str:
+    """The formula-derived (src, dst) edge list over `documents` — MUST
+    equal what operators.linkgraph.extract_links parses out of the html
+    column (the oracle's independence check on the extraction path)."""
+    return " UNION ALL ".join(
+        f"SELECT doc_id AS src, CAST({link_target_sql('doc_id', k)} AS BIGINT) AS dst"
+        " FROM documents"
+        for k in range(1, N_LINKS + 1)
+    )
+
 
 def web_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.parquet → input_hint-shaped table with geocode columns.
@@ -70,7 +118,9 @@ def derive_web_documents(docs: DataFrame) -> DataFrame:
     html = F.concat(
         F.lit("<html><head><title>"),
         title,
-        F.lit("</title></head><body><p>"),
+        F.lit("</title>"),
+        *_head_links(F.col("doc_id")),
+        F.lit("</head><body><p>"),
         F.col("text"),
         F.lit("</p></body></html>"),
     ).cast("binary")
