@@ -2742,6 +2742,49 @@ def q_link_pagerank(spark, sf_dir):
     )
 
 
+def q_mvt_tiles(spark, sf_dir):
+    """Vector-tile sink (viz/mvt.py): res-6 tile aggregate → per-cell
+    rectangle corners (exact bit-shift id decode; all corner math is
+    dyadic so Spark and numpy produce identical doubles) → one Mapbox
+    Vector Tile protobuf blob per containing z=3 web-mercator tile via
+    a grouped applyInPandas (hand-rolled varint/zigzag wire format,
+    verified against the published spec 2.1 command vectors). Oracle =
+    the SAME pure kernels driver-side (oracles.mvt_tiles_sql) — every
+    blob md5 must match byte-for-byte."""
+    from geokitten_spark.cells.grid import RES_SHIFT, X_SHIFT
+    from geokitten_spark.functions.cells_udfs import grid_cell_col
+    from geokitten_spark.viz.mvt import mvt_cells
+
+    docs = _web_docs(spark, sf_dir)
+    tiles = (
+        docs.select(grid_cell_col(F.col("lon"), F.col("lat"), 6).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    ix = F.shiftright(F.col("cell_id"), X_SHIFT).bitwiseAND(
+        F.lit((1 << (RES_SHIFT - X_SHIFT)) - 1)
+    )
+    iy = F.col("cell_id") % (1 << X_SHIFT)
+    n = float(1 << 6)
+    corners = tiles.select(
+        "cell_id",
+        "n_docs",
+        (F.lit(-180.0) + ix * (360.0 / n)).alias("lon0"),
+        (F.lit(-90.0) + iy * (180.0 / n)).alias("lat0"),
+        (F.lit(-180.0) + (ix + 1) * (360.0 / n)).alias("lon1"),
+        (F.lit(-90.0) + (iy + 1) * (180.0 / n)).alias("lat1"),
+    )
+    out = mvt_cells(corners, z=3)
+    return out.select(
+        "z",
+        "x",
+        "y",
+        "n_features",
+        F.length("pbf").cast("long").alias("pbf_len"),
+        F.md5("pbf").alias("pbf_md5"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
@@ -2878,6 +2921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "link_degrees": q_link_degrees,
         "link_pagerank": q_link_pagerank,
+        "mvt_tiles": q_mvt_tiles,
     }
 
 
@@ -3992,4 +4036,5 @@ def oracle_sql() -> dict[str, str]:
         + "\nSELECT node, rank AS rank_units FROM r5"
           " ORDER BY rank DESC, node LIMIT 25"
     )
+    out["mvt_tiles"] = _ora.mvt_tiles_sql()
     return out

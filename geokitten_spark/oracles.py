@@ -997,3 +997,52 @@ def media_phash_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return values_sql(
         rows, [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "BIGINT")]
     )
+
+
+# ---------------------------------------------------------------------------
+# MVT tile sink oracle (viz/mvt.py)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=4)
+def mvt_tiles_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (z, x, y, n_features, pbf_len, pbf_md5) for q_mvt_tiles:
+    the same aggregate → corner decode → web-mercator tile assignment →
+    MVT render chain driver-side through the shared pure kernels
+    (cells.grid.grid_cell / grid_decode, viz.mvt.tile_of /
+    render_cells_tile) — the Spark side must reproduce every blob
+    byte-for-byte (md5-compared)."""
+    import hashlib
+
+    from .cells.grid import grid_cell, grid_decode
+    from .viz.mvt import render_cells_tile, tile_of
+
+    z = 3
+    lons, lats = _webdocs_lonlat(sf_dir)
+    cells = np.asarray(grid_cell(lons, lats, 6))
+    uniq, counts = np.unique(cells, return_counts=True)
+    res, ix, iy = grid_decode(uniq)
+    n = 2.0 ** res
+    lon0 = -180.0 + ix * 360.0 / n
+    lon1 = -180.0 + (ix + 1) * 360.0 / n
+    lat0 = -90.0 + iy * 180.0 / n
+    lat1 = -90.0 + (iy + 1) * 180.0 / n
+    tx, ty = tile_of((lon0 + lon1) / 2, (lat0 + lat1) / 2, z)
+    groups: dict = {}
+    for k in range(len(uniq)):
+        groups.setdefault((int(tx[k]), int(ty[k])), []).append(
+            (int(uniq[k]), int(counts[k]), float(lon0[k]), float(lat0[k]),
+             float(lon1[k]), float(lat1[k]))
+        )
+    rows = []
+    for (gx, gy), rws in sorted(groups.items()):
+        blob = render_cells_tile(z, gx, gy, rws)
+        rows.append(
+            (z, gx, gy, len(rws), len(blob),
+             hashlib.md5(blob).hexdigest())
+        )
+    return values_sql(
+        rows,
+        [("z", "INTEGER"), ("x", "BIGINT"), ("y", "BIGINT"),
+         ("n_features", "BIGINT"), ("pbf_len", "BIGINT"),
+         ("pbf_md5", "VARCHAR")],
+    )
