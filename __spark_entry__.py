@@ -2785,6 +2785,27 @@ def q_mvt_tiles(spark, sf_dir):
     )
 
 
+def q_polygon_overlap(spark, sf_dir):
+    """Polygon×polygon overlap JOIN (operators/polyjoin.py): the spatial
+    join shape PIP can't express — all admin-boundary pairs with positive
+    intersection area via bbox cell-cover candidates (pure-Catalyst
+    double explode, one equi-join shuffle on 8-byte cell ids) + exact
+    Greiner–Hormann refine (Arrow-batched, holes by inclusion–exclusion).
+    Oracle = brute-force all 200×199/2 pairs driver-side through the SAME
+    kernel — a candidate-cover miss is a row-count mismatch."""
+    from geokitten_spark.fixtures import admin_polygons
+    from geokitten_spark.operators.polyjoin import polygon_overlap_join
+
+    admin = admin_polygons(spark)
+    pairs = polygon_overlap_join(
+        admin, admin, id_left="region_id", id_right="region_id", res=5
+    )
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round("inter_area", 9).alias("inter_area"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
@@ -2922,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_degrees": q_link_degrees,
         "link_pagerank": q_link_pagerank,
         "mvt_tiles": q_mvt_tiles,
+        "polygon_overlap": q_polygon_overlap,
     }
 
 
@@ -4037,4 +4059,5 @@ def oracle_sql() -> dict[str, str]:
           " ORDER BY rank DESC, node LIMIT 25"
     )
     out["mvt_tiles"] = _ora.mvt_tiles_sql()
+    out["polygon_overlap"] = _ora.polygon_overlap_sql()
     return out

@@ -18,7 +18,7 @@ import numpy as np
 
 from .model import Geometry, GeomKind
 
-__all__ = ["polygon_difference"]
+__all__ = ["polygon_difference", "intersection_area", "ring_intersection_area"]
 
 
 class _V:
@@ -188,6 +188,66 @@ def _difference_rings(subj: np.ndarray, clip: np.ndarray) -> list:
     _phase2(ch, subj, invert=False)
     out = _phase3(sh)
     return [[r] for r in out]
+
+
+def _intersection_rings(subj: np.ndarray, clip: np.ndarray) -> list:
+    """Intersection of two simple closed rings → list of result rings.
+
+    Same Greiner–Hormann machinery as the difference: intersection keeps
+    BOTH rings' entry flags normal (difference inverts the subject's).
+    Non-crossing cases: containment returns the inner ring, disjoint is
+    empty. Shares the difference kernel's general-position scope."""
+    subj = _orient_ccw(np.asarray(subj, dtype=np.float64)[:, :2])
+    clip = _orient_ccw(np.asarray(clip, dtype=np.float64)[:, :2])
+    sh = _build_ring(subj)
+    ch = _build_ring(clip)
+    n = _phase1(sh, ch)
+    if n == 0:
+        if _pip(subj[0, 0], subj[0, 1], clip):
+            return [subj]
+        if _pip(clip[0, 0], clip[0, 1], subj):
+            return [clip]
+        return []
+    _phase2(sh, clip, invert=False)
+    _phase2(ch, subj, invert=False)
+    return _phase3(sh)
+
+
+def _ring_area(ring: np.ndarray) -> float:
+    r = np.asarray(ring, dtype=np.float64)
+    x, y = r[:, 0], r[:, 1]
+    x1, y1 = np.roll(x, -1), np.roll(y, -1)
+    return abs(0.5 * float((x * y1 - x1 * y).sum()))
+
+
+def ring_intersection_area(a: np.ndarray, b: np.ndarray) -> float:
+    """Planar area of region(a) ∩ region(b) for two simple rings."""
+    return float(sum(_ring_area(r) for r in _intersection_rings(a, b)))
+
+
+def intersection_area(a: Geometry, b: Geometry) -> float:
+    """Planar area of A ∩ B for polygonal geometries, holes handled by
+    inclusion–exclusion: ind(part) = ind(ext) − Σ ind(hole) (holes lie
+    inside their exterior in a valid polygon), so
+    area(A∩B) = Σ_parts Σ_rings sign(ra)·sign(rb)·area(ra_region ∩
+    rb_region) with sign(exterior)=+1, sign(hole)=−1. Exact for valid
+    inputs in general position; the operator's refine step and the
+    driver-side oracle both call THIS function, so any degeneracy
+    fallback stays engine-consistent."""
+    if a.is_empty or b.is_empty or not (a.is_polygonal and b.is_polygonal):
+        return 0.0
+    total = 0.0
+    for pa in a.parts:
+        for pb in b.parts:
+            for i, ra in enumerate(pa):
+                for j, rb in enumerate(pb):
+                    sign = -1.0 if (i > 0) != (j > 0) else 1.0
+                    area = ring_intersection_area(
+                        np.asarray(ra, dtype=np.float64)[:, :2],
+                        np.asarray(rb, dtype=np.float64)[:, :2],
+                    )
+                    total += sign * area
+    return total
 
 
 def polygon_difference(target: Geometry, sub: Geometry) -> Geometry:

@@ -1046,3 +1046,34 @@ def mvt_tiles_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
          ("n_features", "BIGINT"), ("pbf_len", "BIGINT"),
          ("pbf_md5", "VARCHAR")],
     )
+
+
+# ---------------------------------------------------------------------------
+# polygon×polygon overlap join oracle (operators/polyjoin.py)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=1)
+def polygon_overlap_sql() -> str:
+    """Expected (id_a, id_b, inter_area) for q_polygon_overlap: brute-force
+    ALL pairs of the 200-row admin fixture through the SAME Greiner–Hormann
+    intersection-area kernel driver-side — the distributed cover-refine
+    join must find exactly this pair set (a cover miss is a row-count
+    mismatch, not a silent approximation)."""
+    from .fixtures import admin_polygons_pdf
+    from .geom import parse_wkt
+    from .geom.clip import intersection_area
+
+    pdf = admin_polygons_pdf()
+    geoms = [parse_wkt(w) for w in pdf["geometry_wkt"]]
+    ids = list(pdf["region_id"])
+    rows = []
+    for i in range(len(geoms)):
+        for j in range(i + 1, len(geoms)):
+            area = intersection_area(geoms[i], geoms[j])
+            if area > 0.0:
+                rows.append((ids[i], ids[j], _spark_round(area, 9)))
+    rows.sort()
+    return values_sql(
+        rows,
+        [("id_a", "VARCHAR"), ("id_b", "VARCHAR"), ("inter_area", "DOUBLE")],
+    )
