@@ -2694,8 +2694,11 @@ def q_warc_roundtrip(spark, sf_dir):
         .select("url", "warc_ts", "html")
         .repartition(8, "url")
     )
-    # materialize the sink; the manifest is O(#files) control-plane rows
-    write_warc_files(docs, d).collect()
+    # materialize the sink; the manifest is O(#files) control-plane rows.
+    # gzip content-coding + chunked transfer-coding exercise the realistic
+    # HTTP envelope the parser must undo (real captures store server bytes
+    # verbatim) — the oracle still compares the LOGICAL html md5
+    write_warc_files(docs, d, content_encoding="gzip", chunked=True).collect()
     scan = read_warc_dir(spark, d)
     return scan.select(
         "url",

@@ -82,19 +82,48 @@ def record_id_for(url: str, date_iso: str) -> str:
     return f"<urn:uuid:{h[0:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}>"
 
 
+def _chunked(body: bytes, chunk: int = 1024) -> bytes:
+    """RFC 9112 §7.1 chunked transfer coding of a body."""
+    out = bytearray()
+    for i in range(0, len(body), chunk):
+        piece = body[i:i + chunk]
+        out += f"{len(piece):x}\r\n".encode() + piece + _CRLF
+    out += b"0\r\n\r\n"
+    return bytes(out)
+
+
 def render_warc_record(url: str, date_iso: str, html: bytes,
-                       status: int = 200) -> bytes:
+                       status: int = 200,
+                       content_encoding: str | None = None,
+                       chunked: bool = False) -> bytes:
     """One WARC/1.0 ``response`` record wrapping an HTTP/1.1 envelope.
 
     Layout per ISO 28500 §4: version line, named fields, CRLF, exactly
-    ``Content-Length`` payload octets, two CRLFs."""
+    ``Content-Length`` payload octets, two CRLFs. Real crawls store the
+    server's bytes verbatim, so the envelope options mirror what servers
+    actually send: ``content_encoding='gzip'`` (body gzip-compressed,
+    ``Content-Encoding`` header) and ``chunked=True`` (RFC 9112 chunked
+    transfer coding, ``Transfer-Encoding`` header) — the parser undoes
+    both, so the scan always yields the logical html bytes."""
     if isinstance(html, str):
         html = html.encode("utf-8")
+    body = html
+    extra = b""
+    if content_encoding == "gzip":
+        body = _gzip_member(body)
+        extra += b"Content-Encoding: gzip\r\n"
+    elif content_encoding is not None:
+        raise ValueError(f"unsupported content_encoding {content_encoding!r}")
+    if chunked:
+        body = _chunked(body)
+        extra += b"Transfer-Encoding: chunked\r\n"
+        length_line = b""
+    else:
+        length_line = b"Content-Length: %d\r\n" % len(body)
     http = (
         b"HTTP/1.1 %d OK\r\n"
-        b"Content-Type: text/html; charset=UTF-8\r\n"
-        b"Content-Length: %d\r\n\r\n" % (status, len(html))
-    ) + html
+        b"Content-Type: text/html; charset=UTF-8\r\n" % status
+    ) + extra + length_line + _CRLF + body
     headers = (
         b"WARC/1.0\r\n"
         b"WARC-Type: response\r\n"
@@ -134,12 +163,19 @@ def _gzip_member(data: bytes) -> bytes:
 
 def encode_warc(rows: Sequence[Tuple[str, str, bytes]],
                 gzip_per_record: bool = True,
-                filename: str = "data.warc.gz") -> bytes:
+                filename: str = "data.warc.gz",
+                content_encoding: str | None = None,
+                chunked: bool = False) -> bytes:
     """Render (url, date_iso, html) rows into one WARC file's bytes:
     a warcinfo record then one response record per row, each its own gzip
-    member when ``gzip_per_record`` (the Common Crawl layout)."""
+    member when ``gzip_per_record`` (the Common Crawl layout).
+    ``content_encoding``/``chunked`` shape the stored HTTP envelopes."""
     records = [render_warcinfo(filename)]
-    records.extend(render_warc_record(u, d, h) for u, d, h in rows)
+    records.extend(
+        render_warc_record(u, d, h, content_encoding=content_encoding,
+                           chunked=chunked)
+        for u, d, h in rows
+    )
     if gzip_per_record:
         return b"".join(_gzip_member(r) for r in records)
     return b"".join(records)
@@ -208,12 +244,42 @@ def _parse_plain_records(data: bytes) -> List[dict]:
         if rec["rec_type"] == "response" and fields.get(
                 "content-type", "").startswith("application/http"):
             body_at = payload.find(b"\r\n\r\n")
-            status_line = payload.split(_CRLF, 1)[0]
+            head = payload[:body_at] if body_at >= 0 else payload
+            status_line = head.split(_CRLF, 1)[0]
             parts = status_line.split(b" ")
             rec["http_status"] = int(parts[1]) if len(parts) > 1 else None
-            rec["html"] = payload[body_at + 4:] if body_at >= 0 else b""
+            body = payload[body_at + 4:] if body_at >= 0 else b""
+            hf = {}
+            for line in head.split(_CRLF)[1:]:
+                k, _, v = line.partition(b":")
+                hf[k.strip().lower()] = v.strip().lower()
+            # undo the stored transfer/content codings (real captures keep
+            # the server's bytes verbatim — RFC 9112 chunked, gzip body)
+            if hf.get(b"transfer-encoding") == b"chunked":
+                body = _dechunk(body)
+            if hf.get(b"content-encoding") == b"gzip":
+                body = zlib.decompress(body, 31)
+            rec["html"] = body
         out.append(rec)
     return out
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Undo RFC 9112 §7.1 chunked transfer coding."""
+    out = bytearray()
+    i = 0
+    while True:
+        j = body.find(_CRLF, i)
+        if j < 0:
+            raise ValueError("unterminated chunk-size line")
+        size = int(body[i:j].split(b";")[0], 16)
+        i = j + 2
+        if size == 0:
+            return bytes(out)
+        out += body[i:i + size]
+        if body[i + size:i + size + 2] != _CRLF:
+            raise ValueError("chunk data not CRLF-terminated")
+        i += size + 2
 
 
 def parse_warc_bytes(data: bytes) -> List[dict]:
@@ -306,7 +372,9 @@ _MANIFEST_SCHEMA = StructType([
 
 
 def write_warc_files(df: DataFrame, out_dir: str,
-                     gzip_per_record: bool = True) -> DataFrame:
+                     gzip_per_record: bool = True,
+                     content_encoding: str | None = None,
+                     chunked: bool = False) -> DataFrame:
     """Executor-side WARC export of a (url, warc_ts, html) DataFrame.
 
     Each task batch renders one ``.warc.gz`` named by (partition, batch) —
@@ -334,6 +402,8 @@ def write_warc_files(df: DataFrame, out_dir: str,
                          (bytes(h) for h in pdf["html"]))),
                 gzip_per_record=gzip_per_record,
                 filename=fname,
+                content_encoding=content_encoding,
+                chunked=chunked,
             )
             full = os.path.join(out_dir, fname)
             with open(full, "wb") as f:

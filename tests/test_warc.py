@@ -155,3 +155,35 @@ def test_sink_scan_roundtrip_on_webdocs(spark):
         assert reread.exceptAll(orig).count() == 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_http_gzip_and_chunked_envelopes_decode_to_logical_bytes():
+    """Real captures store the server's bytes verbatim; the parser must
+    undo gzip content-coding and RFC 9112 chunked transfer-coding."""
+    for kwargs in (
+        {"content_encoding": "gzip"},
+        {"chunked": True},
+        {"content_encoding": "gzip", "chunked": True},
+    ):
+        data = encode_warc(ROWS, gzip_per_record=True, **kwargs)
+        resp = [r for r in parse_warc_bytes(data) if r["rec_type"] == "response"]
+        for r, (u, d, h) in zip(resp, ROWS):
+            assert r["html"] == h, kwargs
+            assert r["http_status"] == 200
+    # multi-chunk bodies reassemble exactly
+    big = ("x" * 5000).encode()
+    rec = encode_warc(
+        [("https://h.example/big", "2025-01-01T00:00:00Z", big)],
+        gzip_per_record=False, chunked=True,
+    )
+    (got,) = [r for r in parse_warc_bytes(rec) if r["rec_type"] == "response"]
+    assert got["html"] == big
+
+
+def test_chunked_corruption_raises():
+    from geokitten_spark.sources.warc import _dechunk
+
+    with pytest.raises(ValueError, match="CRLF|chunk"):
+        _dechunk(b"10\r\nshort")
+    with pytest.raises(ValueError, match="unterminated"):
+        _dechunk(b"no-size-line-here")
