@@ -2788,6 +2788,27 @@ def q_mvt_tiles(spark, sf_dir):
     )
 
 
+def q_unicode_normalize(spark, sf_dir):
+    """Unicode NFC normalization (functions/text.py:normalize_nfc): every
+    doc's text gets decomposed combining sequences appended (e+U+0301,
+    n+U+0303 — the same word crawled precomposed and decomposed), then
+    one Arrow-batched NFC pass must fold them so fingerprints agree.
+    Oracle = DuckDB's utf8proc-backed nfc_normalize — two independent
+    UAX #15 implementations md5-compared per document."""
+    from geokitten_spark.functions.text import normalize_nfc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    decomposed = F.concat(
+        F.col("text"), F.lit(" cafe\u0301 nin\u0303o")
+    )
+    nfc = normalize_nfc(decomposed)
+    return docs.select(
+        "doc_id",
+        F.md5(nfc.cast("binary")).alias("nfc_md5"),
+        (F.length(decomposed) - F.length(nfc)).cast("long").alias("chars_folded"),
+    )
+
+
 def q_polygon_overlap(spark, sf_dir):
     """Polygon×polygon overlap JOIN (operators/polyjoin.py): the spatial
     join shape PIP can't express — all admin-boundary pairs with positive
@@ -2947,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "mvt_tiles": q_mvt_tiles,
         "polygon_overlap": q_polygon_overlap,
+        "unicode_normalize": q_unicode_normalize,
     }
 
 
@@ -4063,4 +4085,14 @@ def oracle_sql() -> dict[str, str]:
     )
     out["mvt_tiles"] = _ora.mvt_tiles_sql()
     out["polygon_overlap"] = _ora.polygon_overlap_sql()
+    out["unicode_normalize"] = """
+        SELECT doc_id,
+               md5(nfc_normalize(t2)) AS nfc_md5,
+               CAST(length(t2) - length(nfc_normalize(t2)) AS BIGINT)
+                   AS chars_folded
+        FROM (SELECT doc_id,
+                     text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o'
+                         AS t2
+              FROM documents)
+    """
     return out

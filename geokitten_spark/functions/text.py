@@ -26,6 +26,8 @@ from pyspark.sql.types import StringType
 
 __all__ = [
     "extract_text",
+    "normalize_nfc",
+    "normalize_nfc_sql",
     "lang_markers",
     "lang_id_col",
     "lang_id_sql",
@@ -83,6 +85,26 @@ def _extract_one(html: bytes) -> str:
 def extract_text(html: pd.Series) -> pd.Series:
     """F11 (SURVEY §2.3): html BINARY → extracted text, Arrow-batched."""
     return html.map(_extract_one)
+
+
+@pandas_udf(StringType())
+def normalize_nfc(text: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (UAX #15), Arrow-batched.
+
+    The standard pre-hash step for web text: the same word crawled as
+    precomposed ``é`` and as ``e`` + U+0301 must fingerprint identically
+    or every dedup/contamination operator under-counts. DuckDB's
+    ``nfc_normalize`` implements the same algorithm, which is what makes
+    the ``unicode_normalize`` query oracle-checkable."""
+    import unicodedata
+
+    return text.map(
+        lambda s: None if s is None else unicodedata.normalize("NFC", s)
+    )
+
+
+def normalize_nfc_sql(text_expr: str) -> str:
+    return f"nfc_normalize({text_expr})"
 
 
 # ---------------------------------------------------------------------------
