@@ -2809,6 +2809,33 @@ def q_unicode_normalize(spark, sf_dir):
     )
 
 
+def q_robots_filter(spark, sf_dir):
+    """robots.txt URL filtering (functions/robots.py, RFC 9309): a
+    deterministic robots corpus (one file per fixture host: `*` groups
+    with longest-match Allow carve-backs, bot-specific groups that
+    REPLACE `*` per group selection, wildcard + $-anchored patterns,
+    ignored directives) is parsed once, broadcast as rules, and every
+    url gets its most-specific-match verdict via one broadcast join +
+    per-url window — the captures side never shuffles. The match
+    predicate is plain SQL LIKE, so the oracle replays the exact
+    verdict logic in DuckDB over the same rule rows."""
+    from geokitten_spark.fixtures import host_robots_fixture, web_documents
+    from geokitten_spark.functions.geocode import url_host, url_path
+    from geokitten_spark.functions.robots import robots_verdicts, rules_rows
+
+    docs = web_documents(spark, sf_dir)
+    urls = docs.select(
+        "url",
+        url_host(F.col("url")).alias("host"),
+        url_path(F.col("url")).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        rules_rows(host_robots_fixture()),
+        "host string, allow boolean, like_pattern string, spec int",
+    )
+    return robots_verdicts(urls, rules)
+
+
 def q_polygon_overlap(spark, sf_dir):
     """Polygon×polygon overlap JOIN (operators/polyjoin.py): the spatial
     join shape PIP can't express — all admin-boundary pairs with positive
@@ -2969,6 +2996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_tiles": q_mvt_tiles,
         "polygon_overlap": q_polygon_overlap,
         "unicode_normalize": q_unicode_normalize,
+        "robots_filter": q_robots_filter,
     }
 
 
@@ -4085,6 +4113,38 @@ def oracle_sql() -> dict[str, str]:
     )
     out["mvt_tiles"] = _ora.mvt_tiles_sql()
     out["polygon_overlap"] = _ora.polygon_overlap_sql()
+    # robots verdicts: the rules VALUES come from the same RFC 9309
+    # parser (unit-tested against spec semantics); the MATCH + most-
+    # specific-rule logic replays as plain SQL in DuckDB
+    from geokitten_spark.fixtures import host_robots_fixture
+    from geokitten_spark.functions.robots import rules_rows as _rules_rows
+
+    _rules_values = _ora.values_sql(
+        _rules_rows(host_robots_fixture()),
+        [("host", "VARCHAR"), ("allow", "BOOLEAN"),
+         ("like_pattern", "VARCHAR"), ("spec", "INTEGER")],
+    )
+    out["robots_filter"] = f"""
+        WITH urls AS (
+            SELECT {_w_url} AS url,
+                   'host' || CAST(doc_id % 97 AS VARCHAR) || '.example' AS host,
+                   '/' || lang || '/page-'
+                       || lpad(CAST(doc_id AS VARCHAR), 7, '0') AS path
+            FROM documents
+        ),
+        rules AS ({_rules_values}),
+        m AS (
+            SELECT u.url, r.allow, r.spec
+            FROM urls u
+            LEFT JOIN rules r
+              ON u.host = r.host AND u.path LIKE r.like_pattern
+        )
+        SELECT url, COALESCE(allow, TRUE) AS allowed FROM m
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY url
+            ORDER BY spec DESC NULLS LAST, allow DESC NULLS LAST
+        ) = 1
+    """
     out["unicode_normalize"] = """
         SELECT doc_id,
                md5(nfc_normalize(t2)) AS nfc_md5,

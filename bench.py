@@ -199,6 +199,19 @@ def run_queries(spark, sf_dir: str, flagship_only: bool = False) -> tuple[dict, 
         reps=2,
     )
 
+    # link-graph PageRank over the replicated corpus: edges extracted
+    # from 3M html payloads by codegen regexp, all pointing into the 500
+    # base doc ids — a deliberate hot-key stress (the per-iteration SUM's
+    # map-side partial aggregation must absorb the 6000x in-degree skew)
+    from geokitten_spark.operators.linkgraph import extract_links, pagerank
+
+    def pagerank_leg():
+        nodes = docs.select(F.col("doc_id").alias("node"))
+        edges = extract_links(docs.select("doc_id", "html"))
+        _materialize(pagerank(nodes, edges, n_iters=3))
+
+    timed("link_pagerank", pagerank_leg, reps=2)
+
     # the cached 500k-doc table (html+text) is only used by the spatial
     # queries above — release it before the relational loop so its GC
     # pressure doesn't pollute those timings

@@ -88,6 +88,36 @@ def head_links_sql(doc_id: str = "doc_id") -> str:
     )
 
 
+def host_robots_fixture() -> list:
+    """Deterministic robots.txt per fixture host (urls spread over 97
+    hosts): every host's ``*`` group disallows one language directory
+    with a longest-match Allow carve-back for low-numbered pages; every
+    4th host adds a bot-specific group (wildcard + ``$``-anchored rule)
+    that REPLACES the ``*`` group per RFC 9309 group selection; every
+    7th host includes an ignored directive mid-group."""
+    langs = ["en", "es", "de", "fr", "pt"]
+    out = []
+    for h in range(97):
+        lang = langs[h % 5]
+        lines = [
+            "# fixture robots",
+            "User-agent: *",
+            f"Disallow: /{lang}",
+            f"Allow: /{lang}/page-00000",
+        ]
+        if h % 7 == 2:
+            lines.append("Crawl-delay: 10")  # skipped directive
+            lines.append(f"Disallow: /{langs[(h + 1) % 5]}/page-0000003$")
+        if h % 4 == 1:
+            lines += [
+                "",
+                "User-agent: geokittenbot",
+                "Disallow: /*/page-*9$",
+            ]
+        out.append((f"host{h}.example", "\n".join(lines) + "\n"))
+    return out
+
+
 def link_edges_sql() -> str:
     """The formula-derived (src, dst) edge list over `documents` — MUST
     equal what operators.linkgraph.extract_links parses out of the html

@@ -1070,10 +1070,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     Reads quantization + huffman tables from the stream (third-party
     JPEGs decode with their own tables). Sequential huffman (SOF0/1,
     8- and 12-bit sample precision), progressive huffman (SOF2,
-    spectral selection + successive approximation, T.81 Annex G), and
+    spectral selection + successive approximation, T.81 Annex G),
     sequential arithmetic (SOF9, QM coder per Annex D/F — see
-    ``jpeg_arith.py``) streams decode; lossless, hierarchical, and
-    progressive-arithmetic processes raise ``NotImplementedError``.
+    ``jpeg_arith.py``), and lossless (SOF3, Annex H predictive) streams
+    decode; hierarchical and arithmetic-lossless processes raise
+    ``NotImplementedError``.
     12-bit output is reduced to 8-bit RGB (scale 255/4095), mirroring
     the 16-bit PNG lane.
     """
