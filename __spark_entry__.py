@@ -2809,6 +2809,48 @@ def q_unicode_normalize(spark, sf_dir):
     )
 
 
+def q_cdx_index(spark, sf_dir):
+    """CDXJ crawl-index lane (sources/cdx.py): render every capture's
+    index line (SURT urlkey + 14-digit timestamp + JSON block) with pure
+    Catalyst expressions, write real index files, re-scan them with the
+    line-splittable text source, and parse back in one codegen pass.
+    Oracle = the same derivation straight off `documents` in DuckDB
+    (surt_key_sql has an exact SQL twin) — so render → files → scan →
+    parse must be the identity on every field."""
+    import os
+    import shutil
+    import tempfile
+
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.sources.cdx import cdxj_line, read_cdxj_dir
+
+    d = os.path.join(tempfile.gettempdir(), "geokitten_cdx_fixture")
+    shutil.rmtree(d, ignore_errors=True)
+    docs = web_documents(spark, sf_dir)
+    fname = F.concat(
+        F.lit("part-"), (F.col("doc_id") % 8).cast("string"),
+        F.lit(".warc.gz"),
+    )
+    lines = docs.select(
+        cdxj_line(
+            F.col("url"), F.col("warc_ts"), F.col("html"), fname
+        ).alias("value")
+    )
+    lines.coalesce(4).write.mode("overwrite").text(d)
+    scan = read_cdxj_dir(spark, d, glob="part-*")
+    return scan.select(
+        "urlkey",
+        F.date_format("capture_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias(
+            "capture_dt"
+        ),
+        "url",
+        "status",
+        "digest",
+        "length",
+        "filename",
+    )
+
+
 def q_robots_filter(spark, sf_dir):
     """robots.txt URL filtering (functions/robots.py, RFC 9309): a
     deterministic robots corpus (one file per fixture host: `*` groups
@@ -2997,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_overlap": q_polygon_overlap,
         "unicode_normalize": q_unicode_normalize,
         "robots_filter": q_robots_filter,
+        "cdx_index": q_cdx_index,
     }
 
 
@@ -4062,17 +4105,20 @@ def oracle_sql() -> dict[str, str]:
     from geokitten_spark.functions.geocode import url_from_doc_id_sql
 
     _w_url = url_from_doc_id_sql("doc_id", "lang")
+    _w_ts = ("TIMESTAMP '2025-01-01 00:00:00' + INTERVAL "
+             "(CAST((doc_id * 137) % 31536000 AS BIGINT)) SECOND")
+    _w_html = (
+        "('<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)"
+        f" || '</title>' || {head_links_sql('doc_id')}"
+        " || '</head><body><p>' || text"
+        " || '</p></body></html>')"
+    )
     out["warc_roundtrip"] = f"""
         WITH w AS (
             SELECT
                 {_w_url} AS url,
-                strftime(TIMESTAMP '2025-01-01 00:00:00'
-                         + INTERVAL (CAST((doc_id * 137) % 31536000 AS BIGINT)) SECOND,
-                         '%Y-%m-%dT%H:%M:%SZ') AS warc_dt,
-                ('<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-                 || '</title>' || {head_links_sql("doc_id")}
-                 || '</head><body><p>' || text
-                 || '</p></body></html>') AS html,
+                strftime({_w_ts}, '%Y-%m-%dT%H:%M:%SZ') AS warc_dt,
+                {_w_html} AS html,
                 ('Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text) AS page_text
             FROM documents
         ),
@@ -4144,6 +4190,25 @@ def oracle_sql() -> dict[str, str]:
             PARTITION BY url
             ORDER BY spec DESC NULLS LAST, allow DESC NULLS LAST
         ) = 1
+    """
+    # CDX index: render → files → scan → parse must be the identity;
+    # the oracle derives every field directly off `documents`
+    from geokitten_spark.sources.cdx import surt_key_sql
+
+    out["cdx_index"] = f"""
+        WITH w AS (
+            SELECT doc_id, {_w_url} AS url, {_w_ts} AS ts, {_w_html} AS html
+            FROM documents
+        )
+        SELECT {surt_key_sql("url")} AS urlkey,
+               strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS capture_dt,
+               url,
+               CAST(200 AS INT) AS status,
+               md5(html) AS digest,
+               CAST(strlen(html) AS BIGINT) AS length,
+               'part-' || CAST(doc_id % 8 AS VARCHAR) || '.warc.gz'
+                   AS filename
+        FROM w
     """
     out["unicode_normalize"] = """
         SELECT doc_id,

@@ -1,0 +1,111 @@
+"""CDXJ index lane (sources/cdx.py): SURT keys, line render/parse."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from geokitten_spark.sources.cdx import (
+    cdxj_line,
+    parse_cdxj,
+    read_cdxj_dir,
+    surt_key,
+    surt_key_sql,
+)
+
+URLS = [
+    "https://www.Host.Example/a/b",
+    "https://host9.example/en/page-0000009",
+    "https://a.b.c.example/",
+    "https://single/x",
+    "https://no-path.example",
+]
+WANT_SURT = [
+    "example,host)/a/b",
+    "example,host9)/en/page-0000009",
+    "example,c,b,a)/",
+    "single)/x",
+    "example,no-path)/",
+]
+
+
+def test_surt_key_fixed_points(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], "url string")
+    got = [r.k for r in df.select(surt_key(F.col("url")).alias("k")).collect()]
+    assert got == WANT_SURT
+
+
+def test_surt_key_sql_twin_matches_spark():
+    con = duckdb.connect()
+    for u, want in zip(URLS, WANT_SURT):
+        got = con.sql(
+            f"SELECT {surt_key_sql(f'''{u!r}''')}"
+        ).fetchone()[0]
+        assert got == want, u
+
+
+def test_line_render_parse_identity(spark):
+    rows = [
+        (1, "https://h.example/p", "2025-06-01 12:34:56",
+         b"<html>x</html>", "f1.warc.gz"),
+        (2, "https://h2.example/q/r", "2025-01-01 00:00:00",
+         b"", "f2.warc.gz"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, url string, ts string, html binary, fn string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    lines = df.select(
+        cdxj_line(F.col("url"), F.col("ts"), F.col("html"),
+                  F.col("fn")).alias("value")
+    )
+    back = parse_cdxj(lines).collect()
+    got = {r.url: r for r in back}
+    assert len(got) == 2
+    r = got["https://h.example/p"]
+    assert r.urlkey == "example,h)/p"
+    assert r.capture_ts.strftime("%Y%m%d%H%M%S") == "20250601123456"
+    assert r.status == 200
+    assert r.length == len(b"<html>x</html>")
+    assert r.filename == "f1.warc.gz"
+    assert got["https://h2.example/q/r"].length == 0
+
+
+def test_malformed_lines_drop(spark):
+    lines = spark.createDataFrame(
+        [
+            ("",),
+            ("not enough fields",),
+            ('key 20250101000000 {"broken json',),
+            ('key notatimestamp {"url": "https://x/y"}',),
+            ('example,h)/p 20250101000000 '
+             '{"url": "https://h.example/p", "status": "200", '
+             '"digest": "d", "length": "5", "filename": "f"}',),
+        ],
+        "value string",
+    )
+    out = parse_cdxj(lines).collect()
+    assert len(out) == 1 and out[0].url == "https://h.example/p"
+
+
+def test_read_cdxj_dir_roundtrip(spark, tmp_path):
+    d = str(tmp_path / "cdx")
+    import os
+
+    os.makedirs(d)
+    good = (
+        'example,h)/p 20250101000000 '
+        '{"url": "https://h.example/p", "status": "404", '
+        '"digest": "abc", "length": "7", "filename": "f.warc.gz"}'
+    )
+    with open(os.path.join(d, "part-0.cdxj"), "w") as f:
+        f.write(good + "\n\n")  # plus a blank line
+    with open(os.path.join(d, "ignored.txt"), "w") as f:
+        f.write("never read\n")
+    rows = read_cdxj_dir(spark, d, glob="*.cdxj").collect()
+    assert len(rows) == 1
+    assert rows[0].status == 404 and rows[0].digest == "abc"
+
+
+def test_parse_is_codegen_only(spark):
+    lines = spark.createDataFrame([("k 20250101000000 {}",)], "value string")
+    plan = parse_cdxj(lines)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "mapInPandas" not in plan.lower()
