@@ -22,8 +22,11 @@ Scope (ITU-T T.81):
   Lossless (SOF3, Annex H) decodes: predictive sample reconstruction
   modulo 2^16 with predictors 1-7, point transform, restart reset, any
   precision 2-16 — no DCT, no color transform, pixel-EXACT roundtrip.
-  Only the hierarchical and arithmetic-lossless processes still raise
-  ``NotImplementedError`` (sequential arithmetic lives in
+  Hierarchical (Annex J) decodes for single-component pyramids: DHP,
+  EXP reference doubling (the (a+b+1)>>1 interleave filter), SOF0/1
+  base frames and SOF5 differential frames with PRED=0 DC coding.
+  Only the arithmetic-coded differential/lossless processes still
+  raise ``NotImplementedError`` (sequential arithmetic lives in
   ``jpeg_arith.py``).
 * **encode_jpeg** — baseline with the published Annex K tables (IJG
   quality scaling); 4:4:4 or 4:2:0; optional restart intervals.
@@ -986,6 +989,7 @@ def _decode_scan(
     se,
     ah,
     al,
+    differential=False,
 ):
     """Decode one entropy-coded scan into the coefficient stores;
     returns the payload offset of the terminating marker.
@@ -993,8 +997,9 @@ def _decode_scan(
     Handles every scan kind: sequential interleaved/single-component,
     progressive DC first/refine (interleaved or not), progressive AC
     first/refine (single-component by spec). Restart markers reset the
-    DC predictors AND the EOB run.
-    """
+    DC predictors AND the EOB run. ``differential`` (hierarchical
+    frames, T.81 F.1.1.5.1): the DC prediction is ALWAYS zero — DC
+    values code directly, no running predictor."""
     ih, iw, hmax, vmax, mcus_x, mcus_y = geom
     cid_to_idx = {c[0]: idx for idx, c in enumerate(comps)}
     sel = []
@@ -1049,7 +1054,12 @@ def _decode_scan(
         for k, bi, dc_tbl, ac_tbl in blocks:
             row = stores[k][bi]
             if not progressive:
-                pred[k] = _decode_block_sequential(reader, row, dc_tbl, ac_tbl, pred[k])
+                if differential:
+                    _decode_block_sequential(reader, row, dc_tbl, ac_tbl, 0)
+                else:
+                    pred[k] = _decode_block_sequential(
+                        reader, row, dc_tbl, ac_tbl, pred[k]
+                    )
             elif ss == 0 and ah == 0:  # DC first
                 s = _decode_symbol(reader, dc_tbl)
                 pred[k] += _extend(reader.read_bits(s), s)
@@ -1072,9 +1082,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     8- and 12-bit sample precision), progressive huffman (SOF2,
     spectral selection + successive approximation, T.81 Annex G),
     sequential arithmetic (SOF9, QM coder per Annex D/F — see
-    ``jpeg_arith.py``), and lossless (SOF3, Annex H predictive) streams
-    decode; hierarchical and arithmetic-lossless processes raise
-    ``NotImplementedError``.
+    ``jpeg_arith.py``), lossless (SOF3, Annex H predictive), and
+    hierarchical (DHP/EXP/SOF5 single-component pyramids, Annex J)
+    streams decode; arithmetic-coded differential/lossless processes
+    raise ``NotImplementedError``.
     12-bit output is reduced to 8-bit RGB (scale 255/4095), mirroring
     the 16-bit PNG lane.
     """
@@ -1175,10 +1186,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     np.zeros((mcus_y * cv * mcus_x * ch, 64), dtype=np.int64)
                     for cid, ch, cv, tq in comps
                 ]
+        elif marker == 0xDE:  # DHP: the whole stream is a hierarchical
+            return _decode_hierarchical(payload)  # pyramid (Annex J)
         elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0} (hierarchical/progressive-"
-                "arithmetic/lossless-arithmetic coding) not supported"
+                f"JPEG SOF{marker - 0xC0} (differential frame outside a "
+                "hierarchical stream / progressive-arithmetic / "
+                "lossless-arithmetic coding) not supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
@@ -1497,3 +1511,283 @@ def encode_jpeg_lossless(
         + out_scan
         + b"\xff\xd9"
     )
+
+
+# ---------------------------------------------------------------------------
+# hierarchical JPEG (DHP/EXP + differential frames — T.81 Annex J)
+# ---------------------------------------------------------------------------
+
+def _exp_double(plane: np.ndarray, eh: int, ev: int) -> np.ndarray:
+    """Annex J.1.1.3 reference expansion: doubled axes interleave the
+    original samples with (a + b + 1) >> 1 midpoints (edge replicated)."""
+    p = plane.astype(np.int64)
+    if eh:
+        right = np.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+        out = np.empty((p.shape[0], p.shape[1] * 2), np.int64)
+        out[:, 0::2] = p
+        out[:, 1::2] = (p + right + 1) >> 1
+        p = out
+    if ev:
+        down = np.concatenate([p[1:, :], p[-1:, :]], axis=0)
+        out = np.empty((p.shape[0] * 2, p.shape[1]), np.int64)
+        out[0::2, :] = p
+        out[1::2, :] = (p + down + 1) >> 1
+        p = out
+    return p
+
+
+def _decode_hierarchical(payload: bytes) -> np.ndarray:
+    """Hierarchical (Annex J) decode: DHP declares the full-resolution
+    frame; a non-differential first frame establishes the reference at
+    reduced resolution; each EXP doubles the reference (J.1.1.3 filter)
+    and the following DIFFERENTIAL frame (SOF5, huffman sequential)
+    adds a coded correction. Scope: single-component (grayscale)
+    pyramids — the variant our fixture encoder produces; multi-component
+    or progressive/arithmetic differential frames raise."""
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple, dict] = {}
+    restart_interval = 0
+    full = None          # (prec, H, W)
+    ref = None           # int64 reference plane
+    pending_exp = None
+    frame = None         # open frame state
+    i = 2
+    n = len(payload)
+
+    def finish_frame():
+        nonlocal ref, frame
+        if frame is None:
+            return
+        fh, fw, tq, differential, store, bw = frame
+        qt = qtables[tq].reshape(-1)
+        spatial = idct_blocks((store * qt).reshape(-1, 8, 8).astype(np.float64))
+        bh = store.shape[0] // bw
+        plane = (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )[:fh, :fw]
+        if not differential:
+            ref = np.clip(np.round(plane + 128.0), 0, 255).astype(np.int64)
+        else:
+            if ref is None:
+                raise ValueError("differential frame before any reference")
+            if ref.shape != (fh, fw):
+                raise ValueError(
+                    f"reference {ref.shape} does not match frame {(fh, fw)}"
+                )
+            ref = np.clip(ref + np.round(plane).astype(np.int64), 0, 255)
+        frame = None
+
+    while i + 2 <= n:
+        if payload[i] != 0xFF:
+            raise ValueError(f"bad marker alignment at byte {i}")
+        marker = payload[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        data = payload[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(data):
+                prec_t, tid = data[j] >> 4, data[j] & 15
+                j += 1
+                vals = np.frombuffer(data, np.uint8, 64, j).astype(np.int64)
+                j += 64
+                if prec_t:
+                    raise NotImplementedError("16-bit DQT in hierarchical")
+                nat = np.empty(64, dtype=np.int64)
+                nat[ZIGZAG] = vals
+                qtables[tid] = nat.reshape(8, 8)
+        elif marker == 0xC4:
+            j = 0
+            while j < len(data):
+                tclass, tid = data[j] >> 4, data[j] & 15
+                bits = list(data[j + 1 : j + 17])
+                nv = sum(bits)
+                values = list(data[j + 17 : j + 17 + nv])
+                htables[(tclass, tid)] = _build_decode_table(bits, values)
+                j += 17 + nv
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDE:  # DHP
+            prec, fh, fw, nc = struct.unpack(">BHHB", data[:6])
+            if nc != 1 or prec != 8:
+                raise NotImplementedError(
+                    "hierarchical JPEG beyond 8-bit single-component"
+                )
+            full = (prec, fh, fw)
+        elif marker == 0xDF:  # EXP
+            finish_frame()
+            pending_exp = (data[0] >> 4, data[0] & 15)
+        elif marker in (0xC0, 0xC1, 0xC5):  # frame in the pyramid
+            finish_frame()
+            differential = marker == 0xC5
+            prec, fh, fw, nc = struct.unpack(">BHHB", data[:6])
+            if nc != 1 or prec != 8:
+                raise NotImplementedError(
+                    "hierarchical JPEG beyond 8-bit single-component"
+                )
+            cid, hv, tq = data[6:9]
+            if hv != 0x11:
+                raise NotImplementedError("subsampled hierarchical frame")
+            if differential and pending_exp is not None:
+                eh, ev = pending_exp
+                ref = _exp_double(ref, eh, ev)[:fh, :fw]
+                pending_exp = None
+            bw, bh = -(-fw // 8), -(-fh // 8)
+            store = np.zeros((bh * bw, 64), dtype=np.int64)
+            frame = (fh, fw, tq, differential, store, bw)
+            frame_comps = [(cid, 1, 1, tq)]
+            frame_geom = (fh, fw, 1, 1, bw, bh)
+        elif marker in (0xC2, 0xC3, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"hierarchical pyramid with SOF{marker - 0xC0} frames"
+            )
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("hierarchical SOS outside a frame")
+            ns = data[0]
+            scan_comps = []
+            for c in range(ns):
+                cs, tbl = data[1 + 2 * c], data[2 + 2 * c]
+                scan_comps.append((cs, tbl >> 4, tbl & 15))
+            i = _decode_scan(
+                payload,
+                i + 2 + seglen,
+                scan_comps,
+                frame_comps,
+                [frame[4]],
+                htables,
+                restart_interval,
+                frame_geom,
+                False,
+                0,
+                63,
+                0,
+                0,
+                differential=frame[3],
+            )
+            continue
+        i += 2 + seglen
+    finish_frame()
+    if full is None or ref is None:
+        raise ValueError("hierarchical JPEG missing DHP or frames")
+    if ref.shape != (full[1], full[2]):
+        raise ValueError(
+            f"pyramid ended at {ref.shape}, DHP declared {(full[1], full[2])}"
+        )
+    out = ref.astype(np.uint8)
+    return np.repeat(out[:, :, None], 3, axis=2)
+
+
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """2x2 box downsample with edge padding to even dims."""
+    p = plane.astype(np.float64)
+    if p.shape[0] % 2:
+        p = np.concatenate([p, p[-1:, :]], axis=0)
+    if p.shape[1] % 2:
+        p = np.concatenate([p, p[:, -1:]], axis=1)
+    return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
+
+
+def encode_jpeg_hierarchical(
+    img: np.ndarray, quality: int = 85, levels: int = 2
+) -> bytes:
+    """HxW grayscale uint8 -> HIERARCHICAL JPEG (Annex J): a DHP header,
+    a non-differential SOF0 frame at 1/2^levels resolution, then per
+    level an EXP expansion plus a DIFFERENTIAL SOF5 frame coding the
+    correction against the expanded reference (PRED=0 DC coding, flat
+    category-0..16 DC table; AC coefficients clipped to the standard
+    table's +-1023 — legal, the encoder reconstructs from the SAME
+    clipped values it writes, mirroring the decoder exactly)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("hierarchical fixture encoder takes HxW grayscale")
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    h, w = img.shape
+    pyramid = [img.astype(np.float64)]
+    for _ in range(levels):
+        pyramid.append(_downsample2(pyramid[-1]))
+
+    q = _scaled_quant(QUANT_LUMA, quality)
+    qflat = q.reshape(-1)
+    dc_std = _build_encode_table(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_std = _build_encode_table(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_flat = _build_encode_table(_LL_BITS, _LL_VALS)
+
+    def quantize_plane(plane: np.ndarray, level_shift: float):
+        blocks = _plane_blocks(_pad_edge(plane - level_shift, 8))
+        zz = np.round(fdct_blocks(blocks) / q).astype(np.int64).reshape(-1, 64)
+        return zz[:, ZIGZAG]
+
+    def reconstruct(zz: np.ndarray, fh: int, fw: int) -> np.ndarray:
+        nat = np.zeros_like(zz)
+        nat[:, ZIGZAG] = zz
+        spatial = idct_blocks((nat * qflat).reshape(-1, 8, 8).astype(np.float64))
+        bw = -(-fw // 8)
+        bh = nat.shape[0] // bw
+        return (
+            spatial.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )[:fh, :fw]
+
+    def sof(marker: int, fh: int, fw: int) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">HBHHB", 11, 8, fh, fw, 1
+        ) + bytes([1, 0x11, 0])
+
+    def sos(td: int) -> bytes:
+        return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, (td << 4)]) + bytes(
+            [0, 63, 0]
+        )
+
+    out = bytearray(b"\xff\xd8")
+    out += bytes([0xFF, 0xDE]) + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    out += _dqt_segment(0, q)
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+    out += _dht_segment(0, 1, _LL_BITS, _LL_VALS)
+
+    # non-differential base frame
+    base = pyramid[-1]
+    fh, fw = base.shape
+    zz = quantize_plane(base, 128.0)
+    writer = _BitWriter()
+    pred = 0
+    for row in zz:
+        pred = _encode_block(writer, row, pred, dc_std, ac_std)
+    writer.pad_to_byte()
+    out += sof(0xC0, fh, fw) + sos(0) + bytes(writer.buf)
+    ref = np.clip(np.round(reconstruct(zz, fh, fw) + 128.0), 0, 255).astype(
+        np.int64
+    )
+
+    # differential refinement frames, deepest level outward
+    for lvl in range(levels - 1, -1, -1):
+        target = pyramid[lvl]
+        fh, fw = target.shape
+        ref = _exp_double(ref, 1, 1)[:fh, :fw]
+        diff = target - ref.astype(np.float64)
+        zz = quantize_plane(diff, 0.0)
+        zz[:, 1:] = np.clip(zz[:, 1:], -1023, 1023)  # std AC table range
+        writer = _BitWriter()
+        for row in zz:
+            _encode_block(writer, row, 0, dc_flat, ac_std)  # PRED = 0
+        writer.pad_to_byte()
+        out += bytes([0xFF, 0xDF]) + struct.pack(">H", 3) + bytes([0x11])
+        out += sof(0xC5, fh, fw) + sos(1) + bytes(writer.buf)
+        ref = np.clip(
+            ref + np.round(reconstruct(zz, fh, fw)).astype(np.int64), 0, 255
+        )
+
+    out += b"\xff\xd9"
+    return bytes(out)

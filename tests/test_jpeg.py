@@ -343,3 +343,68 @@ def test_lossless_determinism_and_guards():
     p[i + 11] = 0x22  # H/V of component 1 -> 2x2
     with pytest.raises(NotImplementedError, match="subsampled"):
         decode_jpeg(bytes(p))
+
+
+# ---------------------------------------------------------------------------
+# hierarchical (DHP/EXP + differential frames, T.81 Annex J)
+# ---------------------------------------------------------------------------
+
+def test_hierarchical_roundtrip_quality_and_structure():
+    from geokitten_spark.functions.jpeg import encode_jpeg_hierarchical
+
+    yy, xx = np.mgrid[0:61, 0:83]
+    img = ((yy * 2 + xx) % 256).astype(np.uint8)
+    data = encode_jpeg_hierarchical(img, quality=85, levels=2)
+    # structure: DHP, one non-differential SOF0 base, EXP+SOF5 per level
+    assert data[:2] == b"\xff\xd8" and b"\xff\xde" in data
+    assert data.count(b"\xff\xdf\x00\x03\x11") == 2  # EXP x levels
+    assert data.count(b"\xff\xc5") == 2 and data.count(b"\xff\xc0") == 1
+    out = decode_jpeg(data)
+    assert out.shape == (61, 83, 3)
+    assert (out[:, :, 0] == out[:, :, 1]).all()  # grayscale replicated
+    assert psnr(out[:, :, 0], img) > 40.0  # within ~1 dB of plain SOF0
+    # deeper pyramid + odd/thin dims still reconstruct at declared size
+    thin = ((xx[:16, :] * 3) % 256).astype(np.uint8)[:13, :81]
+    out2 = decode_jpeg(encode_jpeg_hierarchical(thin, quality=90, levels=3))
+    assert out2.shape == (13, 81, 3)
+    assert psnr(out2[:, :, 0], thin) > 35.0
+
+
+def test_hierarchical_exp_filter_is_annex_j():
+    from geokitten_spark.functions.jpeg import _exp_double
+
+    p = np.array([[0, 10], [20, 30]])
+    e = _exp_double(p, 1, 1)
+    # doubled axes interleave originals with (a+b+1)>>1 midpoints,
+    # edges replicated
+    want = np.array(
+        [[0, 5, 10, 10],
+         [10, 15, 20, 20],
+         [20, 25, 30, 30],
+         [20, 25, 30, 30]]
+    )
+    assert np.array_equal(e, want)
+    # horizontal-only expansion leaves height alone
+    assert _exp_double(p, 1, 0).shape == (2, 4)
+    assert _exp_double(p, 0, 1).shape == (4, 2)
+
+
+def test_hierarchical_malformed_streams_raise():
+    from geokitten_spark.functions.jpeg import encode_jpeg_hierarchical
+
+    img = (np.arange(1024, dtype=np.uint8).reshape(32, 32))
+    data = bytearray(encode_jpeg_hierarchical(img, levels=1))
+    # truncate before the last differential frame: pyramid ends at the
+    # wrong resolution vs the DHP declaration
+    cut = data[: data.index(b"\xff\xdf")] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="pyramid|DHP"):
+        decode_jpeg(bytes(cut))
+    # a differential SOF outside a hierarchical stream stays guarded
+    base = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    i = base.index(b"\xff\xc0")
+    base[i + 1] = 0xC5
+    with pytest.raises(NotImplementedError, match="differential"):
+        decode_jpeg(bytes(base))
+    # RGB input to the grayscale fixture encoder is a loud error
+    with pytest.raises(ValueError, match="grayscale"):
+        encode_jpeg_hierarchical(np.zeros((8, 8, 3), np.uint8))
