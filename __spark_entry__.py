@@ -2809,6 +2809,38 @@ def q_unicode_normalize(spark, sf_dir):
     )
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet-style corpus mixing: per-language head/middle/tail buckets
+    by LM perplexity terciles (NTILE(3) over the bigram-LM scores —
+    head = lowest-perplexity third, the slice CCNet keeps for LM
+    training). Rides the oracle-checked lm_perplexity chain; the
+    tercile assignment is one window over the per-doc scores, ordered
+    by (rounded ppl, doc_id) so the split is total-ordered and
+    engine-identical."""
+    from pyspark.sql import Window
+
+    from geokitten_spark.operators.lm import lm_perplexity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = lm_perplexity(docs, vocab_size=1024, max_bigrams=65536, alpha=0.1)
+    scored = out.select(
+        "doc_id",
+        F.col("grp").alias("lang"),
+        F.round("ppl", 6).alias("ppl"),
+    )
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    nt = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "ppl",
+        F.when(nt == 1, "head")
+        .when(nt == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
 def q_cdx_index(spark, sf_dir):
     """CDXJ crawl-index lane (sources/cdx.py): render every capture's
     index line (SURT urlkey + 14-digit timestamp + JSON block) with pure
@@ -3040,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_normalize": q_unicode_normalize,
         "robots_filter": q_robots_filter,
         "cdx_index": q_cdx_index,
+        "ccnet_buckets": q_ccnet_buckets,
     }
 
 
@@ -4159,6 +4192,17 @@ def oracle_sql() -> dict[str, str]:
     )
     out["mvt_tiles"] = _ora.mvt_tiles_sql()
     out["polygon_overlap"] = _ora.polygon_overlap_sql()
+    # CCNet buckets: the oracle-checked lm chain + one NTILE window
+    out["ccnet_buckets"] = f"""
+        WITH lm AS ({out["lm_perplexity"]})
+        SELECT doc_id, lang, ppl,
+               CASE NTILE(3) OVER (PARTITION BY lang
+                                   ORDER BY ppl, doc_id)
+                    WHEN 1 THEN 'head'
+                    WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM lm
+    """
     # robots verdicts: the rules VALUES come from the same RFC 9309
     # parser (unit-tested against spec semantics); the MATCH + most-
     # specific-rule logic replays as plain SQL in DuckDB
