@@ -629,16 +629,32 @@ def _squery_leg(cpus: int, reps: int = 1) -> dict[str, list]:
                 (F.col("lat") + (F.col("rep") % 13 - 6) * 0.003).alias("lat"),
             )
 
-        points_big = jittered(1000)   # JVM-only rollup: ~200M rows
-        points_mid = jittered(25)     # Arrow-refine pip: ~5M rows
-        n_big = n_docs * 1000
-        n_mid = n_docs * 25
+        # leg sizes re-calibrated round 4: the kNN bound prune and the
+        # partitioned-PIP fast path cut their absolute times ~5-7x, so the
+        # r2-era inputs left ~2-8s legs that measured stage-scheduling
+        # latency, not throughput (knn read 0.38 "efficiency" purely from
+        # a ~4.5s fixed session/stage floor). Each leg now targets the
+        # 30-80s band at local[2], where the floor is <10% of the leg.
+        # kNN note: replica coords are hash-spread, so per-cell density —
+        # and with it candidate work per point — grows with ANY
+        # replication scheme (distinct-cell shifting measured WORSE, 27x
+        # base at x8, because shifted hotspots stack on other hotspots);
+        # the quadratic-ish growth is a property of the kNN-join problem,
+        # not the plan, and scaling efficiency compares the SAME input at
+        # both parallelism levels, so in-place jitter at a factor sized
+        # for ~45s is the honest choice.
+        points_big = jittered(4000)   # JVM-only rollup: ~800M rows
+        points_mid = jittered(800)    # Arrow-refine pip: ~160M rows
+        points_knn = jittered(4)      # ~800k pts, ~45s at local[2]
+        n_big = n_docs * 4000
+        n_mid = n_docs * 800
+        n_knn = n_docs * 4
         texts_half = texts.filter(F.col("doc_id") % 2 == 0)
         n_half = n_docs // 2
 
         ops = {
             "knn_join": lambda: _materialize(
-                knn_join(points, id_col="doc_id", k=3, res=7, ring_k=2)
+                knn_join(points_knn, id_col="doc_id", k=3, res=7, ring_k=2)
             ),
             # span_coverage, not minhash, for the dedup family: replicated
             # text makes every replica a perfect near-dup, so minhash pair
@@ -663,6 +679,7 @@ def _squery_leg(cpus: int, reps: int = 1) -> dict[str, list]:
             "tile_rollup": n_big,
             "pip_partitioned": n_mid,
             "dedup_span_coverage": n_half,
+            "knn_join": n_knn,
         }
         for name, fn in ops.items():
             fn()  # warmup: Python pool spawn + codegen

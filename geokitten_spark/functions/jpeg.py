@@ -19,15 +19,16 @@ Scope (ITU-T T.81):
   shared IDCT. Huffman/quant tables are read FROM THE STREAM, so
   third-party JPEGs decode with their own tables. 12-bit sample
   precision decodes (level shift 2048, 255/4095 output reduction).
-  Lossless (SOF3, Annex H) decodes: predictive sample reconstruction
-  modulo 2^16 with predictors 1-7, point transform, restart reset, any
-  precision 2-16 — no DCT, no color transform, pixel-EXACT roundtrip.
+  Lossless (SOF3 huffman AND SOF11 arithmetic, Annex H) decodes:
+  predictive sample reconstruction modulo 2^16 with predictors 1-7,
+  point transform, restart reset, any precision 2-16 — no DCT, no
+  color transform, pixel-EXACT roundtrip.
   Hierarchical (Annex J) decodes for single-component pyramids: DHP,
   EXP reference doubling (the (a+b+1)>>1 interleave filter), SOF0/1
   base frames and SOF5 differential frames with PRED=0 DC coding.
-  Only the arithmetic-coded differential/lossless processes still
-  raise ``NotImplementedError`` (sequential arithmetic lives in
-  ``jpeg_arith.py``).
+  Only the arithmetic-coded progressive (SOF10) and differential
+  processes still raise ``NotImplementedError`` (the QM coder and the
+  sequential/lossless arithmetic models live in ``jpeg_arith.py``).
 * **encode_jpeg** — baseline with the published Annex K tables (IJG
   quality scaling); 4:4:4 or 4:2:0; optional restart intervals.
 * **encode_jpeg_progressive** — the standard 10-scan
@@ -1151,10 +1152,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 else:
                     conditioning[("ac", tb)] = data[j + 1]
                 j += 2
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # seq/prog/lossless
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCB):  # seq/prog/lossless
             progressive = marker == 0xC2
-            arith = marker == 0xC9
-            lossless = marker == 0xC3
+            arith = marker in (0xC9, 0xCB)
+            lossless = marker in (0xC3, 0xCB)
             prec, ih, iw, nc = struct.unpack(">BHHB", data[:6])
             if lossless:
                 if not 2 <= prec <= 16:
@@ -1188,11 +1189,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 ]
         elif marker == 0xDE:  # DHP: the whole stream is a hierarchical
             return _decode_hierarchical(payload)  # pyramid (Annex J)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} (differential frame outside a "
-                "hierarchical stream / progressive-arithmetic / "
-                "lossless-arithmetic coding) not supported"
+                "hierarchical stream / arithmetic-coded progressive or "
+                "differential processes) not supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
@@ -1211,19 +1212,40 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if lossless:
                 # Ss = predictor selector, Al = point transform (Annex H)
                 ll_pt = al_
-                i = _decode_scan_lossless(
-                    payload,
-                    i + 2 + seglen,
-                    scan_comps,
-                    comps,
-                    stores,
-                    htables,
-                    restart_interval,
-                    (sof[0], sof[1]),
-                    ss_,
-                    al_,
-                    sof[3],
-                )
+                if arith:
+                    from geokitten_spark.functions.jpeg_arith import (
+                        decode_scan_lossless_arith,
+                    )
+
+                    i = decode_scan_lossless_arith(
+                        payload,
+                        i + 2 + seglen,
+                        scan_comps,
+                        comps,
+                        stores,
+                        conditioning,
+                        restart_interval,
+                        (sof[0], sof[1]),
+                        ss_,
+                        al_,
+                        sof[3],
+                        _split_scan,
+                        _ll_predict,
+                    )
+                else:
+                    i = _decode_scan_lossless(
+                        payload,
+                        i + 2 + seglen,
+                        scan_comps,
+                        comps,
+                        stores,
+                        htables,
+                        restart_interval,
+                        (sof[0], sof[1]),
+                        ss_,
+                        al_,
+                        sof[3],
+                    )
             elif arith:
                 from geokitten_spark.functions.jpeg_arith import decode_scan_arith
 

@@ -264,8 +264,12 @@ def _classify_dc(m: int, sign: int, low: int, up: int) -> int:
     return 4 + sign * 4  # small diff
 
 
-def encode_dc_arith(enc, stats, ctx, v, low, up):
-    """Encode one DC difference; returns the next conditioning context."""
+def encode_dc_arith(enc, stats, ctx, v, low, up, xbase=20):
+    """Encode one DC difference; returns the next conditioning context.
+
+    ``xbase`` is the start of the X1..X15 magnitude-category ladder in
+    the statistics area (20 for the F.1.4 DC model; the Annex H lossless
+    model passes 100 or 129 depending on the Db classification)."""
     st = ctx
     if v == 0:
         enc.encode(stats, st, 0)
@@ -281,7 +285,7 @@ def encode_dc_arith(enc, stats, ctx, v, low, up):
     if vm:
         enc.encode(stats, st, 1)
         m = 1
-        st2 = 20
+        st2 = xbase
         while vm >> 1:
             vm >>= 1
             enc.encode(stats, st2, 1)
@@ -298,7 +302,7 @@ def encode_dc_arith(enc, stats, ctx, v, low, up):
     return nxt
 
 
-def decode_dc_arith(dec, stats, ctx, low, up):
+def decode_dc_arith(dec, stats, ctx, low, up, xbase=20):
     """Decode one DC difference; returns (diff, next context)."""
     st = ctx
     if dec.decode(stats, st) == 0:
@@ -307,7 +311,7 @@ def decode_dc_arith(dec, stats, ctx, low, up):
     st += 2 + sign
     m = dec.decode(stats, st)
     if m:
-        st = 20
+        st = xbase
         while dec.decode(stats, st):
             m <<= 1
             if m == 0x8000:
@@ -620,3 +624,208 @@ def _encode_block_arith(enc, dstats, astats, fixed, zz, pred, dcctx, ci, cond):
     pred[ci] = int(zz[0])
     dcctx[ci] = encode_dc_arith(enc, dstats, dcctx[ci], v, dc_l, dc_u)
     _encode_ac_from(enc, astats, fixed, zz, ac_kx)
+
+
+# --- Annex H lossless statistical model (SOF11) -----------------------------
+# Each coded difference is conditioned on the classifications of Da (the
+# difference coded for the sample to the LEFT) and Db (the difference
+# coded for the sample ABOVE), each into the same five categories the DC
+# model's conditioning bounds define (zero / small+- / large+-, with the
+# small/large boundaries from the DAC L/U values — identical defaults
+# L=0, U=1 give "small" = |D| in {1,2}, "large" = |D| > 2).
+#
+# Statistics area layout (158 bins): the 25 (Da, Db) context trees of
+# four decisions each (S0, SS, SP, SN) occupy 0..99 at bin offset
+# 4*qa + 20*qb (the classifier already returns 4*q, so the offset is
+# simply Ca + 5*Cb); the two X1..X15/M2..M15 magnitude ladders sit at
+# 100 and 129, the SECOND selected when Db is classified large.
+#
+# Verification boundary (same honesty as the module docstring): the
+# sandbox has no independent codec to interop-test against; what the
+# tests pin is bit-exact lossless roundtrip (decode == original sample
+# for sample), parity with the huffman lossless path, restart handling,
+# and non-default conditioning.
+
+LL_STAT_BINS = 158
+_LL_X1_A = 100  # ladder when Db is zero/small
+_LL_X1_B = 129  # ladder when Db is large
+
+
+def new_lossless_stats() -> bytearray:
+    return bytearray(LL_STAT_BINS)
+
+
+def _classify_diff(d: int, low: int, up: int) -> int:
+    """Classification (0/4/8/12/16) of an already-coded difference,
+    identical to what encode/decode_dc_arith derive internally."""
+    if d == 0:
+        return 0
+    sign = 0 if d > 0 else 1
+    vm = (d if d > 0 else -d) - 1
+    m = 0 if vm == 0 else 1 << (vm.bit_length() - 1)
+    return _classify_dc(m, sign, low, up)
+
+
+def decode_scan_lossless_arith(
+    payload,
+    start,
+    scan_comps,
+    comps,
+    stores,
+    conditioning,
+    restart_interval,
+    size,
+    predictor,
+    pt,
+    prec,
+    split_scan,
+    predict_fn,
+):
+    """Decode one lossless ARITHMETIC-coded scan (SOF11) into the
+    per-component sample planes; returns the offset of the terminating
+    marker. Mirrors ``jpeg._decode_scan_lossless``'s raster/MCU walk and
+    modulo-2^16 reconstruction; a restart resets the coder, statistics,
+    the prediction default, and the Da/Db difference history."""
+    ih, iw = size
+    segments, end = split_scan(payload, start)
+    comp_index = {cid: k for k, (cid, ch, cv, tq) in enumerate(comps)}
+    sel = [(comp_index[cs], td) for cs, td, ta in scan_comps]
+    default = 1 << (prec - pt - 1)
+
+    seg = 0
+
+    def fresh():
+        dec = ArithDecoder(bytes(segments[seg]))
+        stats = {td: new_lossless_stats() for _, td in sel}
+        # per-component difference history: row above + current-left
+        above = [np.zeros(iw, dtype=np.int64) for _ in sel]
+        left = [0 for _ in sel]
+        return dec, stats, above, left
+
+    dec, stats, above, left = fresh()
+    cond = {td: conditioning.get(("dc", td), (0, 1)) for _, td in sel}
+
+    n_mcu = 0
+    reset = False
+    for y in range(ih):
+        for ci in range(len(sel)):
+            left[ci] = 0  # row start: no left neighbour
+        for x in range(iw):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                seg += 1
+                if seg >= len(segments):
+                    raise ValueError(
+                        "arith lossless JPEG truncated: missing restart segment"
+                    )
+                dec, stats, above, left = fresh()
+                reset = True
+            for ci, (k, td) in enumerate(sel):
+                plane = stores[k]
+                low, up = cond[td]
+                ca = _classify_diff(left[ci], low, up)
+                cb = _classify_diff(int(above[ci][x]), low, up)
+                ctx = ca + 5 * cb
+                xbase = _LL_X1_B if cb >= 12 else _LL_X1_A
+                diff, _ = decode_dc_arith(dec, stats[td], ctx, low, up, xbase)
+                px = default if reset else predict_fn(plane, x, y, predictor,
+                                                      default)
+                plane[y, x] = (px + diff) & 0xFFFF
+                left[ci] = diff
+                above[ci][x] = diff
+            reset = False
+            n_mcu += 1
+    return end
+
+
+def encode_jpeg_lossless_arith(
+    img: np.ndarray,
+    predictor: int = 1,
+    precision: int = 8,
+    point_transform: int = 0,
+    restart_interval: int = 0,
+    dc_l: int = 0,
+    dc_u: int = 1,
+) -> bytes:
+    """HxWx3 RGB (or HxW gray) uint8 -> LOSSLESS ARITHMETIC-coded
+    (SOF11) JPEG bytes — same predictive layer as
+    ``jpeg.encode_jpeg_lossless`` (predictors 1-7, point transform,
+    bit-replicated 12/16-bit precision, restart intervals) with the QM
+    coder replacing huffman, so
+    ``decode_jpeg(encode_jpeg_lossless_arith(img)) == img`` bit-for-bit
+    at Pt=0 and the huffman/arithmetic lanes decode identically."""
+    from geokitten_spark.functions.jpeg import _ll_predict
+
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    if not gray and (img.ndim != 3 or img.shape[2] != 3):
+        raise ValueError(f"expected HxWx3 or HxW uint8, got {img.shape}")
+    if precision not in (8, 12, 16):
+        raise ValueError("precision must be 8, 12 or 16")
+    if not 0 <= point_transform < precision:
+        raise ValueError("point_transform must satisfy 0 <= Pt < precision")
+    samples = img.astype(np.int64)
+    if precision == 12:
+        samples = samples * 16 + samples // 16
+    elif precision == 16:
+        samples = samples * 257
+    samples >>= point_transform
+    h, w = img.shape[:2]
+    planes = [samples] if gray else [samples[:, :, k] for k in range(3)]
+    ncomp = len(planes)
+    default = 1 << (precision - point_transform - 1)
+
+    out_scan = bytearray()
+    rst = 0
+
+    def fresh():
+        enc = ArithEncoder()
+        stats = new_lossless_stats()  # every component uses DC table 0
+        above = [np.zeros(w, dtype=np.int64) for _ in range(ncomp)]
+        left = [0 for _ in range(ncomp)]
+        return enc, stats, above, left
+
+    enc, stats, above, left = fresh()
+    n_mcu = 0
+    reset = False
+    for y in range(h):
+        left = [0 for _ in range(ncomp)]
+        for x in range(w):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                out_scan += enc.scan()
+                out_scan += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                enc, stats, above, left = fresh()
+                reset = True
+            for ci, plane in enumerate(planes):
+                xval = int(plane[y, x])
+                px = default if reset else _ll_predict(plane, x, y,
+                                                       predictor, default)
+                d = (xval - px) & 0xFFFF
+                if d >= 0x8000:
+                    d -= 0x10000
+                ca = _classify_diff(left[ci], dc_l, dc_u)
+                cb = _classify_diff(int(above[ci][x]), dc_l, dc_u)
+                ctx = ca + 5 * cb
+                xbase = _LL_X1_B if cb >= 12 else _LL_X1_A
+                encode_dc_arith(enc, stats, ctx, d, dc_l, dc_u, xbase)
+                left[ci] = d
+                above[ci][x] = d
+            reset = False
+            n_mcu += 1
+    out_scan += enc.scan()
+
+    sof_comps = b"".join(bytes([cid + 1, 0x11, 0]) for cid in range(ncomp))
+    sof = b"\xff\xcb" + struct.pack(
+        ">HBHH", 8 + 3 * ncomp, precision, h, w
+    ) + bytes([ncomp]) + sof_comps
+    dcv = (dc_u << 4) | dc_l
+    dac = b"\xff\xcc" + struct.pack(">H", 4) + bytes([0x00, dcv])
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval
+        else b""
+    )
+    sos = b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp) + bytes(
+        [b for cid in range(ncomp) for b in (cid + 1, 0x00)]
+    ) + bytes([predictor, 0, point_transform])
+    return b"\xff\xd8" + sof + dac + dri + sos + out_scan + b"\xff\xd9"

@@ -165,3 +165,94 @@ def test_determinism():
     rng = np.random.default_rng(21)
     img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8).astype(np.uint8)
     assert encode_jpeg_arith(img, 85) == encode_jpeg_arith(img, 85)
+
+
+# --- lossless arithmetic (SOF11, Annex H model) -----------------------------
+
+
+def _rgb(seed, h=31, w=27):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8).astype(np.uint8)
+
+
+@pytest.mark.parametrize("pred", range(1, 8))
+def test_lossless_arith_exact_roundtrip_all_predictors(pred):
+    from geokitten_spark.functions.jpeg_arith import encode_jpeg_lossless_arith
+
+    img = _rgb(100 + pred)
+    b = encode_jpeg_lossless_arith(img, predictor=pred)
+    assert b"\xff\xcb" in b  # SOF11
+    assert b"\xff\xcc" in b  # DAC
+    assert b"\xff\xc4" not in b  # no huffman tables anywhere
+    assert np.array_equal(decode_jpeg(b), img)  # bit-exact, no loss
+
+
+def test_lossless_arith_matches_huffman_lossless_lane():
+    # both lossless entropy layers must reproduce the ORIGINAL image,
+    # so they are trivially pixel-identical to each other — pinned
+    # explicitly so a regression in either lane is caught as a parity
+    # break, not just a roundtrip break
+    from geokitten_spark.functions.jpeg import encode_jpeg_lossless
+    from geokitten_spark.functions.jpeg_arith import encode_jpeg_lossless_arith
+
+    img = _rgb(42)
+    hb = encode_jpeg_lossless(img, predictor=4)
+    ab = encode_jpeg_lossless_arith(img, predictor=4)
+    assert np.array_equal(decode_jpeg(ab), decode_jpeg(hb))
+
+
+def test_lossless_arith_gray_restart_and_point_transform():
+    from geokitten_spark.functions.jpeg_arith import encode_jpeg_lossless_arith
+
+    rng = np.random.default_rng(55)
+    gray = rng.integers(0, 256, (23, 41), dtype=np.uint8).astype(np.uint8)
+    b = encode_jpeg_lossless_arith(gray, predictor=4, restart_interval=57)
+    assert np.array_equal(decode_jpeg(b), np.repeat(gray[:, :, None], 3, axis=2))
+
+    img = _rgb(56)
+    b = encode_jpeg_lossless_arith(img, predictor=5, point_transform=2)
+    assert np.array_equal(decode_jpeg(b), (img >> 2) << 2)
+
+    b = encode_jpeg_lossless_arith(img, predictor=6, restart_interval=13)
+    assert np.array_equal(decode_jpeg(b), img)  # restart mid-row
+
+
+@pytest.mark.parametrize("prec", [12, 16])
+def test_lossless_arith_high_precision_reduces_exactly(prec):
+    from geokitten_spark.functions.jpeg_arith import encode_jpeg_lossless_arith
+
+    img = _rgb(60 + prec)
+    b = encode_jpeg_lossless_arith(img, predictor=7, precision=prec)
+    assert np.array_equal(decode_jpeg(b), img)
+
+
+def test_lossless_arith_non_default_conditioning():
+    # non-default L/U re-shape the Da/Db context classification on BOTH
+    # sides; a decoder that ignored the DAC segment would desync
+    from geokitten_spark.functions.jpeg_arith import encode_jpeg_lossless_arith
+
+    img = _rgb(71)
+    for dc_l, dc_u in [(1, 3), (0, 4), (2, 2)]:
+        b = encode_jpeg_lossless_arith(img, predictor=1, dc_l=dc_l, dc_u=dc_u)
+        assert np.array_equal(decode_jpeg(b), img)
+
+
+def test_lossless_arith_context_adaptation_compresses_smooth_images():
+    # a +1/+1 gradient makes every predictor-2 difference tiny, so the
+    # zero/small contexts saturate and the QM coder collapses the image
+    # to a few dozen bytes — evidence the 25-context model is actually
+    # conditioning (a context-blind coder cannot reach this rate)
+    from geokitten_spark.functions.jpeg_arith import encode_jpeg_lossless_arith
+
+    yy, xx = np.mgrid[0:50, 0:60]
+    smooth = ((yy + xx) % 256).astype(np.uint8)
+    b = encode_jpeg_lossless_arith(smooth, predictor=7)
+    assert np.array_equal(decode_jpeg(b), np.repeat(smooth[:, :, None], 3, axis=2))
+    assert len(b) < smooth.size // 20
+
+
+def test_lossless_arith_determinism():
+    from geokitten_spark.functions.jpeg_arith import encode_jpeg_lossless_arith
+
+    img = _rgb(83)
+    assert encode_jpeg_lossless_arith(img, 3) == encode_jpeg_lossless_arith(img, 3)
