@@ -24,11 +24,14 @@ Scope (ITU-T T.81):
   point transform, restart reset, any precision 2-16 — no DCT, no
   color transform, pixel-EXACT roundtrip.
   Hierarchical (Annex J) decodes for single-component pyramids: DHP,
-  EXP reference doubling (the (a+b+1)>>1 interleave filter), SOF0/1
-  base frames and SOF5 differential frames with PRED=0 DC coding.
-  Only the arithmetic-coded progressive (SOF10) and differential
-  processes still raise ``NotImplementedError`` (the QM coder and the
-  sequential/lossless arithmetic models live in ``jpeg_arith.py``).
+  EXP reference doubling (the (a+b+1)>>1 interleave filter), SOF0/1/9
+  base frames and SOF5/SOF13 differential frames with PRED=0 DC
+  coding. Progressive arithmetic (SOF10, Annex G.2) decodes via the
+  same QM coder (``jpeg_arith.py``, as do SOF9/SOF11/SOF13). The only
+  frame types that still raise ``NotImplementedError`` are the
+  differential progressive/lossless pyramid stages (SOF6/7/14/15 —
+  both entropy codings, symmetric) and any differential frame outside
+  a hierarchical stream (illegal per T.81 anyway).
 * **encode_jpeg** — baseline with the published Annex K tables (IJG
   quality scaling); 4:4:4 or 4:2:0; optional restart intervals.
 * **encode_jpeg_progressive** — the standard 10-scan
@@ -1082,10 +1085,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     JPEGs decode with their own tables). Sequential huffman (SOF0/1,
     8- and 12-bit sample precision), progressive huffman (SOF2,
     spectral selection + successive approximation, T.81 Annex G),
-    sequential arithmetic (SOF9, QM coder per Annex D/F — see
-    ``jpeg_arith.py``), lossless (SOF3, Annex H predictive), and
-    hierarchical (DHP/EXP/SOF5 single-component pyramids, Annex J)
-    streams decode; arithmetic-coded differential/lossless processes
+    sequential/progressive/lossless arithmetic (SOF9/10/11, QM coder
+    per Annex D/F/G.2/H — see ``jpeg_arith.py``), lossless huffman
+    (SOF3, Annex H predictive), and hierarchical (DHP/EXP pyramids
+    with SOF5/SOF13 differential frames, Annex J) streams decode; only
+    the differential progressive/lossless pyramid stages (SOF6/7/14/15)
     raise ``NotImplementedError``.
     12-bit output is reduced to 8-bit RGB (scale 255/4095), mirroring
     the 16-bit PNG lane.
@@ -1152,9 +1156,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 else:
                     conditioning[("ac", tb)] = data[j + 1]
                 j += 2
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCB):  # seq/prog/lossless
-            progressive = marker == 0xC2
-            arith = marker in (0xC9, 0xCB)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+            progressive = marker in (0xC2, 0xCA)  # seq/prog/lossless
+            arith = marker in (0xC9, 0xCA, 0xCB)
             lossless = marker in (0xC3, 0xCB)
             prec, ih, iw, nc = struct.unpack(">BHHB", data[:6])
             if lossless:
@@ -1189,11 +1193,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 ]
         elif marker == 0xDE:  # DHP: the whole stream is a hierarchical
             return _decode_hierarchical(payload)  # pyramid (Annex J)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCA, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0} (differential frame outside a "
-                "hierarchical stream / arithmetic-coded progressive or "
-                "differential processes) not supported"
+                "hierarchical stream) not supported"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", data[:2])
@@ -1246,6 +1249,26 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         al_,
                         sof[3],
                     )
+            elif arith and progressive:
+                from geokitten_spark.functions.jpeg_arith import (
+                    decode_scan_progressive_arith,
+                )
+
+                i = decode_scan_progressive_arith(
+                    payload,
+                    i + 2 + seglen,
+                    scan_comps,
+                    comps,
+                    stores,
+                    conditioning,
+                    restart_interval,
+                    geom,
+                    ss_,
+                    se_,
+                    ah_,
+                    al_,
+                    _split_scan,
+                )
             elif arith:
                 from geokitten_spark.functions.jpeg_arith import decode_scan_arith
 
@@ -1562,17 +1585,20 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
     """Hierarchical (Annex J) decode: DHP declares the full-resolution
     frame; a non-differential first frame establishes the reference at
     reduced resolution; each EXP doubles the reference (J.1.1.3 filter)
-    and the following DIFFERENTIAL frame (SOF5, huffman sequential)
-    adds a coded correction. Scope: single-component (grayscale)
-    pyramids — the variant our fixture encoder produces; multi-component
-    or progressive/arithmetic differential frames raise."""
+    and the following DIFFERENTIAL frame (SOF5 huffman or SOF13
+    arithmetic, both sequential) adds a coded correction. Scope:
+    single-component (grayscale) pyramids — the variant our fixture
+    encoder produces; multi-component or progressive/lossless
+    differential frames raise."""
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple, dict] = {}
+    conditioning: dict[tuple, object] = {}
     restart_interval = 0
     full = None          # (prec, H, W)
     ref = None           # int64 reference plane
     pending_exp = None
     frame = None         # open frame state
+    frame_arith = False  # entropy coding of the open frame
     i = 2
     n = len(payload)
 
@@ -1633,6 +1659,15 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
                 values = list(data[j + 17 : j + 17 + nv])
                 htables[(tclass, tid)] = _build_decode_table(bits, values)
                 j += 17 + nv
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            j = 0
+            while j < len(data):
+                tc, tb = data[j] >> 4, data[j] & 15
+                if tc == 0:
+                    conditioning[("dc", tb)] = (data[j + 1] & 15, data[j + 1] >> 4)
+                else:
+                    conditioning[("ac", tb)] = data[j + 1]
+                j += 2
         elif marker == 0xDD:
             (restart_interval,) = struct.unpack(">H", data[:2])
         elif marker == 0xDE:  # DHP
@@ -1645,9 +1680,10 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
         elif marker == 0xDF:  # EXP
             finish_frame()
             pending_exp = (data[0] >> 4, data[0] & 15)
-        elif marker in (0xC0, 0xC1, 0xC5):  # frame in the pyramid
+        elif marker in (0xC0, 0xC1, 0xC5, 0xC9, 0xCD):  # frame in the pyramid
             finish_frame()
-            differential = marker == 0xC5
+            differential = marker in (0xC5, 0xCD)
+            frame_arith = marker in (0xC9, 0xCD)
             prec, fh, fw, nc = struct.unpack(">BHHB", data[:6])
             if nc != 1 or prec != 8:
                 raise NotImplementedError(
@@ -1665,8 +1701,7 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
             frame = (fh, fw, tq, differential, store, bw)
             frame_comps = [(cid, 1, 1, tq)]
             frame_geom = (fh, fw, 1, 1, bw, bh)
-        elif marker in (0xC2, 0xC3, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+        elif marker in (0xC2, 0xC3, 0xC6, 0xC7, 0xCA, 0xCB, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"hierarchical pyramid with SOF{marker - 0xC0} frames"
             )
@@ -1678,22 +1713,38 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tbl = data[1 + 2 * c], data[2 + 2 * c]
                 scan_comps.append((cs, tbl >> 4, tbl & 15))
-            i = _decode_scan(
-                payload,
-                i + 2 + seglen,
-                scan_comps,
-                frame_comps,
-                [frame[4]],
-                htables,
-                restart_interval,
-                frame_geom,
-                False,
-                0,
-                63,
-                0,
-                0,
-                differential=frame[3],
-            )
+            if frame_arith:
+                from geokitten_spark.functions.jpeg_arith import decode_scan_arith
+
+                i = decode_scan_arith(
+                    payload,
+                    i + 2 + seglen,
+                    scan_comps,
+                    frame_comps,
+                    [frame[4]],
+                    conditioning,
+                    restart_interval,
+                    frame_geom,
+                    _split_scan,
+                    differential=frame[3],
+                )
+            else:
+                i = _decode_scan(
+                    payload,
+                    i + 2 + seglen,
+                    scan_comps,
+                    frame_comps,
+                    [frame[4]],
+                    htables,
+                    restart_interval,
+                    frame_geom,
+                    False,
+                    0,
+                    63,
+                    0,
+                    0,
+                    differential=frame[3],
+                )
             continue
         i += 2 + seglen
     finish_frame()
@@ -1718,7 +1769,8 @@ def _downsample2(plane: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg_hierarchical(
-    img: np.ndarray, quality: int = 85, levels: int = 2
+    img: np.ndarray, quality: int = 85, levels: int = 2,
+    arithmetic: bool = False,
 ) -> bytes:
     """HxW grayscale uint8 -> HIERARCHICAL JPEG (Annex J): a DHP header,
     a non-differential SOF0 frame at 1/2^levels resolution, then per
@@ -1726,7 +1778,12 @@ def encode_jpeg_hierarchical(
     correction against the expanded reference (PRED=0 DC coding, flat
     category-0..16 DC table; AC coefficients clipped to the standard
     table's +-1023 — legal, the encoder reconstructs from the SAME
-    clipped values it writes, mirroring the decoder exactly)."""
+    clipped values it writes, mirroring the decoder exactly).
+    ``arithmetic=True`` swaps the entropy layer: SOF9 base + SOF13
+    differential frames with QM-coded scans (default conditioning) and
+    a DAC segment in place of the huffman tables — the pyramid math is
+    byte-for-byte identical, so both variants decode to the same
+    pixels."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 2:
         raise ValueError("hierarchical fixture encoder takes HxW grayscale")
@@ -1770,25 +1827,54 @@ def encode_jpeg_hierarchical(
             [0, 63, 0]
         )
 
+    def arith_scan(zz: np.ndarray, differential: bool) -> bytes:
+        from geokitten_spark.functions.jpeg_arith import (
+            ArithEncoder,
+            _encode_ac_from,
+            encode_dc_arith,
+            new_ac_stats,
+            new_dc_stats,
+            new_fixed_stats,
+        )
+
+        enc = ArithEncoder()
+        dstats, astats, fixed = new_dc_stats(), new_ac_stats(), new_fixed_stats()
+        pred = dcctx = 0
+        for row in zz:
+            v = int(row[0]) - pred
+            if not differential:  # differential frames: PRED stays 0
+                pred = int(row[0])
+            dcctx = encode_dc_arith(enc, dstats, dcctx, v, 0, 1)
+            _encode_ac_from(enc, astats, fixed, row, 5)
+        return enc.scan()
+
     out = bytearray(b"\xff\xd8")
     out += bytes([0xFF, 0xDE]) + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes(
         [1, 0x11, 0]
     )
     out += _dqt_segment(0, q)
-    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
-    out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
-    out += _dht_segment(0, 1, _LL_BITS, _LL_VALS)
+    if arithmetic:
+        # DAC with the T.81 defaults, exercising hierarchical DAC parsing
+        out += b"\xff\xcc" + struct.pack(">H", 6) + bytes([0x00, 0x10, 0x10, 5])
+    else:
+        out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+        out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
+        out += _dht_segment(0, 1, _LL_BITS, _LL_VALS)
 
     # non-differential base frame
     base = pyramid[-1]
     fh, fw = base.shape
     zz = quantize_plane(base, 128.0)
-    writer = _BitWriter()
-    pred = 0
-    for row in zz:
-        pred = _encode_block(writer, row, pred, dc_std, ac_std)
-    writer.pad_to_byte()
-    out += sof(0xC0, fh, fw) + sos(0) + bytes(writer.buf)
+    if arithmetic:
+        scan_bytes = arith_scan(zz, differential=False)
+    else:
+        writer = _BitWriter()
+        pred = 0
+        for row in zz:
+            pred = _encode_block(writer, row, pred, dc_std, ac_std)
+        writer.pad_to_byte()
+        scan_bytes = bytes(writer.buf)
+    out += sof(0xC9 if arithmetic else 0xC0, fh, fw) + sos(0) + scan_bytes
     ref = np.clip(np.round(reconstruct(zz, fh, fw) + 128.0), 0, 255).astype(
         np.int64
     )
@@ -1801,12 +1887,17 @@ def encode_jpeg_hierarchical(
         diff = target - ref.astype(np.float64)
         zz = quantize_plane(diff, 0.0)
         zz[:, 1:] = np.clip(zz[:, 1:], -1023, 1023)  # std AC table range
-        writer = _BitWriter()
-        for row in zz:
-            _encode_block(writer, row, 0, dc_flat, ac_std)  # PRED = 0
-        writer.pad_to_byte()
+        if arithmetic:
+            scan_bytes = arith_scan(zz, differential=True)
+        else:
+            writer = _BitWriter()
+            for row in zz:
+                _encode_block(writer, row, 0, dc_flat, ac_std)  # PRED = 0
+            writer.pad_to_byte()
+            scan_bytes = bytes(writer.buf)
         out += bytes([0xFF, 0xDF]) + struct.pack(">H", 3) + bytes([0x11])
-        out += sof(0xC5, fh, fw) + sos(1) + bytes(writer.buf)
+        out += sof(0xCD if arithmetic else 0xC5, fh, fw)
+        out += sos(0 if arithmetic else 1) + scan_bytes
         ref = np.clip(
             ref + np.round(reconstruct(zz, fh, fw)).astype(np.int64), 0, 255
         )

@@ -34,7 +34,15 @@ parity — an image encoded with the huffman encoder and with this
 encoder at the same quality must decode to IDENTICAL pixels, because
 both entropy layers are lossless over the same quantized coefficients.
 
-Progressive arithmetic (SOF10) remains guarded in ``jpeg.decode_jpeg``.
+Progressive arithmetic (SOF10, Annex G.2) decodes and encodes: the DC
+first pass reuses the F.1.4 difference model on point-transformed
+values, DC refinement is one fixed-estimate decision per block, AC
+first passes run the sequential AC decision tree over the scan's
+spectral band, and AC refinement conditions newly-/previously-nonzero
+decisions on the same per-index context tree (correction bits at the
+third bin, signs on the fixed estimate). Differential frames inside a
+hierarchical pyramid (SOF13) code with the sequential model and a
+hardwired zero DC prediction, mirroring the huffman SOF5 path.
 """
 from __future__ import annotations
 
@@ -362,29 +370,12 @@ def new_fixed_stats():
 # --- scan-level integration -------------------------------------------------
 
 
-def decode_scan_arith(
-    payload,
-    start,
-    scan_comps,
-    comps,
-    stores,
-    conditioning,
-    restart_interval,
-    geom,
-    split_scan,
-):
-    """Decode one sequential arithmetic-coded scan (SOF9) into the
-    coefficient stores; returns the offset of the terminating marker.
-    Mirrors ``jpeg._decode_scan``'s MCU walk; RSTn resets the coder,
-    statistics, predictors, and DC conditioning contexts."""
+def _scan_units(sel, comps, geom):
+    """The block walk shared by every DCT scan kind: interleaved scans
+    step MCUs (ch*cv blocks per component); single-component scans step
+    that component's OWN block grid (narrower than the MCU-padded
+    store). Mirrors ``jpeg._decode_scan``'s unit list."""
     ih, iw, hmax, vmax, mcus_x, mcus_y = geom
-    cid_to_idx = {c[0]: idx for idx, c in enumerate(comps)}
-    zigzag = _zigzag_of(payload)  # resolved lazily to avoid import cycle
-    sel = []
-    for cs, td, ta in scan_comps:
-        k = cid_to_idx[cs]
-        sel.append((k, td, ta))
-
     if len(sel) > 1:
         units = []
         for my in range(mcus_y):
@@ -397,17 +388,46 @@ def decode_scan_arith(
                             bi = (my * cv + vy) * (mcus_x * ch) + (mx * ch + vx)
                             blocks.append((k, bi, td, ta))
                 units.append(blocks)
-    else:
-        k, td, ta = sel[0]
-        _, ch, cv, _ = comps[k]
-        comp_w = -(-iw * ch // hmax)
-        comp_h = -(-ih * cv // vmax)
-        bw, bh = -(-comp_w // 8), -(-comp_h // 8)
-        units = [
-            [(k, by * (mcus_x * ch) + bx, td, ta)]
-            for by in range(bh)
-            for bx in range(bw)
-        ]
+        return units
+    k, td, ta = sel[0]
+    _, ch, cv, _ = comps[k]
+    comp_w = -(-iw * ch // hmax)
+    comp_h = -(-ih * cv // vmax)
+    bw, bh = -(-comp_w // 8), -(-comp_h // 8)
+    return [
+        [(k, by * (mcus_x * ch) + bx, td, ta)]
+        for by in range(bh)
+        for bx in range(bw)
+    ]
+
+
+def decode_scan_arith(
+    payload,
+    start,
+    scan_comps,
+    comps,
+    stores,
+    conditioning,
+    restart_interval,
+    geom,
+    split_scan,
+    differential=False,
+):
+    """Decode one sequential arithmetic-coded scan (SOF9; SOF13 inside a
+    hierarchical pyramid with ``differential=True``) into the
+    coefficient stores; returns the offset of the terminating marker.
+    Mirrors ``jpeg._decode_scan``'s MCU walk; RSTn resets the coder,
+    statistics, predictors, and DC conditioning contexts.
+    ``differential`` hardwires the DC prediction to zero (T.81
+    F.1.1.5.1) — the conditioning contexts still track the coded
+    values."""
+    cid_to_idx = {c[0]: idx for idx, c in enumerate(comps)}
+    zigzag = _zigzag_of(payload)  # resolved lazily to avoid import cycle
+    sel = []
+    for cs, td, ta in scan_comps:
+        k = cid_to_idx[cs]
+        sel.append((k, td, ta))
+    units = _scan_units(sel, comps, geom)
 
     segments, end = split_scan(payload, start)
     seg_idx = 0
@@ -438,9 +458,98 @@ def decode_scan_arith(
             diff, dcctx[k] = decode_dc_arith(
                 dec, dc_stats[td], dcctx[k], low, up
             )
-            pred[k] += diff
-            row[0] = pred[k]
+            if differential:
+                row[0] = diff
+            else:
+                pred[k] += diff
+                row[0] = pred[k]
             _decode_ac_into(dec, ac_stats[ta], fixed, row, zigzag, kx)
+    return end
+
+
+def decode_scan_progressive_arith(
+    payload,
+    start,
+    scan_comps,
+    comps,
+    stores,
+    conditioning,
+    restart_interval,
+    geom,
+    ss,
+    se,
+    ah,
+    al,
+    split_scan,
+):
+    """Decode one PROGRESSIVE arithmetic-coded scan (SOF10, Annex G.2)
+    into the coefficient stores; returns the offset of the terminating
+    marker. Four scan kinds, mirroring ``jpeg._decode_scan``'s
+    progressive modes:
+
+    * DC first (Ss=0, Ah=0): the F.1.4 difference model over the
+      point-transformed DC values; stores ``pred << Al``.
+    * DC refine (Ss=0, Ah>0): one decision per block on the fixed
+      (non-adaptive) estimate; ORs ``1 << Al`` into the DC value.
+    * AC first (Ss>0, Ah=0): the sequential AC decision tree narrowed
+      to the Ss..Se band, values scaled by ``1 << Al``.
+    * AC refine (Ss>0, Ah>0): per-index EOB/newly-nonzero/correction
+      decisions (G.2.3) — see ``_decode_ac_refine_into``.
+
+    Restart markers reset the coder, the statistics areas, and the DC
+    predictors/conditioning contexts, exactly as in sequential scans.
+    """
+    cid_to_idx = {c[0]: idx for idx, c in enumerate(comps)}
+    zigzag = _zigzag_of(payload)
+    sel = [(cid_to_idx[cs], td, ta) for cs, td, ta in scan_comps]
+    units = _scan_units(sel, comps, geom)
+    segments, end = split_scan(payload, start)
+    seg_idx = 0
+    dc_scan = ss == 0
+
+    def fresh():
+        dec = ArithDecoder(bytes(segments[seg_idx]))
+        dc_stats = {}
+        ac_stats = {}
+        for _, td, ta in sel:
+            if dc_scan:
+                dc_stats.setdefault(td, new_dc_stats())
+            else:
+                ac_stats.setdefault(ta, new_ac_stats())
+        fixed = new_fixed_stats()
+        pred = {k: 0 for k, _, _ in sel}
+        dcctx = {k: 0 for k, _, _ in sel}
+        return dec, dc_stats, ac_stats, fixed, pred, dcctx
+
+    dec, dc_stats, ac_stats, fixed, pred, dcctx = fresh()
+
+    for u, blocks in enumerate(units):
+        if restart_interval and u and u % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("arith JPEG truncated: missing restart segment")
+            dec, dc_stats, ac_stats, fixed, pred, dcctx = fresh()
+        for k, bi, td, ta in blocks:
+            row = stores[k][bi]
+            if dc_scan and ah == 0:  # DC first
+                low, up, _ = conditioning_for(conditioning, td, ta)
+                diff, dcctx[k] = decode_dc_arith(
+                    dec, dc_stats[td], dcctx[k], low, up
+                )
+                pred[k] += diff
+                row[0] = pred[k] << al
+            elif dc_scan:  # DC refine: fixed-estimate decision per block
+                if dec.decode(fixed, 0):
+                    row[0] |= 1 << al
+            elif ah == 0:  # AC first
+                _, _, kx = conditioning_for(conditioning, td, ta)
+                _decode_ac_into(
+                    dec, ac_stats[ta], fixed, row, zigzag, kx, ss, se, al
+                )
+            else:  # AC refine
+                _decode_ac_refine_into(
+                    dec, ac_stats[ta], fixed, row, zigzag, ss, se, al
+                )
     return end
 
 
@@ -451,17 +560,20 @@ def conditioning_for(conditioning, td, ta):
     return low, up, kx
 
 
-def _decode_ac_into(dec, stats, fixed, row, zigzag, kx):
-    k = 1
-    while k <= 63:
+def _decode_ac_into(dec, stats, fixed, row, zigzag, kx, ss=1, se=63, al=0):
+    """Decode AC coefficients (sequential scan, or a progressive AC
+    FIRST pass when ``ss``/``se``/``al`` narrow the band) into natural
+    order. Values are scaled by the point transform on the way out."""
+    k = ss
+    while k <= se:
         st = 3 * (k - 1)
         if dec.decode(stats, st):
             return
         while dec.decode(stats, st + 1) == 0:
             st += 3
             k += 1
-            if k > 63:
-                raise ValueError("arith JPEG: AC run past block end")
+            if k > se:
+                raise ValueError("arith JPEG: AC run past band end")
         sign = dec.decode(fixed, 0)
         st += 2
         m = dec.decode(stats, st)
@@ -481,29 +593,31 @@ def _decode_ac_into(dec, stats, fixed, row, zigzag, kx):
             if dec.decode(stats, st):
                 v |= m
         v += 1
-        row[zigzag[k]] = -v if sign else v
+        row[zigzag[k]] = (-v if sign else v) << al
         k += 1
 
 
-def _encode_ac_from(enc, stats, fixed, zz, kx):
-    ke = 63
-    while ke > 0 and zz[ke] == 0:
+def _encode_ac_from(enc, stats, fixed, zz, kx, ss=1, se=63, al=0):
+    """Encode AC coefficients (sequential, or a progressive AC FIRST
+    pass): magnitudes are the point-transformed ``abs(zz[k]) >> al``,
+    signs come from the original values — the exact counterpart of
+    ``_decode_ac_into``."""
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
         ke -= 1
-    k = 1
+    k = ss
     while k <= ke:
         st = 3 * (k - 1)
         enc.encode(stats, st, 0)
-        v = int(zz[k])
+        v = abs(int(zz[k])) >> al
         while v == 0:
             enc.encode(stats, st + 1, 0)
             st += 3
             k += 1
-            v = int(zz[k])
+            v = abs(int(zz[k])) >> al
         enc.encode(stats, st + 1, 1)
-        sign = 0 if v > 0 else 1
+        sign = 0 if int(zz[k]) > 0 else 1
         enc.encode(fixed, 0, sign)
-        if sign:
-            v = -v
         st += 2
         m = 0
         vm = v - 1
@@ -527,8 +641,74 @@ def _encode_ac_from(enc, stats, fixed, zz, kx):
             m >>= 1
             enc.encode(stats, st, 1 if (vm & m) else 0)
         k += 1
-    if ke < 63:
+    if ke < se:
         enc.encode(stats, 3 * (ke + 1 - 1), 1)
+
+
+def _decode_ac_refine_into(dec, stats, fixed, row, zigzag, ss, se, al):
+    """Progressive AC REFINEMENT pass (Annex G.2.3): per band index the
+    context tree's first bin carries the EOB decision (asked only past
+    the previous scans' last nonzero index), the second flags newly
+    nonzero coefficients (sign on the fixed estimate), and the third
+    carries correction bits for already-nonzero coefficients."""
+    p1 = 1 << al
+    m1 = -p1
+    kex = se
+    while kex > 0 and row[zigzag[kex]] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        st = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(stats, st):
+                return
+        while True:
+            coef = int(row[zigzag[k]])
+            if coef:
+                if dec.decode(stats, st + 2):
+                    row[zigzag[k]] = coef + (m1 if coef < 0 else p1)
+                break
+            if dec.decode(stats, st + 1):
+                row[zigzag[k]] = m1 if dec.decode(fixed, 0) else p1
+                break
+            st += 3
+            k += 1
+            if k > se:
+                raise ValueError("arith JPEG: AC refine run past band end")
+        k += 1
+
+
+def _encode_ac_refine_from(enc, stats, fixed, zz, ss, se, ah, al):
+    """Counterpart of ``_decode_ac_refine_into``: ``ke`` is the band's
+    last nonzero at CURRENT precision (>> al), ``kex`` the last nonzero
+    at the PREVIOUS precision (>> ah) — the decoder sees the latter as
+    its pre-scan block state."""
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1
+    kex = ke
+    while kex > 0 and (abs(int(zz[kex])) >> ah) == 0:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        st = 3 * (k - 1)
+        if k > kex:
+            enc.encode(stats, st, 0)
+        while True:
+            t = abs(int(zz[k])) >> al
+            if t:
+                if t >> 1:  # previously nonzero: one correction bit
+                    enc.encode(stats, st + 2, t & 1)
+                else:  # newly nonzero: flag + fixed-estimate sign
+                    enc.encode(stats, st + 1, 1)
+                    enc.encode(fixed, 0, 0 if int(zz[k]) > 0 else 1)
+                break
+            enc.encode(stats, st + 1, 0)
+            st += 3
+            k += 1
+        k += 1
+    if ke < se:
+        enc.encode(stats, 3 * (k - 1), 1)
 
 
 _ZIGZAG_CACHE = None
@@ -624,6 +804,154 @@ def _encode_block_arith(enc, dstats, astats, fixed, zz, pred, dcctx, ci, cond):
     pred[ci] = int(zz[0])
     dcctx[ci] = encode_dc_arith(enc, dstats, dcctx[ci], v, dc_l, dc_u)
     _encode_ac_from(enc, astats, fixed, zz, ac_kx)
+
+
+def encode_jpeg_arith_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+    dc_l: int = 0,
+    dc_u: int = 1,
+    ac_kx: int = 5,
+) -> bytes:
+    """HxWx3 RGB (or HxW gray) uint8 -> PROGRESSIVE ARITHMETIC-coded
+    (SOF10) JPEG bytes, using the same 10-scan successive-approximation
+    script as :func:`jpeg.encode_jpeg_progressive` — so the decoder must
+    exercise all four arithmetic progressive scan kinds (DC first/
+    refine, AC first/refine) to reconstruct. Quantized coefficients are
+    identical to the sequential encoders' at the same (quality,
+    subsampling); the tests pin pixel parity across all four
+    (huffman|arithmetic) x (sequential|progressive) lanes.
+    ``restart_interval`` applies to every scan (units are MCUs for the
+    interleaved DC scans, blocks for the single-component AC scans)."""
+    from geokitten_spark.functions.jpeg import _dqt_segment, _prepare_components
+
+    h, w, sub, qy, qc, zzy, zzcb, zzcr, mcus_x, mcus_y, yb_w = _prepare_components(
+        img, quality, subsampling
+    )
+    zzs = [zzy, zzcb, zzcr]
+    strides = [yb_w, mcus_x, mcus_x]
+    samp = [(sub, sub), (1, 1), (1, 1)]
+    tds = [0, 1, 1]
+    grids = []
+    for ch, cv in samp:
+        comp_w = -(-w * ch // sub)
+        comp_h = -(-h * cv // sub)
+        grids.append((-(-comp_w // 8), -(-comp_h // 8)))
+
+    def dc_scan(ah, al):
+        parts = []
+        rst = 0
+
+        def fresh():
+            return (
+                ArithEncoder(),
+                {0: new_dc_stats(), 1: new_dc_stats()},
+                new_fixed_stats(),
+                [0, 0, 0],
+                [0, 0, 0],
+            )
+
+        enc, stats, fixed, pred, dcctx = fresh()
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                u = my * mcus_x + mx
+                if restart_interval and u and u % restart_interval == 0:
+                    parts.append(enc.scan())
+                    parts.append(bytes([0xFF, 0xD0 + (rst & 7)]))
+                    rst += 1
+                    enc, stats, fixed, pred, dcctx = fresh()
+                for c in (0, 1, 2):
+                    ch, cv = samp[c]
+                    for vy in range(cv):
+                        for vx in range(ch):
+                            bi = (my * cv + vy) * strides[c] + (mx * ch + vx)
+                            dc = int(zzs[c][bi][0])
+                            if ah == 0:
+                                val = dc >> al
+                                diff = val - pred[c]
+                                pred[c] = val
+                                dcctx[c] = encode_dc_arith(
+                                    enc, stats[tds[c]], dcctx[c], diff,
+                                    dc_l, dc_u,
+                                )
+                            else:
+                                enc.encode(fixed, 0, (dc >> al) & 1)
+        parts.append(enc.scan())
+        return b"".join(parts)
+
+    def ac_scan(c, ss, se, ah, al):
+        parts = []
+        rst = 0
+        enc, stats, fixed = ArithEncoder(), new_ac_stats(), new_fixed_stats()
+        bw, bh = grids[c]
+        u = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and u and u % restart_interval == 0:
+                    parts.append(enc.scan())
+                    parts.append(bytes([0xFF, 0xD0 + (rst & 7)]))
+                    rst += 1
+                    enc, stats, fixed = (
+                        ArithEncoder(), new_ac_stats(), new_fixed_stats()
+                    )
+                zz = zzs[c][by * strides[c] + bx]
+                if ah == 0:
+                    _encode_ac_from(enc, stats, fixed, zz, ac_kx, ss, se, al)
+                else:
+                    _encode_ac_refine_from(enc, stats, fixed, zz, ss, se, ah, al)
+                u += 1
+        parts.append(enc.scan())
+        return b"".join(parts)
+
+    def sos(comps_tbls, ss, se, ah, al):
+        ns = len(comps_tbls)
+        body = bytes([ns])
+        for cid, td, ta in comps_tbls:
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    all_dc = [(1, 0, 0), (2, 1, 0), (3, 1, 0)]
+    scans = [
+        (sos(all_dc, 0, 0, 0, 1), dc_scan(0, 1)),
+        (sos([(1, 0, 0)], 1, 5, 0, 2), ac_scan(0, 1, 5, 0, 2)),
+        (sos([(3, 0, 1)], 1, 63, 0, 1), ac_scan(2, 1, 63, 0, 1)),
+        (sos([(2, 0, 1)], 1, 63, 0, 1), ac_scan(1, 1, 63, 0, 1)),
+        (sos([(1, 0, 0)], 6, 63, 0, 2), ac_scan(0, 6, 63, 0, 2)),
+        (sos([(1, 0, 0)], 1, 63, 2, 1), ac_scan(0, 1, 63, 2, 1)),
+        (sos(all_dc, 0, 0, 1, 0), dc_scan(1, 0)),
+        (sos([(3, 0, 1)], 1, 63, 1, 0), ac_scan(2, 1, 63, 1, 0)),
+        (sos([(2, 0, 1)], 1, 63, 1, 0), ac_scan(1, 1, 63, 1, 0)),
+        (sos([(1, 0, 0)], 1, 63, 1, 0), ac_scan(0, 1, 63, 1, 0)),
+    ]
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    sof_comps = bytes([3, 1, (sub << 4) | sub, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sof = b"\xff\xca" + struct.pack(">HBHH", 8 + 3 * 3, 8, h, w) + sof_comps
+    dcv = (dc_u << 4) | dc_l
+    dac_body = bytes([0x00, dcv, 0x01, dcv, 0x10, ac_kx, 0x11, ac_kx])
+    dac = b"\xff\xcc" + struct.pack(">H", 2 + len(dac_body)) + dac_body
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval
+        else b""
+    )
+    out = (
+        b"\xff\xd8"
+        + app0
+        + _dqt_segment(0, qy)
+        + _dqt_segment(1, qc)
+        + sof
+        + dac
+        + dri
+    )
+    for header, scan_bytes in scans:
+        out += header + scan_bytes
+    return out + b"\xff\xd9"
 
 
 # --- Annex H lossless statistical model (SOF11) -----------------------------

@@ -19,9 +19,11 @@ signatures, partitioning). The decode kernel dispatches per payload:
   DQT/DHT/DAC tables, huffman AND QM-arithmetic entropy decode incl.
   restart markers, batched IDCT, 4:4:4/4:2:2/4:2:0 chroma upsampling —
   see ``jpeg.decode_jpeg`` / ``jpeg_arith.py``). Sequential (SOF0/1,
-  8/12-bit), progressive (SOF2), and sequential-arithmetic (SOF9)
-  processes all decode; lossless/hierarchical/progressive-arithmetic
-  raise ``NotImplementedError``.
+  8/12-bit), progressive (SOF2/SOF10), lossless (SOF3/SOF11),
+  arithmetic (SOF9/10/11/13), and hierarchical (Annex J pyramids,
+  huffman or arithmetic) processes all decode; only the differential
+  progressive/lossless pyramid stages (SOF6/7/14/15) raise
+  ``NotImplementedError``.
 * **WAV (PCM16) / MJPEG-AVI** — REAL container parses for the audio and
   video lanes (stdlib struct + numpy chunk walks; AVI frames decode via
   the baseline-JPEG codec) — see :mod:`geokitten_spark.functions.riff`.
@@ -136,11 +138,15 @@ def synth_payload(doc_id: int, text: str) -> bytes:
 
     * image rows (id % 3 == 0): cycle PNG / PPM / baseline JPEG /
       PROGRESSIVE JPEG / ADAM7 PNG / 16-BIT PNG / 12-BIT JPEG /
-      ARITHMETIC JPEG / LOSSLESS JPEG by (id//3) % 9 so all nine real
-      binary parses run end to end (progressive exercises the
+      ARITHMETIC JPEG / LOSSLESS JPEG / HIERARCHICAL JPEG /
+      PROGRESSIVE-ARITHMETIC JPEG / LOSSLESS-ARITHMETIC JPEG /
+      HIERARCHICAL-ARITHMETIC JPEG by (id//3) % 13 so all thirteen
+      real binary parses run end to end (progressive exercises the
       multi-scan SOF2 decoder; Adam7 the 7-pass de-interlace; 16-bit
       PNG and 12-bit JPEG the high-precision reductions; arithmetic
-      the SOF9 QM-coder path; lossless the SOF3 predictive path);
+      the SOF9 QM-coder path; lossless the SOF3 predictive path;
+      hierarchical the Annex J DHP/EXP/differential-frame pyramid;
+      the three arithmetic variants the SOF10/SOF11/SOF13 models);
     * audio rows (id % 3 == 1): REAL RIFF/WAVE PCM16 — int16 samples
       derived from the text bytes;
     * video rows (id % 3 == 2): REAL MJPEG AVI — n_frames baseline-JPEG
@@ -148,16 +154,23 @@ def synth_payload(doc_id: int, text: str) -> bytes:
     from .jpeg import (
         encode_jpeg,
         encode_jpeg12,
+        encode_jpeg_hierarchical,
         encode_jpeg_lossless,
         encode_jpeg_progressive,
     )
-    from .jpeg_arith import encode_jpeg_arith
+    from .jpeg_arith import (
+        encode_jpeg_arith,
+        encode_jpeg_arith_progressive,
+        encode_jpeg_lossless_arith,
+    )
     from .riff import encode_avi_mjpeg, encode_wav
 
     w = doc_id % 64 + 16
     h = doc_id % 48 + 16
     kind = doc_id % 3
     if kind == 0:
+        # the two hierarchical lanes take a grayscale plane (single-
+        # component pyramids); the red channel keeps the tile content
         enc = [
             encode_png,
             encode_ppm,
@@ -168,7 +181,11 @@ def synth_payload(doc_id: int, text: str) -> bytes:
             encode_jpeg12,
             encode_jpeg_arith,
             encode_jpeg_lossless,
-        ][(doc_id // 3) % 9]
+            lambda px: encode_jpeg_hierarchical(px[:, :, 0]),
+            encode_jpeg_arith_progressive,
+            encode_jpeg_lossless_arith,
+            lambda px: encode_jpeg_hierarchical(px[:, :, 0], arithmetic=True),
+        ][(doc_id // 3) % 13]
         return enc(_tile_pixels(text, w, h))
     if kind == 1:
         raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)

@@ -146,15 +146,18 @@ def test_420_subsampling_roundtrip():
     assert psnr(img, out) > 25.0  # chroma halved: looser bound
 
 
-def test_progressive_arithmetic_coding_raises():
-    # sequential arithmetic (SOF9) decodes since round 4 (jpeg_arith.py);
-    # the progressive-arithmetic process (SOF10) remains guarded
+@pytest.mark.parametrize("sof", [0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF])
+def test_differential_frames_outside_hierarchical_raise(sof):
+    # every non-differential process decodes since round 4 (SOF0/1/2/3
+    # huffman, SOF9/10/11 arithmetic, hierarchical pyramids with
+    # SOF5/SOF13 differential frames); a DIFFERENTIAL frame in a plain
+    # stream stays guarded — T.81 only allows them inside a pyramid
     img = np.zeros((8, 8, 3), dtype=np.uint8)
     payload = bytearray(encode_jpeg(img))
-    idx = payload.find(b"\xff\xc0")  # SOF0 -> SOF10
+    idx = payload.find(b"\xff\xc0")
     assert idx > 0
-    payload[idx + 1] = 0xCA
-    with pytest.raises(NotImplementedError):
+    payload[idx + 1] = sof
+    with pytest.raises(NotImplementedError, match="differential frame"):
         decode_jpeg(bytes(payload))
 
 

@@ -256,3 +256,121 @@ def test_lossless_arith_determinism():
 
     img = _rgb(83)
     assert encode_jpeg_lossless_arith(img, 3) == encode_jpeg_lossless_arith(img, 3)
+
+
+# --- progressive arithmetic (SOF10, Annex G.2 model) ------------------------
+
+
+def _lowfreq(seed, h=29, w=37):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (-(-h // 8), -(-w // 8), 3), dtype=np.uint8)
+    return np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)[:h, :w]
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("q", [50, 90])
+def test_progressive_arith_pixel_parity_all_four_lanes(sub, q):
+    """One image, four entropy/scan layouts over IDENTICAL quantized
+    coefficients — (huffman|arithmetic) x (sequential|progressive) —
+    must decode to the SAME pixels."""
+    from geokitten_spark.functions.jpeg import encode_jpeg_progressive
+    from geokitten_spark.functions.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    img = _lowfreq(300 + q)
+    ref = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+    for enc in (encode_jpeg_progressive, encode_jpeg_arith,
+                encode_jpeg_arith_progressive):
+        assert np.array_equal(
+            decode_jpeg(enc(img, quality=q, subsampling=sub)), ref
+        ), enc.__name__
+
+
+def test_progressive_arith_stream_structure():
+    from geokitten_spark.functions.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    b = encode_jpeg_arith_progressive(_lowfreq(7), quality=80)
+    assert b"\xff\xca" in b  # SOF10
+    assert b"\xff\xcc" in b  # DAC
+    assert b"\xff\xc4" not in b  # no huffman tables
+    assert b.count(b"\xff\xda") == 10  # the 10-scan script
+
+
+def test_progressive_arith_restart_intervals():
+    from geokitten_spark.functions.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    img = _lowfreq(44, h=41, w=53)
+    ref = decode_jpeg(encode_jpeg(img, quality=75))
+    b = encode_jpeg_arith_progressive(img, quality=75, restart_interval=3)
+    assert b"\xff\xd0" in b  # RST0 actually emitted
+    assert np.array_equal(decode_jpeg(b), ref)
+
+
+def test_progressive_arith_non_default_conditioning():
+    from geokitten_spark.functions.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    img = _lowfreq(45)
+    ref = decode_jpeg(encode_jpeg(img, quality=70))
+    b = encode_jpeg_arith_progressive(img, quality=70, dc_l=1, dc_u=3, ac_kx=9)
+    assert np.array_equal(decode_jpeg(b), ref)
+
+
+def test_progressive_arith_determinism():
+    from geokitten_spark.functions.jpeg_arith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    img = _lowfreq(46)
+    assert encode_jpeg_arith_progressive(img) == encode_jpeg_arith_progressive(img)
+
+
+# --- hierarchical arithmetic (SOF9 base + SOF13 differential) ---------------
+
+
+def test_hierarchical_arith_pixel_parity_with_huffman_pyramid():
+    """The arithmetic pyramid shares every quantize/EXP/reconstruct step
+    with the huffman one — entropy coding is the ONLY difference, so the
+    decoded pixels must be identical."""
+    from geokitten_spark.functions.jpeg import encode_jpeg_hierarchical
+
+    rng = np.random.default_rng(60)
+    base = rng.integers(0, 256, (5, 6), dtype=np.uint8)
+    gray = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)[:37, :45]
+    hb = encode_jpeg_hierarchical(gray, quality=85, levels=2)
+    ab = encode_jpeg_hierarchical(gray, quality=85, levels=2, arithmetic=True)
+    assert b"\xff\xc9" in ab and b"\xff\xcd" in ab  # SOF9 base + SOF13 diff
+    assert b"\xff\xcc" in ab and b"\xff\xc4" not in ab
+    assert ab[2:4] == b"\xff\xde"  # DHP leads
+    assert np.array_equal(decode_jpeg(ab), decode_jpeg(hb))
+
+
+def test_hierarchical_arith_single_level_and_odd_dims():
+    from geokitten_spark.functions.jpeg import encode_jpeg_hierarchical
+
+    rng = np.random.default_rng(61)
+    base = rng.integers(0, 256, (4, 4), dtype=np.uint8)
+    gray = np.repeat(np.repeat(base, 8, axis=0), 8, axis=1)[:27, :31]
+    hb = encode_jpeg_hierarchical(gray, quality=90, levels=1)
+    ab = encode_jpeg_hierarchical(gray, quality=90, levels=1, arithmetic=True)
+    assert np.array_equal(decode_jpeg(ab), decode_jpeg(hb))
+
+
+def test_differential_frame_outside_hierarchical_still_raises():
+    from geokitten_spark.functions.jpeg import encode_jpeg_hierarchical
+
+    gray = np.full((16, 16), 128, dtype=np.uint8)
+    b = bytearray(encode_jpeg_hierarchical(gray, arithmetic=True))
+    # strip the DHP segment: the SOF13 frame now appears in a plain
+    # (non-hierarchical) stream, which T.81 forbids and decode rejects
+    assert b[2:4] == b"\xff\xde"
+    (dhp_len,) = __import__("struct").unpack(">H", bytes(b[4:6]))
+    del b[2 : 4 + dhp_len]
+    with pytest.raises(NotImplementedError, match="differential frame"):
+        decode_jpeg(bytes(b))

@@ -186,9 +186,11 @@ def test_ppm_codec_roundtrip_and_comments():
 def test_image_rows_really_decode(spark):
     """Fixture image payloads cycle PNG / P6 / baseline JPEG /
     progressive JPEG / Adam7 PNG / 16-bit PNG / 12-bit JPEG /
-    arithmetic JPEG / lossless JPEG by (id//3) % 9; image_features must
-    go through the REAL decode (pixel histogram of the decoded image),
-    bit-equal to decoding the payload driver-side."""
+    arithmetic JPEG / lossless JPEG / hierarchical JPEG /
+    progressive-arith JPEG / lossless-arith JPEG / hierarchical-arith
+    JPEG by (id//3) % 13; image_features must go through the REAL
+    decode (pixel histogram of the decoded image), bit-equal to
+    decoding the payload driver-side."""
     import numpy as np
 
     from geokitten_spark.functions.jpeg import decode_jpeg
@@ -198,7 +200,7 @@ def test_image_rows_really_decode(spark):
     )
     from tests.conftest import SF_SMOKE
 
-    media = synthetic_media(spark, SF_SMOKE, n_rows=30)
+    media = synthetic_media(spark, SF_SMOKE, n_rows=120)
     img_rows = media.filter("kind = 'image'").collect()
     assert img_rows
     def _ihdr(p, field):  # field: 8=depth offset, 12=interlace offset
@@ -220,13 +222,25 @@ def test_image_rows_really_decode(spark):
         # lossless: SOF3, no DQT (no quantization in the process)
         8: lambda p: p[:2] == b"\xff\xd8" and b"\xff\xc3" in p
         and b"\xff\xdb" not in p,
+        # hierarchical: DHP pyramid header + huffman SOF0/SOF5 frames
+        9: lambda p: p[:2] == b"\xff\xd8" and p[2:4] == b"\xff\xde"
+        and b"\xff\xc5" in p and b"\xff\xc4" in p,
+        # progressive arithmetic: SOF10 + DAC, no huffman tables
+        10: lambda p: p[:2] == b"\xff\xd8" and b"\xff\xca" in p
+        and b"\xff\xcc" in p and b"\xff\xc4" not in p,
+        # lossless arithmetic: SOF11 + DAC, no DQT
+        11: lambda p: p[:2] == b"\xff\xd8" and b"\xff\xcb" in p
+        and b"\xff\xcc" in p and b"\xff\xdb" not in p,
+        # hierarchical arithmetic: DHP + SOF9 base + SOF13 differential
+        12: lambda p: p[:2] == b"\xff\xd8" and p[2:4] == b"\xff\xde"
+        and b"\xff\xcd" in p and b"\xff\xcc" in p and b"\xff\xc4" not in p,
     }
     seen = set()
     for r in img_rows:
-        flavor = (r.media_id // 3) % 9
+        flavor = (r.media_id // 3) % 13
         assert sigs[flavor](bytes(r.payload))
         seen.add(flavor)
-    assert seen == set(range(9))  # all nine formats present across the fixture
+    assert seen == set(range(13))  # all formats present across the fixture
 
     feats = {r.media_id: r.embedding for r in image_features(media).collect()
              if r.kind == "image"}
