@@ -2883,6 +2883,24 @@ def q_cdx_index(spark, sf_dir):
     )
 
 
+def q_crawl_delta(spark, sf_dir):
+    """Recrawl diff (sources/cdx.py crawl_delta): two deterministic
+    crawl-index snapshots (crawl B = 30 days later with urls added,
+    urls dropped, content changed for doc_id % 5 == 0, plus a planted
+    STALE duplicate capture that latest-capture election must lose) →
+    full-outer join on SURT urlkey classifying every url as added /
+    removed / changed / unchanged. The work list of an incremental
+    crawl ingest. Exchange rows carry (urlkey, digest, url) only —
+    never page payloads; election aggs combine map-side. Oracle = the
+    same snapshot derivation + QUALIFY row_number election + FULL OUTER
+    JOIN CASE in DuckDB."""
+    from geokitten_spark.fixtures import crawl_snapshots
+    from geokitten_spark.sources.cdx import crawl_delta
+
+    a, b = crawl_snapshots(spark, sf_dir)
+    return crawl_delta(a, b)
+
+
 def q_robots_filter(spark, sf_dir):
     """robots.txt URL filtering (functions/robots.py, RFC 9309): a
     deterministic robots corpus (one file per fixture host: `*` groups
@@ -3073,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": q_robots_filter,
         "cdx_index": q_cdx_index,
         "ccnet_buckets": q_ccnet_buckets,
+        "crawl_delta": q_crawl_delta,
     }
 
 
@@ -4263,5 +4282,37 @@ def oracle_sql() -> dict[str, str]:
                      text || ' cafe' || chr(769) || ' nin' || chr(771) || 'o'
                          AS t2
               FROM documents)
+    """
+    # recrawl diff: snapshot derivation + latest-capture election +
+    # full-outer CASE — twins fixtures.crawl_snapshots / cdx.crawl_delta
+    from geokitten_spark.fixtures import crawl_snapshots_sql
+
+    out["crawl_delta"] = f"""
+        WITH w AS (
+            SELECT doc_id, {_w_url} AS url, {_w_ts} AS ts, {_w_html} AS html
+            FROM documents
+        ),
+        {crawl_snapshots_sql()},
+        la AS (
+            SELECT urlkey, digest, url FROM ca
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY urlkey ORDER BY ts DESC
+            ) = 1
+        ),
+        lb AS (
+            SELECT urlkey, digest, url FROM cb
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY urlkey ORDER BY ts DESC
+            ) = 1
+        )
+        SELECT COALESCE(la.urlkey, lb.urlkey) AS urlkey,
+               COALESCE(lb.url, la.url) AS url,
+               CASE WHEN la.digest IS NULL THEN 'added'
+                    WHEN lb.digest IS NULL THEN 'removed'
+                    WHEN la.digest = lb.digest THEN 'unchanged'
+                    ELSE 'changed' END AS status,
+               la.digest AS digest_a,
+               lb.digest AS digest_b
+        FROM la FULL OUTER JOIN lb ON la.urlkey = lb.urlkey
     """
     return out

@@ -200,6 +200,78 @@ _NEARDUP_STRIDE = 10
 _NEARDUP_ID_OFFSET = 1_000_000
 
 
+def crawl_snapshots(spark: SparkSession, sf_dir: str):
+    """Two deterministic crawl-index snapshots (urlkey, ts, url, digest)
+    for the recrawl-diff lane, derived purely from ``web_documents``:
+
+    * crawl A holds every url except ``doc_id % 11 == 3`` (those become
+      ``added`` in B);
+    * crawl B holds every url except ``doc_id % 11 == 7`` (``removed``),
+      30 days later, with the page content CHANGED when
+      ``doc_id % 5 == 0`` (digest differs → ``changed``);
+    * B additionally carries a STALE duplicate capture (15 days, the
+      unchanged content) for ``doc_id % 13 == 2`` — latest-capture
+      election must pick the 30-day capture or the changed/unchanged
+      classification flips.
+
+    SQL twin: :func:`crawl_snapshots_sql`."""
+    from geokitten_spark.sources.cdx import surt_key
+
+    docs = web_documents(spark, sf_dir)
+    digest = F.md5(F.col("html").cast("binary"))
+    a = docs.filter(F.col("doc_id") % 11 != 3).select(
+        surt_key(F.col("url")).alias("urlkey"),
+        F.col("warc_ts").alias("ts"),
+        "url",
+        digest.alias("digest"),
+    )
+    changed_digest = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.md5(F.concat(F.col("html").cast("string"), F.lit("<!-- rev2 -->"))),
+    ).otherwise(digest)
+    base_b = docs.filter(F.col("doc_id") % 11 != 7)
+    b = base_b.select(
+        surt_key(F.col("url")).alias("urlkey"),
+        (F.col("warc_ts") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+        "url",
+        changed_digest.alias("digest"),
+    ).unionByName(
+        base_b.filter(F.col("doc_id") % 13 == 2).select(
+            surt_key(F.col("url")).alias("urlkey"),
+            (F.col("warc_ts") + F.expr("INTERVAL 15 DAYS")).alias("ts"),
+            "url",
+            digest.alias("digest"),
+        )
+    )
+    return a, b
+
+
+def crawl_snapshots_sql() -> str:
+    """DuckDB CTE bodies (``ca``/``cb``) twinning :func:`crawl_snapshots`;
+    prepend after a ``w`` CTE shaped like :func:`web_documents_sql` with
+    an ``html`` column."""
+    from geokitten_spark.sources.cdx import surt_key_sql
+
+    key = surt_key_sql("url")
+    return f"""
+        ca AS (
+            SELECT {key} AS urlkey, ts, url, md5(html) AS digest
+            FROM w WHERE doc_id % 11 <> 3
+        ),
+        cb AS (
+            SELECT {key} AS urlkey, ts + INTERVAL 30 DAY AS ts, url,
+                   md5(CASE WHEN doc_id % 5 = 0
+                            THEN html || '<!-- rev2 -->' ELSE html END)
+                       AS digest
+            FROM w WHERE doc_id % 11 <> 7
+            UNION ALL
+            SELECT {key} AS urlkey, ts + INTERVAL 15 DAY AS ts, url,
+                   md5(html) AS digest
+            FROM w WHERE doc_id % 11 <> 7 AND doc_id % 13 = 2
+        )
+    """
+
+
 def neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ suffix-mutated copies of every 10th doc (id + 1e6).
 

@@ -24,14 +24,17 @@ Scope (ITU-T T.81):
   point transform, restart reset, any precision 2-16 — no DCT, no
   color transform, pixel-EXACT roundtrip.
   Hierarchical (Annex J) decodes for single-component pyramids: DHP,
-  EXP reference doubling (the (a+b+1)>>1 interleave filter), SOF0/1/9
-  base frames and SOF5/SOF13 differential frames with PRED=0 DC
-  coding. Progressive arithmetic (SOF10, Annex G.2) decodes via the
-  same QM coder (``jpeg_arith.py``, as do SOF9/SOF11/SOF13). The only
-  frame types that still raise ``NotImplementedError`` are the
-  differential progressive/lossless pyramid stages (SOF6/7/14/15 —
-  both entropy codings, symmetric) and any differential frame outside
-  a hierarchical stream (illegal per T.81 anyway).
+  EXP reference doubling (the (a+b+1)>>1 interleave filter),
+  sequential or progressive base frames, and differential frames of
+  EVERY process — sequential (SOF5/13), progressive (SOF6/14), and
+  zero-prediction mod-2^16 lossless (SOF7/15, the progressive-to-
+  lossless pyramid: the stream reconstructs the input EXACTLY).
+  Progressive arithmetic (SOF10, Annex G.2) decodes via the same QM
+  coder (``jpeg_arith.py``, as do SOF9/11/13/14/15). Every frame type
+  of T.81 therefore decodes in its legal position; the only guards
+  left are differential frames OUTSIDE a hierarchical stream and
+  non-differential lossless BASE frames inside one (both illegal or
+  pointless per the standard).
 * **encode_jpeg** — baseline with the published Annex K tables (IJG
   quality scaling); 4:4:4 or 4:2:0; optional restart intervals.
 * **encode_jpeg_progressive** — the standard 10-scan
@@ -1066,8 +1069,12 @@ def _decode_scan(
                     )
             elif ss == 0 and ah == 0:  # DC first
                 s = _decode_symbol(reader, dc_tbl)
-                pred[k] += _extend(reader.read_bits(s), s)
-                row[0] = pred[k] << al
+                diff = _extend(reader.read_bits(s), s)
+                if differential:  # F.1.1.5.1: no DC prediction
+                    row[0] = diff << al
+                else:
+                    pred[k] += diff
+                    row[0] = pred[k] << al
             elif ss == 0:  # DC refine
                 if reader.read_bit():
                     row[0] |= 1 << al
@@ -1087,10 +1094,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     spectral selection + successive approximation, T.81 Annex G),
     sequential/progressive/lossless arithmetic (SOF9/10/11, QM coder
     per Annex D/F/G.2/H — see ``jpeg_arith.py``), lossless huffman
-    (SOF3, Annex H predictive), and hierarchical (DHP/EXP pyramids
-    with SOF5/SOF13 differential frames, Annex J) streams decode; only
-    the differential progressive/lossless pyramid stages (SOF6/7/14/15)
-    raise ``NotImplementedError``.
+    (SOF3, Annex H predictive), and hierarchical (Annex J DHP/EXP
+    pyramids with sequential/progressive/lossless differential frames,
+    SOF5/6/7/13/14/15 — a lossless final stage reconstructs exactly)
+    streams decode. Every T.81 frame type decodes in its legal
+    position; differential frames outside a pyramid raise.
     12-bit output is reduced to 8-bit RGB (scale 255/4095), mirroring
     the 16-bit PNG lane.
     """
@@ -1389,7 +1397,12 @@ def _ll_predict(plane: np.ndarray, x: int, y: int, predictor: int,
                 default: int) -> int:
     """Annex H.1.2 sample prediction. Positional overrides (H.1.2.2):
     scan start -> 2^(P-Pt-1); rest of first line -> Ra; first column of
-    later lines -> Rb; everywhere else the selected predictor 1-7."""
+    later lines -> Rb; everywhere else the selected predictor 1-7.
+    Predictor 0 (legal ONLY in differential lossless frames inside a
+    hierarchical pyramid) is the constant zero prediction — positional
+    overrides do not apply."""
+    if predictor == 0:
+        return 0
     if y == 0:
         return default if x == 0 else int(plane[0, x - 1])
     if x == 0:
@@ -1430,7 +1443,7 @@ def _decode_scan_lossless(payload, start, scan_comps, comps, stores,
     comp_index = {cid: k for k, (cid, ch, cv, tq) in enumerate(comps)}
     planes = [stores[comp_index[cs]] for cs, td, ta in scan_comps]
     tables = [htables[(0, td)] for cs, td, ta in scan_comps]
-    default = 1 << (prec - pt - 1)
+    default = 0 if predictor == 0 else 1 << (prec - pt - 1)
     reader = _BitReader(bytes(segments[0]))
     seg = 0
     n_mcu = 0
@@ -1482,6 +1495,8 @@ def encode_jpeg_lossless(
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError(f"expected HxWx3 or HxW uint8, got {img.shape}")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1-7 (0 is differential-only)")
     if precision not in (8, 12, 16):
         raise ValueError("precision must be 8, 12 or 16")
     if not 0 <= point_transform < precision:
@@ -1585,11 +1600,13 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
     """Hierarchical (Annex J) decode: DHP declares the full-resolution
     frame; a non-differential first frame establishes the reference at
     reduced resolution; each EXP doubles the reference (J.1.1.3 filter)
-    and the following DIFFERENTIAL frame (SOF5 huffman or SOF13
-    arithmetic, both sequential) adds a coded correction. Scope:
+    and the following DIFFERENTIAL frame adds a coded correction —
+    sequential (SOF5/SOF13), progressive (SOF6/SOF14, scans accumulate
+    into the stage's coefficient store), or zero-prediction lossless
+    (SOF7/SOF15, spatial corrections reconstructed modulo 2^16 per
+    J.1.5 — the exact-reconstruction final stage). Scope:
     single-component (grayscale) pyramids — the variant our fixture
-    encoder produces; multi-component or progressive/lossless
-    differential frames raise."""
+    encoder produces; multi-component frames raise."""
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple, dict] = {}
     conditioning: dict[tuple, object] = {}
@@ -1597,8 +1614,10 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
     full = None          # (prec, H, W)
     ref = None           # int64 reference plane
     pending_exp = None
-    frame = None         # open frame state
-    frame_arith = False  # entropy coding of the open frame
+    frame = None          # open frame state
+    frame_arith = False   # entropy coding of the open frame
+    frame_prog = False    # progressive DCT frame
+    frame_lossless = False  # spatial (lossless differential) frame
     i = 2
     n = len(payload)
 
@@ -1606,7 +1625,22 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
         nonlocal ref, frame
         if frame is None:
             return
-        fh, fw, tq, differential, store, bw = frame
+        fh, fw, tq, differential, store, bw, lossless_f = frame
+        if lossless_f:
+            # spatial-domain frame: samples (base) or mod-2^16 coded
+            # corrections with zero prediction (differential, J.1.5)
+            if not differential:
+                ref = np.clip(store, 0, 255).astype(np.int64)
+            else:
+                if ref is None:
+                    raise ValueError("differential frame before any reference")
+                if ref.shape != (fh, fw):
+                    raise ValueError(
+                        f"reference {ref.shape} does not match frame {(fh, fw)}"
+                    )
+                ref = np.clip((ref + store) & 0xFFFF, 0, 255)
+            frame = None
+            return
         qt = qtables[tq].reshape(-1)
         spatial = idct_blocks((store * qt).reshape(-1, 8, 8).astype(np.float64))
         bh = store.shape[0] // bw
@@ -1680,10 +1714,17 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
         elif marker == 0xDF:  # EXP
             finish_frame()
             pending_exp = (data[0] >> 4, data[0] & 15)
-        elif marker in (0xC0, 0xC1, 0xC5, 0xC9, 0xCD):  # frame in the pyramid
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC5, 0xC6, 0xC9, 0xCA, 0xCD,
+                        0xCE, 0xC7, 0xCF):  # frame in the pyramid
             finish_frame()
-            differential = marker in (0xC5, 0xCD)
-            frame_arith = marker in (0xC9, 0xCD)
+            differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
+            frame_arith = marker in (0xC9, 0xCA, 0xCD, 0xCE, 0xCF)
+            frame_prog = marker in (0xC2, 0xC6, 0xCA, 0xCE)
+            frame_lossless = marker in (0xC7, 0xCF)
+            if frame_lossless and not differential:
+                raise NotImplementedError(
+                    "lossless base frame in a hierarchical pyramid"
+                )
             prec, fh, fw, nc = struct.unpack(">BHHB", data[:6])
             if nc != 1 or prec != 8:
                 raise NotImplementedError(
@@ -1696,14 +1737,19 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
                 eh, ev = pending_exp
                 ref = _exp_double(ref, eh, ev)[:fh, :fw]
                 pending_exp = None
-            bw, bh = -(-fw // 8), -(-fh // 8)
-            store = np.zeros((bh * bw, 64), dtype=np.int64)
-            frame = (fh, fw, tq, differential, store, bw)
+            if frame_lossless:
+                store = np.zeros((fh, fw), dtype=np.int64)
+                bw, bh = fw, fh
+            else:
+                bw, bh = -(-fw // 8), -(-fh // 8)
+                store = np.zeros((bh * bw, 64), dtype=np.int64)
+            frame = (fh, fw, tq, differential, store, bw, frame_lossless)
             frame_comps = [(cid, 1, 1, tq)]
             frame_geom = (fh, fw, 1, 1, bw, bh)
-        elif marker in (0xC2, 0xC3, 0xC6, 0xC7, 0xCA, 0xCB, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xCB):
             raise NotImplementedError(
-                f"hierarchical pyramid with SOF{marker - 0xC0} frames"
+                f"hierarchical pyramid with SOF{marker - 0xC0} "
+                "(non-differential lossless) frames"
             )
         elif marker == 0xDA:
             if frame is None:
@@ -1713,36 +1759,54 @@ def _decode_hierarchical(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tbl = data[1 + 2 * c], data[2 + 2 * c]
                 scan_comps.append((cs, tbl >> 4, tbl & 15))
-            if frame_arith:
+            ss_, se_ = data[1 + 2 * ns], data[2 + 2 * ns]
+            ah_, al_ = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 15
+            scan_start = i + 2 + seglen
+            if frame_lossless and frame_arith:
+                from geokitten_spark.functions.jpeg_arith import (
+                    decode_scan_lossless_arith,
+                )
+
+                i = decode_scan_lossless_arith(
+                    payload, scan_start, scan_comps, frame_comps,
+                    [frame[4]], conditioning, restart_interval,
+                    (frame[0], frame[1]), ss_, al_, 8,
+                    _split_scan, _ll_predict,
+                )
+            elif frame_lossless:
+                i = _decode_scan_lossless(
+                    payload, scan_start, scan_comps, frame_comps,
+                    [frame[4]], htables, restart_interval,
+                    (frame[0], frame[1]), ss_, al_, 8,
+                )
+            elif frame_arith and frame_prog:
+                from geokitten_spark.functions.jpeg_arith import (
+                    decode_scan_progressive_arith,
+                )
+
+                i = decode_scan_progressive_arith(
+                    payload, scan_start, scan_comps, frame_comps,
+                    [frame[4]], conditioning, restart_interval,
+                    frame_geom, ss_, se_, ah_, al_, _split_scan,
+                    differential=frame[3],
+                )
+            elif frame_arith:
                 from geokitten_spark.functions.jpeg_arith import decode_scan_arith
 
                 i = decode_scan_arith(
-                    payload,
-                    i + 2 + seglen,
-                    scan_comps,
-                    frame_comps,
-                    [frame[4]],
-                    conditioning,
-                    restart_interval,
-                    frame_geom,
-                    _split_scan,
-                    differential=frame[3],
+                    payload, scan_start, scan_comps, frame_comps,
+                    [frame[4]], conditioning, restart_interval,
+                    frame_geom, _split_scan, differential=frame[3],
                 )
             else:
                 i = _decode_scan(
-                    payload,
-                    i + 2 + seglen,
-                    scan_comps,
-                    frame_comps,
-                    [frame[4]],
-                    htables,
-                    restart_interval,
-                    frame_geom,
-                    False,
-                    0,
-                    63,
-                    0,
-                    0,
+                    payload, scan_start, scan_comps, frame_comps,
+                    [frame[4]], htables, restart_interval, frame_geom,
+                    frame_prog,
+                    ss_ if frame_prog else 0,
+                    se_ if frame_prog else 63,
+                    ah_ if frame_prog else 0,
+                    al_ if frame_prog else 0,
                     differential=frame[3],
                 )
             continue
@@ -1770,7 +1834,8 @@ def _downsample2(plane: np.ndarray) -> np.ndarray:
 
 def encode_jpeg_hierarchical(
     img: np.ndarray, quality: int = 85, levels: int = 2,
-    arithmetic: bool = False,
+    arithmetic: bool = False, progressive_diff: bool = False,
+    final_lossless: bool = False,
 ) -> bytes:
     """HxW grayscale uint8 -> HIERARCHICAL JPEG (Annex J): a DHP header,
     a non-differential SOF0 frame at 1/2^levels resolution, then per
@@ -1783,7 +1848,18 @@ def encode_jpeg_hierarchical(
     differential frames with QM-coded scans (default conditioning) and
     a DAC segment in place of the huffman tables — the pyramid math is
     byte-for-byte identical, so both variants decode to the same
-    pixels."""
+    pixels.
+
+    ``progressive_diff=True`` codes each DCT differential stage as a
+    PROGRESSIVE differential frame (SOF6 huffman / SOF14 arithmetic)
+    with a four-scan successive-approximation script (DC first Al=1,
+    AC first Al=1, DC refine, AC refine) over the same quantized
+    correction coefficients — again pixel-identical to the sequential
+    variants. ``final_lossless=True`` appends one LOSSLESS differential
+    frame (SOF7 huffman / SOF15 arithmetic, zero prediction, mod-2^16
+    corrections per T.81 J.1.5) at full resolution, making
+    ``decode_jpeg`` reconstruct the input EXACTLY — the progressive-to-
+    lossless pyramid Annex J exists for."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 2:
         raise ValueError("hierarchical fixture encoder takes HxW grayscale")
@@ -1822,10 +1898,11 @@ def encode_jpeg_hierarchical(
             ">HBHHB", 11, 8, fh, fw, 1
         ) + bytes([1, 0x11, 0])
 
-    def sos(td: int) -> bytes:
-        return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, (td << 4)]) + bytes(
-            [0, 63, 0]
-        )
+    def sos(td: int, ss: int = 0, se: int = 63, ah: int = 0,
+            al: int = 0, ta: int = 0) -> bytes:
+        return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            [1, (td << 4) | ta]
+        ) + bytes([ss, se, (ah << 4) | al])
 
     def arith_scan(zz: np.ndarray, differential: bool) -> bytes:
         from geokitten_spark.functions.jpeg_arith import (
@@ -1848,6 +1925,112 @@ def encode_jpeg_hierarchical(
             _encode_ac_from(enc, astats, fixed, row, 5)
         return enc.scan()
 
+    def prog_diff_scans(zz: np.ndarray) -> list:
+        """Four-scan successive-approximation script for one PROGRESSIVE
+        differential stage: every value codes with zero DC prediction."""
+        scans = []
+        if arithmetic:
+            from geokitten_spark.functions.jpeg_arith import (
+                ArithEncoder,
+                _encode_ac_from,
+                _encode_ac_refine_from,
+                encode_dc_arith,
+                new_ac_stats,
+                new_dc_stats,
+                new_fixed_stats,
+            )
+
+            enc, dstats = ArithEncoder(), new_dc_stats()
+            dcctx = 0
+            for row in zz:  # DC first, Al=1
+                dcctx = encode_dc_arith(enc, dstats, dcctx, int(row[0]) >> 1,
+                                        0, 1)
+            scans.append((sos(0, 0, 0, 0, 1), enc.scan()))
+            enc, astats, fixed = (
+                ArithEncoder(), new_ac_stats(), new_fixed_stats()
+            )
+            for row in zz:  # AC first, band 1-63, Al=1
+                _encode_ac_from(enc, astats, fixed, row, 5, 1, 63, 1)
+            scans.append((sos(0, 1, 63, 0, 1), enc.scan()))
+            enc, fixed = ArithEncoder(), new_fixed_stats()
+            for row in zz:  # DC refine to Al=0
+                enc.encode(fixed, 0, int(row[0]) & 1)
+            scans.append((sos(0, 0, 0, 1, 0), enc.scan()))
+            enc, astats, fixed = (
+                ArithEncoder(), new_ac_stats(), new_fixed_stats()
+            )
+            for row in zz:  # AC refine to Al=0
+                _encode_ac_refine_from(enc, astats, fixed, row, 1, 63, 1, 0)
+            scans.append((sos(0, 1, 63, 1, 0), enc.scan()))
+            return scans
+
+        prog_ac = _build_encode_table(_PROG_AC_BITS, _PROG_AC_VALS)
+        writer = _BitWriter()
+        for row in zz:  # DC first, Al=1 (flat table 1, PRED=0)
+            v = int(row[0]) >> 1
+            s = _category(v)
+            code, length = dc_flat[s]
+            writer.write(code, length)
+            if s:
+                writer.write(v if v > 0 else v + (1 << s) - 1, s)
+        writer.pad_to_byte()
+        scans.append((sos(1, 0, 0, 0, 1), bytes(writer.buf)))
+        writer, st = _BitWriter(), _ProgState()
+        for row in zz:  # AC first, band 1-63, Al=1 (prog AC table 1)
+            _encode_block_ac_first(writer, row, prog_ac, 1, 63, 1, st)
+        _emit_eobrun(writer, prog_ac, st)
+        writer.pad_to_byte()
+        scans.append((sos(1, 1, 63, 0, 1, ta=1), bytes(writer.buf)))
+        writer = _BitWriter()
+        for row in zz:  # DC refine to Al=0
+            writer.write(int(row[0]) & 1, 1)
+        writer.pad_to_byte()
+        scans.append((sos(1, 0, 0, 1, 0), bytes(writer.buf)))
+        writer, st = _BitWriter(), _ProgState()
+        for row in zz:  # AC refine to Al=0
+            _encode_block_ac_refine(writer, row, prog_ac, 1, 63, 0, st)
+        _emit_eobrun(writer, prog_ac, st)
+        writer.pad_to_byte()
+        scans.append((sos(1, 1, 63, 1, 0, ta=1), bytes(writer.buf)))
+        return scans
+
+    def lossless_diff_scan(diff_plane: np.ndarray) -> bytes:
+        """One zero-prediction lossless differential scan (J.1.5):
+        signed corrections, reconstructed modulo 2^16 by the decoder."""
+        if arithmetic:
+            from geokitten_spark.functions.jpeg_arith import (
+                ArithEncoder,
+                _LL_X1_A,
+                _LL_X1_B,
+                _classify_diff,
+                encode_dc_arith,
+                new_lossless_stats,
+            )
+
+            enc, stats = ArithEncoder(), new_lossless_stats()
+            above = np.zeros(diff_plane.shape[1], dtype=np.int64)
+            for yy in range(diff_plane.shape[0]):
+                left = 0
+                for xx in range(diff_plane.shape[1]):
+                    d = int(diff_plane[yy, xx])
+                    ca = _classify_diff(left, 0, 1)
+                    cb = _classify_diff(int(above[xx]), 0, 1)
+                    xbase = _LL_X1_B if cb >= 12 else _LL_X1_A
+                    encode_dc_arith(enc, stats, ca + 5 * cb, d, 0, 1, xbase)
+                    left = d
+                    above[xx] = d
+            return enc.scan()
+        writer = _BitWriter()
+        for d in diff_plane.reshape(-1):
+            d = int(d)
+            s = _category(d)
+            code, length = dc_flat[s]
+            writer.write(code, length)
+            if s:
+                writer.write(d if d > 0 else d + (1 << s) - 1, s)
+        writer.pad_to_byte()
+        return bytes(writer.buf)
+
     out = bytearray(b"\xff\xd8")
     out += bytes([0xFF, 0xDE]) + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes(
         [1, 0x11, 0]
@@ -1860,6 +2043,8 @@ def encode_jpeg_hierarchical(
         out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
         out += _dht_segment(1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS)
         out += _dht_segment(0, 1, _LL_BITS, _LL_VALS)
+        if progressive_diff:  # EOBn/ZRL symbols the std AC table lacks
+            out += _dht_segment(1, 1, _PROG_AC_BITS, _PROG_AC_VALS)
 
     # non-differential base frame
     base = pyramid[-1]
@@ -1887,20 +2072,29 @@ def encode_jpeg_hierarchical(
         diff = target - ref.astype(np.float64)
         zz = quantize_plane(diff, 0.0)
         zz[:, 1:] = np.clip(zz[:, 1:], -1023, 1023)  # std AC table range
-        if arithmetic:
-            scan_bytes = arith_scan(zz, differential=True)
+        out += bytes([0xFF, 0xDF]) + struct.pack(">H", 3) + bytes([0x11])
+        if progressive_diff:
+            out += sof(0xCE if arithmetic else 0xC6, fh, fw)
+            for header, scan_bytes in prog_diff_scans(zz):
+                out += header + scan_bytes
+        elif arithmetic:
+            out += sof(0xCD, fh, fw) + sos(0) + arith_scan(zz, differential=True)
         else:
             writer = _BitWriter()
             for row in zz:
                 _encode_block(writer, row, 0, dc_flat, ac_std)  # PRED = 0
             writer.pad_to_byte()
-            scan_bytes = bytes(writer.buf)
-        out += bytes([0xFF, 0xDF]) + struct.pack(">H", 3) + bytes([0x11])
-        out += sof(0xCD if arithmetic else 0xC5, fh, fw)
-        out += sos(0 if arithmetic else 1) + scan_bytes
+            out += sof(0xC5, fh, fw) + sos(1) + bytes(writer.buf)
         ref = np.clip(
             ref + np.round(reconstruct(zz, fh, fw)).astype(np.int64), 0, 255
         )
+
+    if final_lossless:
+        # same-size lossless differential frame: EXACT reconstruction
+        diff_plane = img.astype(np.int64) - ref
+        out += sof(0xCF if arithmetic else 0xC7, h, w)
+        out += sos(0 if arithmetic else 1, ss=0, se=0)  # Ss=0: no prediction
+        out += lossless_diff_scan(diff_plane)
 
     out += b"\xff\xd9"
     return bytes(out)

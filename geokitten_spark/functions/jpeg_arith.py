@@ -41,8 +41,10 @@ first passes run the sequential AC decision tree over the scan's
 spectral band, and AC refinement conditions newly-/previously-nonzero
 decisions on the same per-index context tree (correction bits at the
 third bin, signs on the fixed estimate). Differential frames inside a
-hierarchical pyramid (SOF13) code with the sequential model and a
-hardwired zero DC prediction, mirroring the huffman SOF5 path.
+hierarchical pyramid code with the sequential (SOF13), progressive
+(SOF14), or Annex H lossless (SOF15, zero prediction, mod-2^16
+corrections) models — mirroring the huffman SOF5/6/7 paths — so every
+arithmetic-coded process of T.81 decodes.
 """
 from __future__ import annotations
 
@@ -481,11 +483,13 @@ def decode_scan_progressive_arith(
     ah,
     al,
     split_scan,
+    differential=False,
 ):
-    """Decode one PROGRESSIVE arithmetic-coded scan (SOF10, Annex G.2)
-    into the coefficient stores; returns the offset of the terminating
-    marker. Four scan kinds, mirroring ``jpeg._decode_scan``'s
-    progressive modes:
+    """Decode one PROGRESSIVE arithmetic-coded scan (SOF10; SOF14 inside
+    a hierarchical pyramid with ``differential=True``, which hardwires
+    the DC-first prediction to zero) into the coefficient stores;
+    returns the offset of the terminating marker. Four scan kinds,
+    mirroring ``jpeg._decode_scan``'s progressive modes:
 
     * DC first (Ss=0, Ah=0): the F.1.4 difference model over the
       point-transformed DC values; stores ``pred << Al``.
@@ -536,8 +540,11 @@ def decode_scan_progressive_arith(
                 diff, dcctx[k] = decode_dc_arith(
                     dec, dc_stats[td], dcctx[k], low, up
                 )
-                pred[k] += diff
-                row[0] = pred[k] << al
+                if differential:  # no DC prediction in pyramid stages
+                    row[0] = diff << al
+                else:
+                    pred[k] += diff
+                    row[0] = pred[k] << al
             elif dc_scan:  # DC refine: fixed-estimate decision per block
                 if dec.decode(fixed, 0):
                     row[0] |= 1 << al
@@ -1018,7 +1025,8 @@ def decode_scan_lossless_arith(
     segments, end = split_scan(payload, start)
     comp_index = {cid: k for k, (cid, ch, cv, tq) in enumerate(comps)}
     sel = [(comp_index[cs], td) for cs, td, ta in scan_comps]
-    default = 1 << (prec - pt - 1)
+    # predictor 0: differential lossless frame — zero prediction
+    default = 0 if predictor == 0 else 1 << (prec - pt - 1)
 
     seg = 0
 
@@ -1087,6 +1095,8 @@ def encode_jpeg_lossless_arith(
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
         raise ValueError(f"expected HxWx3 or HxW uint8, got {img.shape}")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1-7 (0 is differential-only)")
     if precision not in (8, 12, 16):
         raise ValueError("precision must be 8, 12 or 16")
     if not 0 <= point_transform < precision:

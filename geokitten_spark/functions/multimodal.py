@@ -19,11 +19,12 @@ signatures, partitioning). The decode kernel dispatches per payload:
   DQT/DHT/DAC tables, huffman AND QM-arithmetic entropy decode incl.
   restart markers, batched IDCT, 4:4:4/4:2:2/4:2:0 chroma upsampling —
   see ``jpeg.decode_jpeg`` / ``jpeg_arith.py``). Sequential (SOF0/1,
-  8/12-bit), progressive (SOF2/SOF10), lossless (SOF3/SOF11),
-  arithmetic (SOF9/10/11/13), and hierarchical (Annex J pyramids,
-  huffman or arithmetic) processes all decode; only the differential
-  progressive/lossless pyramid stages (SOF6/7/14/15) raise
-  ``NotImplementedError``.
+  8/12-bit), progressive (SOF2/SOF10), lossless (SOF3/SOF11), and
+  hierarchical (Annex J pyramids with sequential/progressive/lossless
+  differential frames, huffman or arithmetic — SOF5/6/7/13/14/15)
+  processes all decode: every frame type of T.81 in its legal
+  position. A pyramid ending in a lossless differential frame
+  reconstructs the input EXACTLY.
 * **WAV (PCM16) / MJPEG-AVI** — REAL container parses for the audio and
   video lanes (stdlib struct + numpy chunk walks; AVI frames decode via
   the baseline-JPEG codec) — see :mod:`geokitten_spark.functions.riff`.
@@ -140,13 +141,16 @@ def synth_payload(doc_id: int, text: str) -> bytes:
       PROGRESSIVE JPEG / ADAM7 PNG / 16-BIT PNG / 12-BIT JPEG /
       ARITHMETIC JPEG / LOSSLESS JPEG / HIERARCHICAL JPEG /
       PROGRESSIVE-ARITHMETIC JPEG / LOSSLESS-ARITHMETIC JPEG /
-      HIERARCHICAL-ARITHMETIC JPEG by (id//3) % 13 so all thirteen
-      real binary parses run end to end (progressive exercises the
-      multi-scan SOF2 decoder; Adam7 the 7-pass de-interlace; 16-bit
-      PNG and 12-bit JPEG the high-precision reductions; arithmetic
-      the SOF9 QM-coder path; lossless the SOF3 predictive path;
-      hierarchical the Annex J DHP/EXP/differential-frame pyramid;
-      the three arithmetic variants the SOF10/SOF11/SOF13 models);
+      HIERARCHICAL-ARITHMETIC JPEG / HIERARCHICAL-LOSSLESS JPEG by
+      (id//3) % 14 so all fourteen real binary parses run end to end
+      (progressive exercises the multi-scan SOF2 decoder; Adam7 the
+      7-pass de-interlace; 16-bit PNG and 12-bit JPEG the
+      high-precision reductions; arithmetic the SOF9 QM-coder path;
+      lossless the SOF3 predictive path; hierarchical the Annex J
+      DHP/EXP/differential-frame pyramid; the arithmetic variants the
+      SOF10/SOF11/SOF13 models; the final lane a progressive-to-
+      lossless pyramid — SOF14 differential stages + a SOF15
+      exact-reconstruction final frame);
     * audio rows (id % 3 == 1): REAL RIFF/WAVE PCM16 — int16 samples
       derived from the text bytes;
     * video rows (id % 3 == 2): REAL MJPEG AVI — n_frames baseline-JPEG
@@ -185,7 +189,11 @@ def synth_payload(doc_id: int, text: str) -> bytes:
             encode_jpeg_arith_progressive,
             encode_jpeg_lossless_arith,
             lambda px: encode_jpeg_hierarchical(px[:, :, 0], arithmetic=True),
-        ][(doc_id // 3) % 13]
+            lambda px: encode_jpeg_hierarchical(
+                px[:, :, 0], arithmetic=True, progressive_diff=True,
+                final_lossless=True,
+            ),
+        ][(doc_id // 3) % 14]
         return enc(_tile_pixels(text, w, h))
     if kind == 1:
         raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)

@@ -40,6 +40,8 @@ __all__ = [
     "cdxj_line_sql",
     "parse_cdxj",
     "read_cdxj_dir",
+    "latest_captures",
+    "crawl_delta",
 ]
 
 
@@ -126,4 +128,68 @@ def read_cdxj_dir(spark: SparkSession, path: str,
     the WARC scan this parallelizes WITHIN files too) + one parse pass."""
     return parse_cdxj(
         spark.read.option("pathGlobFilter", glob).text(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl deltas — the standard operation over two crawl indexes
+# ---------------------------------------------------------------------------
+
+
+def latest_captures(captures: DataFrame) -> DataFrame:
+    """Latest-capture election: one row per urlkey carrying the most
+    recent capture's digest and url. A crawl index holds every capture
+    of a url (recrawls, retries); diffing two crawls is only meaningful
+    over each side's newest capture.
+
+    Scale shape: a single hash aggregation on ``urlkey`` with map-side
+    partial ``max``/``max_by`` combine — duplicate captures of a url
+    collapse before the shuffle, so the exchange carries one row per
+    (partition, urlkey)."""
+    return captures.groupBy("urlkey").agg(
+        F.max("ts").alias("ts"),
+        F.max_by("digest", "ts").alias("digest"),
+        F.max_by("url", "ts").alias("url"),
+    )
+
+
+def crawl_delta(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Recrawl diff between two capture tables (urlkey, ts, url, digest):
+    classify every url as ``added`` (only in b), ``removed`` (only in
+    a), ``changed`` (both, content digest differs), or ``unchanged``.
+
+    This is the Common-Crawl-index counterpart of an incremental-ingest
+    plan: crawl N vs crawl N+1 decides what to (re)process downstream —
+    the added+changed set is the work list, removed feeds tombstones.
+
+    Scale shape: latest-capture election on each side (map-combined hash
+    aggs), then ONE full-outer shuffle join on ``urlkey`` whose exchange
+    rows carry only (urlkey, 32-hex digest, url) — never page payloads;
+    the status derivation is a codegen CASE. urlkeys are near-unique per
+    side so the join has no skew; at index scale both sides are already
+    SURT-sorted, so a real deployment bucket-partitions both indexes by
+    urlkey range and this join co-locates without a shuffle."""
+    la = latest_captures(a).select(
+        "urlkey",
+        F.col("digest").alias("digest_a"),
+        F.col("url").alias("url_a"),
+    )
+    lb = latest_captures(b).select(
+        "urlkey",
+        F.col("digest").alias("digest_b"),
+        F.col("url").alias("url_b"),
+    )
+    j = la.join(lb, "urlkey", "full_outer")
+    status = (
+        F.when(F.col("digest_a").isNull(), F.lit("added"))
+        .when(F.col("digest_b").isNull(), F.lit("removed"))
+        .when(F.col("digest_a") == F.col("digest_b"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "urlkey",
+        F.coalesce("url_b", "url_a").alias("url"),
+        status.alias("status"),
+        "digest_a",
+        "digest_b",
     )

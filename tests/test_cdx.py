@@ -109,3 +109,58 @@ def test_parse_is_codegen_only(spark):
     lines = spark.createDataFrame([("k 20250101000000 {}",)], "value string")
     plan = parse_cdxj(lines)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "mapInPandas" not in plan.lower()
+
+
+def test_crawl_delta_classification(spark):
+    """Planted-status coverage: the fixture snapshots must produce all
+    four statuses, with counts matching the planting formulas, and the
+    stale duplicate capture must LOSE the latest-capture election."""
+    from geokitten_spark.fixtures import crawl_snapshots
+    from geokitten_spark.sources.cdx import crawl_delta
+    from tests.conftest import SF_SMOKE
+
+    a, b = crawl_snapshots(spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+
+    def expected_status(i):
+        in_a, in_b = i % 11 != 3, i % 11 != 7
+        if not in_a:
+            return "added" if in_b else None
+        if not in_b:
+            return "removed"
+        return "changed" if i % 5 == 0 else "unchanged"
+
+    want = {}
+    for i in ids:
+        s = expected_status(i)
+        if s:
+            want[s] = want.get(s, 0) + 1
+    out = crawl_delta(a, b)
+    got = {r.status: r["count"] for r in out.groupBy("status").count().collect()}
+    assert got == want
+
+    # the dup-capture urls (doc_id % 13 == 2, present in both crawls)
+    # must classify by the 30-day capture: changed iff doc_id % 5 == 0
+    dup_changed = sum(
+        1 for i in ids
+        if i % 13 == 2 and i % 11 not in (3, 7) and i % 5 == 0
+    )
+    n = out.filter((F.col("status") == "changed")
+                   & F.col("urlkey").isin([
+                       r.urlkey for r in a.join(
+                           b.groupBy("urlkey").count().filter("count = 2"),
+                           "urlkey").select("urlkey").distinct().collect()
+                   ])).count()
+    assert n == dup_changed
+
+
+def test_crawl_delta_plan_is_codegen_joins(spark):
+    """No Python in the plan: election aggs + one full-outer join."""
+    from geokitten_spark.fixtures import crawl_snapshots
+    from geokitten_spark.sources.cdx import crawl_delta
+    from tests.conftest import SF_SMOKE
+
+    a, b = crawl_snapshots(spark, SF_SMOKE)
+    plan = crawl_delta(a, b)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "FullOuter" in plan

@@ -374,3 +374,54 @@ def test_differential_frame_outside_hierarchical_still_raises():
     del b[2 : 4 + dhp_len]
     with pytest.raises(NotImplementedError, match="differential frame"):
         decode_jpeg(bytes(b))
+
+
+# --- differential progressive / lossless pyramid stages (SOF6/7/14/15) ------
+
+
+@pytest.mark.parametrize("arith", [False, True])
+@pytest.mark.parametrize("prog", [False, True])
+def test_hierarchical_all_differential_processes_pixel_parity(arith, prog):
+    """The four DCT-stage entropy layouts — (huffman|arithmetic) x
+    (sequential|progressive) differential frames — share every
+    quantize/EXP/reconstruct step, so all must decode to the SAME
+    pixels as the huffman-sequential pyramid."""
+    from geokitten_spark.functions.jpeg import encode_jpeg_hierarchical
+
+    rng = np.random.default_rng(88)
+    gray = rng.integers(0, 256, (37, 45), dtype=np.uint8)  # full noise
+    ref = decode_jpeg(encode_jpeg_hierarchical(gray, quality=85, levels=2))
+    b = encode_jpeg_hierarchical(gray, quality=85, levels=2,
+                                 arithmetic=arith, progressive_diff=prog)
+    if prog:
+        assert (b"\xff\xce" if arith else b"\xff\xc6") in b
+    assert np.array_equal(decode_jpeg(b), ref)
+
+
+@pytest.mark.parametrize("arith", [False, True])
+@pytest.mark.parametrize("prog", [False, True])
+def test_hierarchical_final_lossless_reconstructs_exactly(arith, prog):
+    """A pyramid ending in a zero-prediction lossless differential frame
+    (SOF7 huffman / SOF15 arithmetic, mod-2^16 corrections per J.1.5)
+    reconstructs the ORIGINAL samples bit-for-bit — the progressive-to-
+    lossless mode Annex J exists for."""
+    from geokitten_spark.functions.jpeg import encode_jpeg_hierarchical
+
+    rng = np.random.default_rng(89)
+    gray = rng.integers(0, 256, (29, 41), dtype=np.uint8)
+    b = encode_jpeg_hierarchical(gray, quality=60, levels=2, arithmetic=arith,
+                                 progressive_diff=prog, final_lossless=True)
+    assert (b"\xff\xcf" if arith else b"\xff\xc7") in b
+    assert np.array_equal(decode_jpeg(b), np.repeat(gray[:, :, None], 3, axis=2))
+
+
+def test_hierarchical_lossless_base_frame_still_raises():
+    from geokitten_spark.functions.jpeg import encode_jpeg_hierarchical
+
+    gray = np.full((16, 16), 128, dtype=np.uint8)
+    b = bytearray(encode_jpeg_hierarchical(gray))
+    idx = bytes(b).find(b"\xff\xc0")  # base frame -> SOF3 (lossless base)
+    assert idx > 0
+    b[idx + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(bytes(b))

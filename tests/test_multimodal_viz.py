@@ -188,9 +188,9 @@ def test_image_rows_really_decode(spark):
     progressive JPEG / Adam7 PNG / 16-bit PNG / 12-bit JPEG /
     arithmetic JPEG / lossless JPEG / hierarchical JPEG /
     progressive-arith JPEG / lossless-arith JPEG / hierarchical-arith
-    JPEG by (id//3) % 13; image_features must go through the REAL
-    decode (pixel histogram of the decoded image), bit-equal to
-    decoding the payload driver-side."""
+    JPEG / progressive-to-lossless pyramid by (id//3) % 14;
+    image_features must go through the REAL decode (pixel histogram of
+    the decoded image), bit-equal to decoding the payload driver-side."""
     import numpy as np
 
     from geokitten_spark.functions.jpeg import decode_jpeg
@@ -234,13 +234,16 @@ def test_image_rows_really_decode(spark):
         # hierarchical arithmetic: DHP + SOF9 base + SOF13 differential
         12: lambda p: p[:2] == b"\xff\xd8" and p[2:4] == b"\xff\xde"
         and b"\xff\xcd" in p and b"\xff\xcc" in p and b"\xff\xc4" not in p,
+        # progressive-to-lossless pyramid: SOF14 stages + SOF15 final
+        13: lambda p: p[:2] == b"\xff\xd8" and p[2:4] == b"\xff\xde"
+        and b"\xff\xce" in p and b"\xff\xcf" in p and b"\xff\xc4" not in p,
     }
     seen = set()
     for r in img_rows:
-        flavor = (r.media_id // 3) % 13
+        flavor = (r.media_id // 3) % 14
         assert sigs[flavor](bytes(r.payload))
         seen.add(flavor)
-    assert seen == set(range(13))  # all formats present across the fixture
+    assert seen == set(range(14))  # all formats present across the fixture
 
     feats = {r.media_id: r.embedding for r in image_features(media).collect()
              if r.kind == "image"}
