@@ -2901,6 +2901,28 @@ def q_crawl_delta(spark, sf_dir):
     return crawl_delta(a, b)
 
 
+def q_theta_overlap(spark, sf_dir):
+    """KMV/theta-sketch overlap estimation (operators/sketch.py): the
+    set-INTERSECTION estimate HLL union can't produce — crawl A's urls
+    vs crawl B's urls without joining the crawls. Sketch build is
+    distinct(hash60) → TakeOrdered(k=256); everything downstream runs
+    on ≤ k-row frames; estimates are exact integer math (decimal
+    product, integral div), so the DuckDB twin is bit-identical. At
+    sf0.01+ both sketches are full (estimation mode, theta < 2^60); at
+    the smoke SF they degrade to exact counting (theta = 2^60) — both
+    paths oracle-checked."""
+    from geokitten_spark.fixtures import crawl_snapshots
+    from geokitten_spark.operators.sketch import kmv_overlap
+
+    a, b = crawl_snapshots(spark, sf_dir)
+    return kmv_overlap(
+        a.select(F.col("urlkey").alias("key")),
+        b.select(F.col("urlkey").alias("key")),
+        "key",
+        k=256,
+    )
+
+
 def q_robots_filter(spark, sf_dir):
     """robots.txt URL filtering (functions/robots.py, RFC 9309): a
     deterministic robots corpus (one file per fixture host: `*` groups
@@ -3092,6 +3114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "ccnet_buckets": q_ccnet_buckets,
         "crawl_delta": q_crawl_delta,
+        "theta_overlap": q_theta_overlap,
     }
 
 
@@ -4315,4 +4338,18 @@ def oracle_sql() -> dict[str, str]:
                lb.digest AS digest_b
         FROM la FULL OUTER JOIN lb ON la.urlkey = lb.urlkey
     """
+    # KMV/theta overlap: same snapshot CTEs feed the bit-identical
+    # integer-sketch twin (operators/sketch.py kmv_overlap_sql)
+    from geokitten_spark.operators.sketch import kmv_overlap_sql
+
+    out["theta_overlap"] = kmv_overlap_sql(
+        "SELECT urlkey AS key FROM ca",
+        "SELECT urlkey AS key FROM cb",
+        k=256,
+        extra_ctes=f"""w AS (
+            SELECT doc_id, {_w_url} AS url, {_w_ts} AS ts, {_w_html} AS html
+            FROM documents
+        ),
+        {crawl_snapshots_sql()},""",
+    )
     return out

@@ -602,3 +602,163 @@ def qhist_sql(
         WHERE __cum * 100 >= p.percent * __n
         GROUP BY {group_exprs}, p.percent
     """
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch — set-OVERLAP estimation (the op HLL union can't do)
+# ---------------------------------------------------------------------------
+# A KMV sketch keeps the k smallest distinct hash60 values of a set; its
+# k-th order statistic theta estimates density (k-1 keys landed below
+# theta, so |S| ~ (k-1) * 2^60 / theta). Two sketches INTERSECT by
+# cutting both at theta = min(theta_a, theta_b) and counting shared
+# survivors — the estimate HLL fundamentally cannot produce (inclusion-
+# exclusion over HLL unions explodes in error when the overlap is small).
+# Pipeline use: estimated url/shingle overlap between two crawls or two
+# corpus snapshots WITHOUT joining them — contamination triage, recrawl
+# sizing — at the cost of shipping k 8-byte values per side.
+#
+# Everything is exact int64/decimal integer math on hash60, so DuckDB
+# reproduces the estimates bit-for-bit: the only division is an
+# integral `div` (Spark) / `//` (DuckDB) of the decimal product
+# m * 2^60 by theta — both truncate toward zero on positives.
+#
+# Scale shape: the sketch build is distinct(hash) -> TakeOrdered(k)
+# (per-partition top-k, then one k-row merge on the driver side of the
+# job — never a full sort); everything after operates on <= k-row
+# frames. A 10^12-key side costs one 8-byte-key distinct shuffle.
+
+_KMV_FULL = 1 << 60  # exclusive hash60 upper bound = "exact mode" theta
+
+
+def kmv_sketch(df: DataFrame, key_col: str, k: int = 256,
+               salt: str = "kmv") -> DataFrame:
+    """k smallest DISTINCT hash60 values of ``key_col`` → (h) rows."""
+    from .dedup import hash60
+
+    h = hash60(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string")))
+    return (
+        df.select(h.alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def _kmv_theta(sketch: DataFrame, k: int) -> DataFrame:
+    """theta = k-th smallest hash when the sketch is full, else 2^60
+    (exact mode: every key of the set is in the sketch)."""
+    return sketch.agg(
+        F.when(F.count("h") >= k, F.max("h"))
+        .otherwise(F.lit(_KMV_FULL))
+        .cast("long")
+        .alias("theta")
+    )
+
+
+def _kmv_est(count_col: str) -> F.Column:
+    # floor(count * 2^60 / theta); decimal keeps the 2^68 product exact,
+    # `div` truncates toward zero exactly like DuckDB HUGEINT `//`
+    return F.expr(
+        f"CAST(CAST({count_col} AS DECIMAL(38,0)) * 1152921504606846976 "
+        "div theta AS BIGINT)"
+    )
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, key_col: str, k: int = 256,
+                salt: str = "kmv") -> DataFrame:
+    """One-row overlap report between two keyed sets: KMV estimates of
+    |A|, |B|, |A ∪ B|, |A ∩ B| plus an integer Jaccard percent, with
+    the sketch parameters (theta, survivor counts) exposed so the
+    estimate is auditable. With BOTH sets smaller than k the sketch
+    degrades gracefully to exact counting (theta = 2^60)."""
+    sa, sb = kmv_sketch(a, key_col, k, salt), kmv_sketch(b, key_col, k, salt)
+    theta = (
+        _kmv_theta(sa, k).crossJoin(
+            _kmv_theta(sb, k).withColumnRenamed("theta", "theta_b")
+        )
+        .select(F.least("theta", "theta_b").alias("theta"))
+    )
+    ra = sa.crossJoin(theta).where(F.col("h") < F.col("theta")).select("h")
+    rb = sb.crossJoin(theta).where(F.col("h") < F.col("theta")).select("h")
+    counts = (
+        ra.select(F.lit(1).alias("in_a"), "h")
+        .join(rb.select(F.lit(1).alias("in_b"), "h"), "h", "full_outer")
+        .agg(
+            F.count("in_a").alias("n_a"),
+            F.count("in_b").alias("n_b"),
+            F.sum(
+                (F.col("in_a").isNotNull() & F.col("in_b").isNotNull())
+                .cast("long")
+            ).alias("n_both"),
+            F.count("h").alias("n_union"),
+        )
+    )
+    est = counts.crossJoin(theta)
+    jac = F.expr(
+        "CAST(CASE WHEN n_union = 0 THEN 0 "
+        "ELSE (100 * n_both) div n_union END AS BIGINT)"
+    )
+    return est.select(
+        _kmv_est("n_a").alias("est_a"),
+        _kmv_est("n_b").alias("est_b"),
+        _kmv_est("n_union").alias("est_union"),
+        _kmv_est("n_both").alias("est_intersect"),
+        jac.alias("jaccard_pct"),
+        F.col("theta").cast("long").alias("theta"),
+        F.col("n_both").cast("long").alias("survivors_both"),
+        F.col("n_union").cast("long").alias("survivors_union"),
+    )
+
+
+def kmv_overlap_sql(a_keys: str, b_keys: str, k: int = 256,
+                    salt: str = "kmv", extra_ctes: str = "") -> str:
+    """DuckDB twin of ``kmv_overlap``: ``a_keys``/``b_keys`` are SELECT
+    bodies yielding one VARCHAR column ``key``. ``extra_ctes`` (ending
+    in a comma) prepends caller CTEs the key sources reference —
+    nesting WITH inside a subquery is not portable. Bit-identical
+    output."""
+    from .dedup import hash60_sql
+
+    def sk(src: str) -> str:
+        h = hash60_sql(f"'{salt}:' || CAST(key AS VARCHAR)")
+        return (f"SELECT DISTINCT {h} AS h FROM ({src}) "
+                f"WHERE key IS NOT NULL ORDER BY h LIMIT {k}")
+
+    full = _KMV_FULL
+    return f"""
+        WITH {extra_ctes}
+        sa AS ({sk(a_keys)}),
+        sb AS ({sk(b_keys)}),
+        th AS (
+            SELECT LEAST(
+                (SELECT CASE WHEN COUNT(h) >= {k} THEN MAX(h)
+                             ELSE {full} END FROM sa),
+                (SELECT CASE WHEN COUNT(h) >= {k} THEN MAX(h)
+                             ELSE {full} END FROM sb)
+            ) AS theta
+        ),
+        ra AS (SELECT h FROM sa, th WHERE h < theta),
+        rb AS (SELECT h FROM sb, th WHERE h < theta),
+        c AS (
+            SELECT COUNT(ra.h) AS n_a, COUNT(rb.h) AS n_b,
+                   COUNT(CASE WHEN ra.h IS NOT NULL AND rb.h IS NOT NULL
+                              THEN 1 END) AS n_both,
+                   COUNT(COALESCE(ra.h, rb.h)) AS n_union
+            FROM ra FULL OUTER JOIN rb ON ra.h = rb.h
+        )
+        SELECT
+            CAST((CAST(n_a AS HUGEINT) * {full}) // theta AS BIGINT) AS est_a,
+            CAST((CAST(n_b AS HUGEINT) * {full}) // theta AS BIGINT) AS est_b,
+            CAST((CAST(n_union AS HUGEINT) * {full}) // theta AS BIGINT)
+                AS est_union,
+            CAST((CAST(n_both AS HUGEINT) * {full}) // theta AS BIGINT)
+                AS est_intersect,
+            CAST(CASE WHEN n_union = 0 THEN 0
+                      ELSE (100 * n_both) // n_union END AS BIGINT)
+                AS jaccard_pct,
+            CAST(theta AS BIGINT) AS theta,
+            CAST(n_both AS BIGINT) AS survivors_both,
+            CAST(n_union AS BIGINT) AS survivors_union
+        FROM c, th
+    """

@@ -278,3 +278,65 @@ def test_qhist_guards_and_plan_shape(spark):
     assert plan.count("HashAggregate") >= 2
     assert "SinglePartition" not in plan
     assert "Python" not in plan
+
+
+# --- KMV / theta overlap -----------------------------------------------------
+
+
+def _kmv_sets(spark, n_a=600, shared=400):
+    """A = keys 0..n_a-1; B = keys (n_a-shared)..(n_a-shared)+n_a-1 —
+    |A| = |B| = n_a, |A ∩ B| = shared."""
+    a = spark.range(n_a).selectExpr("CAST(id AS STRING) AS key")
+    b = spark.range(n_a).selectExpr(
+        f"CAST(id + {n_a - shared} AS STRING) AS key"
+    )
+    return a, b
+
+
+def test_kmv_overlap_estimation_mode_accuracy(spark):
+    from geokitten_spark.operators.sketch import kmv_overlap
+
+    a, b = _kmv_sets(spark)
+    r = kmv_overlap(a, b, "key", k=256).collect()[0]
+    assert r.theta < (1 << 60)  # both sketches full -> estimation mode
+    for est, exact in ((r.est_a, 600), (r.est_b, 600),
+                       (r.est_union, 800), (r.est_intersect, 400)):
+        assert abs(est - exact) / exact < 0.25, (est, exact)
+    assert abs(r.jaccard_pct - 50) <= 12  # exact jaccard = 400/800
+
+
+def test_kmv_overlap_exact_mode_below_k(spark):
+    from geokitten_spark.operators.sketch import kmv_overlap
+
+    a, b = _kmv_sets(spark, n_a=100, shared=30)
+    r = kmv_overlap(a, b, "key", k=256).collect()[0]
+    assert r.theta == (1 << 60)  # exact mode
+    assert (r.est_a, r.est_b, r.est_union, r.est_intersect) == (
+        100, 100, 170, 30,
+    )
+    assert r.jaccard_pct == (100 * 30) // 170
+
+
+def test_kmv_overlap_disjoint_and_identical(spark):
+    from geokitten_spark.operators.sketch import kmv_overlap
+
+    a, _ = _kmv_sets(spark, n_a=50)
+    d = spark.range(50).selectExpr("CAST(id + 10000 AS STRING) AS key")
+    r = kmv_overlap(a, d, "key", k=64).collect()[0]
+    assert r.est_intersect == 0 and r.jaccard_pct == 0
+    r = kmv_overlap(a, a, "key", k=64).collect()[0]
+    assert r.est_a == r.est_b == r.est_union == r.est_intersect
+    assert r.jaccard_pct == 100
+
+
+def test_kmv_sketch_plan_is_takeordered(spark):
+    """The build must be per-partition top-k (TakeOrdered), never a
+    global sort; nothing in the lane touches Python."""
+    from geokitten_spark.operators.sketch import kmv_overlap, kmv_sketch
+
+    a, b = _kmv_sets(spark)
+    plan = kmv_sketch(a, "key", 256)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+    full = kmv_overlap(a, b, "key", 256)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in full
