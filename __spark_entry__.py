@@ -1559,6 +1559,43 @@ def q_dedup_clusters(spark, sf_dir):
     return connected_components(pairs)
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: assign by NEAR-DUP CLUSTER,
+    not by document — a doc-level hash split leaks near-duplicates
+    across train and test (the eval contamination Lee et al. 2022
+    measure). Pipeline: minhash pairs → connected components →
+    cluster-keyed 80/10/10 hash split, singletons keyed by their own
+    id. By construction every member of a cluster lands in ONE split —
+    pinned by a pytest property and the oracle. Plan shape: the CC
+    label table is O(paired docs); the split itself is one broadcast-
+    able left join + codegen hash CASE — at 10^12 docs the only new
+    cost over dedup_clusters is that join."""
+    from geokitten_spark.fixtures import neardup_corpus
+    from geokitten_spark.operators.dedup import (
+        connected_components,
+        hash60,
+        minhash_neardup,
+    )
+
+    corpus = neardup_corpus(spark, sf_dir)
+    cc = connected_components(minhash_neardup(corpus))
+    labeled = corpus.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    h = hash60(
+        F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))
+    ) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return labeled.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        split.alias("split"),
+    )
+
+
 def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (brute-force exact baseline)."""
     from geokitten_spark.fixtures import embedding_neardup_corpus
@@ -3115,6 +3152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": q_ccnet_buckets,
         "crawl_delta": q_crawl_delta,
         "theta_overlap": q_theta_overlap,
+        "leakage_safe_split": q_leakage_safe_split,
     }
 
 
@@ -4342,6 +4380,32 @@ def oracle_sql() -> dict[str, str]:
     # integer-sketch twin (operators/sketch.py kmv_overlap_sql)
     from geokitten_spark.operators.sketch import kmv_overlap_sql
 
+    # leakage-safe split: CC labels (recursive-closure twin) + the same
+    # cluster-keyed hash split; singletons key by their own doc_id
+    from geokitten_spark.fixtures import neardup_corpus_cte
+    from geokitten_spark.operators.dedup import (
+        connected_components_sql,
+        hash60_sql,
+        minhash_neardup_sql,
+    )
+
+    _split_h = hash60_sql("'split:' || CAST(cluster_id AS VARCHAR)")
+    out["leakage_safe_split"] = f"""
+        WITH cc AS (
+            {connected_components_sql(minhash_neardup_sql(neardup_corpus_cte()))}
+        ),
+        {neardup_corpus_cte()},
+        labeled AS (
+            SELECT corpus.doc_id,
+                   COALESCE(cc.cluster_id, corpus.doc_id) AS cluster_id
+            FROM corpus LEFT JOIN cc ON corpus.doc_id = cc.doc_id
+        )
+        SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+               CASE WHEN {_split_h} % 100 < 80 THEN 'train'
+                    WHEN {_split_h} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM labeled
+    """
     out["theta_overlap"] = kmv_overlap_sql(
         "SELECT urlkey AS key FROM ca",
         "SELECT urlkey AS key FROM cb",

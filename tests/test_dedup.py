@@ -507,3 +507,29 @@ def test_paragraph_dedup_matches_duckdb_twin(spark):
         map(tuple, con.sql(paragraph_dedup_sql(entrymod._PARA_DEDUP_CTE)).fetchall())
     )
     assert got == want
+
+
+def test_leakage_safe_split_property(spark):
+    """Every near-dup cluster lands in exactly ONE split (the property a
+    doc-level hash split violates), every doc is assigned, and the
+    planted near-dup pairs share their original's split."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMOKE
+
+    out = entrymod.queries()["leakage_safe_split"](spark, SF_SMOKE).cache()
+    rows = out.collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    by_cluster = {}
+    by_doc = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+        by_doc[r.doc_id] = r.split
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # planted copies (doc_id + 1000000 for doc_id % 10 == 0) ride along
+    n_pairs = 0
+    for d, s in by_doc.items():
+        if d >= 1000000:
+            assert by_doc[d - 1000000] == s
+            n_pairs += 1
+    assert n_pairs > 0
+    out.unpersist()
