@@ -111,8 +111,17 @@ def pagerank(
         raise ValueError("pagerank over an empty node set")
     base = RANK_UNIT // n
     outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
-    # edges ⋈ out-degree never changes across iterations — compute once
-    e = edges.join(outd, "src").select("src", "dst", "od")
+    # edges ⋈ out-degree never changes across iterations — MATERIALIZE it
+    # once (lazy localCheckpoint: computed on first use, reused after).
+    # Without this, every iteration re-runs the whole edge derivation —
+    # for extracted link graphs that is a full html regexp pass per
+    # iteration. At cluster scale the same role is played by snapshotting
+    # the edge table (plans/snapshot.py) before iterating.
+    e = (
+        edges.join(outd, "src")
+        .select("src", "dst", "od")
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
     keep_pct = 100 - damping_pct
     for it in range(n_iters):
