@@ -2160,6 +2160,20 @@ def q_bpe_vocab(spark, sf_dir):
     return bpe_vocab_stats(docs, vocab_words=10_000, n_merges=200, n_top=50)
 
 
+def q_unigram_vocab(spark, sf_dir):
+    """Unigram-LM subword vocabulary (operators/unigram.py, Kudo 2018):
+    seed/EM/prune train on the distributed word-frequency dictionary
+    (one count agg + top-V, driver-side EM — the corpus is never
+    iterated), Viterbi-tokenize map-only via an Arrow-batched pandas
+    UDF, count tokens through one shuffle. Oracle = the SAME pure
+    trainer + segmenter over the DuckDB-derived dictionary; emitted
+    stats are integer counts only."""
+    from geokitten_spark.operators.unigram import unigram_vocab_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_vocab_stats(docs, n_top=50)
+
+
 def q_sessionize_stream_twin(spark, sf_dir):
     """Streaming face (rows-only): watermark + tumbling window aggregate
     driven through Structured Streaming availableNow on the events table,
@@ -2525,6 +2539,21 @@ def q_ann_pq_topk(spark, sf_dir):
     return idx.search(qv, k=10)
 
 
+def q_ann_sq8_topk(spark, sf_dir):
+    """Scalar-quantized (SQ8) ANN: per-dim min/max in ONE aggregate pass
+    (2·d map-side-combined cells, no posexplode), uint8 codes map-only,
+    exact int64 dot vs the quantized vec_id=0 query, then
+    TakeOrderedAndProject. Codes are 4x smaller than float32 — a direct
+    bandwidth multiplier on the scoring scan at 100 TB — and integer
+    scores have no FP reassociation, so the result is identical at any
+    parallelism. Oracle = the same quantizer in pure DuckDB SQL (IEEE
+    double ops in the same order produce bit-identical codes)."""
+    from geokitten_spark.operators.ann import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq8_topk(emb, query_id=0, k=10)
+
+
 def q_ann_batch_topk(spark, sf_dir):
     """Batched IVF ANN: a 100-query wave through ONE partition-pruned
     probe join + per-query WindowGroupLimit top-5 (the reranking-pipeline
@@ -2702,6 +2731,104 @@ def q_media_phash(spark, sf_dir):
     )
     copies = recompress_jpeg(media, id_offset=100000)
     return phash_neardup_pairs(media, copies, max_hamming=12, bands=16)
+
+
+def q_media_audio_dedup(spark, sf_dir):
+    """Audio perceptual dedup (functions/phash.py): spectral fingerprint
+    the audio lane (real RIFF/WAVE decodes) AND a re-gained copy of each
+    clip (3/4 volume + deterministic dither — the same clip captured
+    again at another level), then find cross-corpus near-dups with the
+    pigeonhole-banded Hamming join (8 bands > max_hamming=6). Adjacent-
+    band log-energy differences cancel gain exactly, so each original
+    pairs with its own copy (fixture-measured: copies <= 1 bit,
+    distinct clips >= 18 at every SF). Only (id, 64-bit hash)
+    rows cross the shuffle — never samples. Oracle = the same kernels
+    driver-side + brute-force all-pairs Hamming."""
+    from geokitten_spark.functions.multimodal import synthetic_media
+    from geokitten_spark.functions.phash import afp_neardup_pairs, regain_audio
+
+    media = synthetic_media(spark, sf_dir, n_rows=100).filter(
+        F.col("kind") == "audio"
+    )
+    copies = regain_audio(media, id_offset=200000)
+    return afp_neardup_pairs(media, copies, max_hamming=6, bands=8)
+
+
+def q_fix_mojibake(spark, sf_dir):
+    """Mojibake repair (functions/mojibake.py): plant accents on
+    doc_id%5==0 rows (the corpus is pure ASCII), damage them with one
+    layer of UTF-8-as-cp1252 mis-decoding — two layers on %10==0 (multi-
+    crawl aggregation applies it twice) — then repair to a fixpoint with
+    the Arrow-batched map-only operator. Output proves exact inversion:
+    ``rounds`` = layers undone (0/1/2) and ``restored`` = repaired text
+    byte-equals the pre-damage text for EVERY row. Oracle = the same
+    pure-string kernels driver-side (VALUES with md5 of the repair)."""
+    from geokitten_spark.functions.mojibake import (
+        corrupt_utf8_cp1252,
+        plant_accents,
+        repair_rounds_col,
+        repair_text_col,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 400
+    )
+
+    def damage(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            exp, dmg = [], []
+            for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                e = plant_accents(txt) if did % 5 == 0 else txt
+                d = corrupt_utf8_cp1252(e) if did % 5 == 0 else e
+                if did % 10 == 0:
+                    d = corrupt_utf8_cp1252(d)
+                exp.append(e)
+                dmg.append(d)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "expected": exp, "damaged": dmg}
+            )
+
+    staged = docs.mapInPandas(
+        damage, schema="doc_id long, expected string, damaged string"
+    )
+    fixed = staged.select(
+        "doc_id",
+        "expected",
+        repair_text_col(F.col("damaged")).alias("fixed"),
+        repair_rounds_col(F.col("damaged")).alias("rounds"),
+    )
+    return fixed.select(
+        "doc_id",
+        "rounds",
+        (F.col("fixed") == F.col("expected")).alias("restored"),
+        F.md5(F.encode("fixed", "UTF-8")).alias("fixed_md5"),
+    )
+
+
+def q_boilerplate_extract(spark, sf_dir):
+    """Boilerplate removal (functions/boilerplate.py): render every doc
+    into a fixture page with a nav bar (link density 1.0), the article
+    body, an ad sidebar, and a footer; extract main content with the
+    pure-Catalyst density rule (words >= 10, link_words <= words/3) —
+    one WholeStageCodegen map stage, no Python, no shuffle. The oracle
+    is FORMULA-derived (n_kept = 1, main = trim(text)) — it never runs
+    the parser, so it independently checks that the block splitter +
+    density filter recover exactly the planted article body."""
+    from geokitten_spark.functions.boilerplate import (
+        boilerplate_html,
+        extract_main_content,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    page = boilerplate_html(F.col("doc_id"), F.col("text"), F.col("lang"))
+    out = extract_main_content(page)
+    return docs.select(
+        "doc_id",
+        out["n_kept"].alias("n_kept"),
+        F.md5(F.encode(out["main"], "UTF-8")).alias("main_md5"),
+    )
 
 
 def q_warc_roundtrip(spark, sf_dir):
@@ -3153,6 +3280,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta": q_crawl_delta,
         "theta_overlap": q_theta_overlap,
         "leakage_safe_split": q_leakage_safe_split,
+        "media_audio_dedup": q_media_audio_dedup,
+        "ann_sq8_topk": q_ann_sq8_topk,
+        "fix_mojibake": q_fix_mojibake,
+        "boilerplate_extract": q_boilerplate_extract,
+        "unigram_vocab": q_unigram_vocab,
     }
 
 
@@ -3857,6 +3989,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 10
         """,
+        # SQ8: the quantizer is pure IEEE-double arithmetic in a fixed op
+        # order — floor((x - mn) / (mx - mn) * 255 + 0.5) — so DuckDB
+        # reproduces the codes bit-for-bit and the int64 scores hash-match.
+        "ann_sq8_topk": """
+            WITH elems AS (
+                SELECT vec_id, CAST(i + 1 AS INT) AS pos,
+                       (embedding::DOUBLE[])[CAST(i + 1 AS INT)] AS x
+                FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+            ),
+            stats AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM elems GROUP BY pos),
+            codes AS (
+                SELECT vec_id, e.pos,
+                       CAST(CASE WHEN mx = mn THEN 0
+                            ELSE floor((x - mn) / (mx - mn) * 255 + 0.5) END AS BIGINT) AS c
+                FROM elems e JOIN stats s ON e.pos = s.pos
+            ),
+            q AS (SELECT pos, c AS qc FROM codes WHERE vec_id = 0),
+            scored AS (
+                SELECT c.vec_id, SUM(c.c * q.qc) AS score
+                FROM codes c JOIN q ON c.pos = q.pos
+                WHERE c.vec_id <> 0 GROUP BY c.vec_id
+            ),
+            ranked AS (
+                SELECT vec_id, score,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS rank
+                FROM scored
+            )
+            SELECT vec_id, CAST(score AS BIGINT) AS score, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS n_events, round(SUM(value), 2) AS total_value
@@ -3966,9 +4128,19 @@ def oracle_sql() -> dict[str, str]:
         "geojson_roundtrip": _ora.geojson_roundtrip_sql(),
         "media_features": _ora.media_features_sql(),
         "media_phash": _ora.media_phash_sql(),
+        "media_audio_dedup": _ora.media_afp_sql(),
+        "fix_mojibake": _ora.fix_mojibake_sql(),
+        # formula oracle: never runs the HTML parser — the page is built so
+        # the ONLY admissible block is the article body (= trim(text))
+        "boilerplate_extract": """
+            SELECT doc_id, CAST(1 AS INT) AS n_kept,
+                   md5(trim(text)) AS main_md5
+            FROM documents
+        """,
         "media_frames": _ora.media_frames_sql(),
         "media_audio": _ora.media_audio_sql(),
         "bpe_vocab": _ora.bpe_vocab_sql(),
+        "unigram_vocab": _ora.unigram_vocab_sql(),
         "lm_perplexity": lm_perplexity_sql(
             vocab_size=1024, max_bigrams=65536, alpha=0.1
         ),

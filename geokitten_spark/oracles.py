@@ -1077,3 +1077,97 @@ def polygon_overlap_sql() -> str:
         rows,
         [("id_a", "VARCHAR"), ("id_b", "VARCHAR"), ("inter_area", "DOUBLE")],
     )
+
+
+def media_afp_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (id_a, id_b, hamming) for q_media_audio_dedup: the audio
+    lane plus re-gained copies (3/4 gain + dither, ids +200000)
+    fingerprinted with the SAME pure-numpy spectral kernel on the
+    driver, then brute-force all-pairs Hamming <= 6 — the pigeonhole
+    band join (bands=8 > 6) finds exactly this set."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .functions.multimodal import synth_payload
+    from .functions.phash import afp64
+    from .functions.riff import decode_wav, encode_wav
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    doc_ids = tbl.column("doc_id").to_pylist()[:100]
+    texts = tbl.column("text").to_pylist()[:100]
+    hashes: list[tuple[int, int]] = []
+    for doc_id, text in zip(doc_ids, texts):
+        if doc_id % 3 != 1:
+            continue
+        samples, sr = decode_wav(synth_payload(doc_id, text))
+        hashes.append((doc_id, afp64(samples)))
+        g = samples.astype(np.int32) * 3 // 4
+        g = (g + (np.arange(len(g)) % 5 - 2)).astype(np.int16)
+        regained, _ = decode_wav(encode_wav(g, sr))
+        hashes.append((doc_id + 200000, afp64(regained)))
+    rows = []
+    for i, (ida, ha) in enumerate(hashes):
+        for idb, hb in hashes[i + 1 :]:
+            a, b = min(ida, idb), max(ida, idb)
+            ham = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if ham <= 6:
+                rows.append((a, b, ham))
+    rows.sort()
+    return values_sql(
+        rows, [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "BIGINT")]
+    )
+
+
+def fix_mojibake_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (doc_id, rounds, restored, fixed_md5) for q_fix_mojibake:
+    the same plant -> corrupt(x1/x2) -> fixpoint-repair pure-string
+    kernels run driver-side over the identical fixture rows."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from .functions.mojibake import (
+        corrupt_utf8_cp1252,
+        plant_accents,
+        repair_mojibake,
+    )
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for did, txt in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        if did >= 400:
+            continue
+        expected = plant_accents(txt) if did % 5 == 0 else txt
+        damaged = corrupt_utf8_cp1252(expected) if did % 5 == 0 else expected
+        if did % 10 == 0:
+            damaged = corrupt_utf8_cp1252(damaged)
+        fixed, rounds = repair_mojibake(damaged)
+        rows.append(
+            (
+                did,
+                rounds,
+                fixed == expected,
+                hashlib.md5(fixed.encode("utf-8")).hexdigest(),
+            )
+        )
+    rows.sort()
+    return values_sql(
+        rows,
+        [
+            ("doc_id", "BIGINT"),
+            ("rounds", "INTEGER"),
+            ("restored", "BOOLEAN"),
+            ("fixed_md5", "VARCHAR"),
+        ],
+    )
+
+
+def unigram_vocab_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (token, n_occ) for q_unigram_vocab: the word dictionary
+    comes from DuckDB, seed/EM/prune training + Viterbi tokenization run
+    the SAME pure-Python kernel as the Spark path (operators/unigram.py)
+    — emitted counts are integer-exact by construction."""
+    from .operators.unigram import unigram_vocab_stats_oracle_rows
+
+    rows = unigram_vocab_stats_oracle_rows(sf_dir)
+    return values_sql(rows, [("token", "VARCHAR"), ("n_occ", "BIGINT")])
