@@ -405,3 +405,98 @@ class PQIndex:
             .filter(F.col("rank") <= k)
             .select("query_id", self.id_col, "rank")
         )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (SQ8) — the memory/bandwidth scale path
+# ---------------------------------------------------------------------------
+
+def sq8_params(emb: DataFrame, *, vec_col: str = "embedding") -> tuple[list, list]:
+    """Per-dimension (min, max) quantization params in ONE aggregate
+    pass: 2·d agg expressions over ``element_at`` — no posexplode (that
+    multiplies the scan to n·d rows before the shuffle); min/max combine
+    map-side, so the exchange carries one 2·d-cell partial per task
+    regardless of corpus size. Returns driver-side lists (d doubles
+    each — control-plane, like IVF centroids)."""
+    v = F.col(vec_col).cast("array<double>")
+    d = emb.select(F.size(v).alias("d")).first()["d"]
+    base = emb.select(v.alias("v"))
+    row = base.agg(
+        *[F.min(F.element_at(F.col("v"), i + 1)).alias(f"mn{i}") for i in range(d)],
+        *[F.max(F.element_at(F.col("v"), i + 1)).alias(f"mx{i}") for i in range(d)],
+    ).first()
+    mn = [float(row[f"mn{i}"]) for i in range(d)]
+    mx = [float(row[f"mx{i}"]) for i in range(d)]
+    return mn, mx
+
+
+def sq8_code_col(vec: Column, mn: list, mx: list) -> Column:
+    """array<double> -> array<bigint> of 0..255 codes:
+    floor((x - mn) / (mx - mn) * 255 + 0.5), constant-range dims -> 0.
+    Pure IEEE-double arithmetic in a fixed op order, so Spark, DuckDB,
+    and driver-side Python produce bit-identical codes — the scores are
+    exact int64 and hash-portable across engines."""
+    mn_lit = F.array(*[F.lit(float(x)) for x in mn])
+    rng_lit = F.array(*[F.lit(float(b - a)) for a, b in zip(mn, mx)])
+    shifted = F.zip_with(vec, mn_lit, lambda x, m: x - m)
+    return F.zip_with(
+        shifted,
+        rng_lit,
+        lambda x, r: F.when(r == F.lit(0.0), F.lit(0).cast("long")).otherwise(
+            F.floor(x / r * F.lit(255.0) + F.lit(0.5))
+        ),
+    )
+
+
+def sq8_quantize_query(qv: list, mn: list, mx: list) -> list[int]:
+    """The same quantizer for one driver-side query vector (Python
+    float ops are the same IEEE doubles, so codes match the cluster's
+    bit-for-bit)."""
+    import math
+
+    out = []
+    for x, a, b in zip(qv, mn, mx):
+        r = float(b) - float(a)
+        out.append(0 if r == 0.0 else int(math.floor((float(x) - float(a)) / r * 255.0 + 0.5)))
+    return out
+
+
+def sq8_topk(
+    emb: DataFrame,
+    *,
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized top-k: per-dim min/max (one agg pass) ->
+    uint8 codes (map-only) -> exact int64 dot against the quantized
+    query -> TakeOrderedAndProject. The 100-TB story: codes are 4x
+    smaller than float32 (8x than double), the scoring scan is
+    bandwidth-bound so that is a direct throughput multiplier, and
+    integer dots have no FP reassociation — results are identical at
+    any parallelism. Returns (id, score, rank)."""
+    from pyspark.sql import Window
+
+    v = F.col(vec_col).cast("array<double>")
+    mn, mx = sq8_params(emb, vec_col=vec_col)
+    qrow = emb.filter(F.col(id_col) == query_id).select(v.alias("v")).first()
+    qcodes = sq8_quantize_query(list(qrow["v"]), mn, mx)
+    q_lit = F.array(*[F.lit(int(c)).cast("long") for c in qcodes])
+    score = F.aggregate(
+        F.zip_with(sq8_code_col(v, mn, mx), q_lit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    topk = (
+        emb.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        id_col, "score", "rank"
+    )

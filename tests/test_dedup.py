@@ -533,3 +533,68 @@ def test_leakage_safe_split_property(spark):
             n_pairs += 1
     assert n_pairs > 0
     out.unpersist()
+
+
+def test_sq8_codes_match_driver_quantizer(spark):
+    """The distributed quantizer must equal driver-side Python
+    bit-for-bit (same IEEE-double op order), codes stay in 0..255, and
+    identical vectors score the maximum against themselves."""
+    from geokitten_spark.operators.ann import (
+        sq8_code_col,
+        sq8_params,
+        sq8_quantize_query,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mn, mx = sq8_params(emb)
+    got = {
+        r["vec_id"]: list(r["c"])
+        for r in emb.select(
+            "vec_id",
+            sq8_code_col(F.col("embedding").cast("array<double>"), mn, mx).alias("c"),
+        ).collect()
+    }
+    for r in emb.collect():
+        want = sq8_quantize_query([float(x) for x in r["embedding"]], mn, mx)
+        assert got[r["vec_id"]] == want
+        assert all(0 <= c <= 255 for c in want)
+
+
+def test_sq8_topk_matches_numpy_and_plan(spark):
+    """sq8_topk's top-5 equals a full numpy recomputation (quantize
+    every row with the driver kernel, integer dot, sort by score desc /
+    id asc), the result is partitioning-independent, and the scoring
+    plan is JVM-only with a TakeOrderedAndProject (no single-reducer
+    sort, no Python)."""
+    from geokitten_spark.operators.ann import (
+        sq8_params,
+        sq8_quantize_query,
+        sq8_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mn, mx = sq8_params(emb)
+    codes = {
+        r["vec_id"]: sq8_quantize_query([float(x) for x in r["embedding"]], mn, mx)
+        for r in emb.collect()
+    }
+    qc = codes[0]
+    want = sorted(
+        (
+            (-sum(a * b for a, b in zip(c, qc)), vid)
+            for vid, c in codes.items()
+            if vid != 0
+        )
+    )[:5]
+    top = sq8_topk(emb, query_id=0, k=5)
+    rows = top.collect()
+    assert [(r["vec_id"], r["score"]) for r in rows] == [
+        (vid, -neg) for neg, vid in want
+    ]
+    again = sq8_topk(emb.repartition(7), query_id=0, k=5).collect()
+    assert [(r["vec_id"], r["score"]) for r in rows] == [
+        (r["vec_id"], r["score"]) for r in again
+    ]
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
