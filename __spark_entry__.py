@@ -2160,6 +2160,26 @@ def q_bpe_vocab(spark, sf_dir):
     return bpe_vocab_stats(docs, vocab_words=10_000, n_merges=200, n_top=50)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """RAG-style sliding-window chunking (operators/chunking.py):
+    window=32 / stride=24 token chunks, 100% Catalyst (split →
+    explode(sequence) → slice → array_join; one map stage, no shuffle,
+    no Python). Oracle = the same integer chunk arithmetic in pure
+    DuckDB SQL; md5 per chunk proves the token windows are
+    byte-identical."""
+    from geokitten_spark.operators.chunking import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ch = chunk_documents(docs, window=32, stride=24)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        "chunk_tokens",
+        F.md5(F.encode("chunk_text", "UTF-8")).alias("chunk_md5"),
+    )
+
+
 def q_unigram_vocab(spark, sf_dir):
     """Unigram-LM subword vocabulary (operators/unigram.py, Kudo 2018):
     seed/EM/prune train on the distributed word-frequency dictionary
@@ -3285,6 +3305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fix_mojibake": q_fix_mojibake,
         "boilerplate_extract": q_boilerplate_extract,
         "unigram_vocab": q_unigram_vocab,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -4141,6 +4162,30 @@ def oracle_sql() -> dict[str, str]:
         "media_audio": _ora.media_audio_sql(),
         "bpe_vocab": _ora.bpe_vocab_sql(),
         "unigram_vocab": _ora.unigram_vocab_sql(),
+        # chunk k covers tokens [k*24, k*24+32); list_slice end is inclusive
+        "chunk_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   w -> w <> '') AS toks
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id, toks, len(toks) AS n_tokens,
+                       CASE WHEN len(toks) <= 32 THEN 1
+                            ELSE CAST(ceil((len(toks) - 32)::DOUBLE / 24.0) AS INT) + 1
+                       END AS nc
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(g AS INT) AS chunk_id,
+                   CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(len(list_slice(toks, g * 24 + 1, g * 24 + 32)) AS INT)
+                       AS chunk_tokens,
+                   md5(array_to_string(list_slice(toks, g * 24 + 1, g * 24 + 32), ' '))
+                       AS chunk_md5
+            FROM n, UNNEST(range(nc)) AS u(g)
+        """,
         "lm_perplexity": lm_perplexity_sql(
             vocab_size=1024, max_bigrams=65536, alpha=0.1
         ),
