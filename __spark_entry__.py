@@ -2160,6 +2160,24 @@ def q_bpe_vocab(spark, sf_dir):
     return bpe_vocab_stats(docs, vocab_words=10_000, n_merges=200, n_top=50)
 
 
+def q_mix_sources(spark, sf_dir):
+    """Dataset mixing with exact integer quotas (operators/sampling.py):
+    DoReMi-style domain weights (weight of src{i} = i+1) apportioned to
+    a 200-row budget by largest-remainder — pure integer math, sums to
+    exactly 200 — then exactly-quota-per-source selection by portable
+    hash rank (WindowGroupLimit: partial top-k BEFORE the exchange).
+    Oracle = the same quota vector + the same hash window in DuckDB."""
+    from geokitten_spark.operators.sampling import (
+        largest_remainder_quotas,
+        mix_sources,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weights = {f"src{i}": i + 1 for i in range(20)}
+    quotas = largest_remainder_quotas(weights, total=200)
+    return mix_sources(docs, quotas).select("doc_id", "source")
+
+
 def q_chunk_documents(spark, sf_dir):
     """RAG-style sliding-window chunking (operators/chunking.py):
     window=32 / stride=24 token chunks, 100% Catalyst (split →
@@ -3306,6 +3324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_extract": q_boilerplate_extract,
         "unigram_vocab": q_unigram_vocab,
         "chunk_documents": q_chunk_documents,
+        "mix_sources": q_mix_sources,
     }
 
 
@@ -4162,6 +4181,7 @@ def oracle_sql() -> dict[str, str]:
         "media_audio": _ora.media_audio_sql(),
         "bpe_vocab": _ora.bpe_vocab_sql(),
         "unigram_vocab": _ora.unigram_vocab_sql(),
+        "mix_sources": _ora.mix_sources_oracle_sql(),
         # chunk k covers tokens [k*24, k*24+32); list_slice end is inclusive
         "chunk_documents": """
             WITH t AS (

@@ -262,3 +262,87 @@ def sample_token_budget_sql(
             FROM ({table_sql})
         ) WHERE __cum < {budget}
     """
+
+
+# ---------------------------------------------------------------------------
+# dataset mixing — exact integer quotas per source (Hamilton apportionment)
+# ---------------------------------------------------------------------------
+
+def largest_remainder_quotas(weights: dict[str, int], total: int) -> dict[str, int]:
+    """Apportion ``total`` rows across sources proportionally to INTEGER
+    weights with the largest-remainder (Hamilton) method: exact base
+    shares ``total*w // W``, leftover seats to the largest remainders
+    (``total*w % W``), ties to the lexicographically smaller source.
+    Pure integer math — no float shares, so the quota vector is
+    identical in any engine and sums to exactly ``total``."""
+    if total < 0:
+        raise ValueError("total must be >= 0")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative with a positive sum")
+    W = sum(weights.values())
+    base = {s: total * w // W for s, w in weights.items()}
+    left = total - sum(base.values())
+    order = sorted(weights, key=lambda s: (-(total * weights[s] % W), s))
+    for s in order[:left]:
+        base[s] += 1
+    return base
+
+
+def mix_sources(
+    df: DataFrame,
+    quotas: dict[str, int],
+    *,
+    key_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix",
+) -> DataFrame:
+    """Take EXACTLY ``quotas[source]`` rows per source, chosen by hash
+    rank — the deterministic face of mixture sampling (DoReMi-style
+    domain weights become hard quotas via ``largest_remainder_quotas``).
+
+    One shuffle on the source key; the per-source top-k window plans as
+    WindowGroupLimit (partial per-partition limit BEFORE the exchange),
+    so the shuffle carries at most ~k rows per (source, input
+    partition), not the corpus. Sources absent from ``quotas`` are
+    dropped. Resume-safe: pure function of (key, source)."""
+    from pyspark.sql import Window
+
+    b = _bucket(F.col(key_col), salt)
+    q = F.lit(0)
+    for s, k in sorted(quotas.items()):
+        q = F.when(F.col(source_col) == s, F.lit(int(k))).otherwise(q)
+    w = Window.partitionBy(source_col).orderBy(b.asc(), F.col(key_col).asc())
+    # the per-source quota is a CASE expression, which defeats the
+    # WindowGroupLimit rewrite (it needs rank <= LITERAL) — so ALSO
+    # bound by the literal max quota: the optimizer turns that into a
+    # partial per-partition top-k BEFORE the exchange, and the CASE
+    # filter trims to the exact per-source quota after
+    max_q = int(max(quotas.values(), default=0))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter((F.col("__rk") <= F.lit(max_q)) & (F.col("__rk") <= q))
+        .drop("__rk")
+    )
+
+
+def mix_sources_sql(
+    quotas: dict[str, int],
+    *,
+    key_expr: str = "doc_id",
+    source_expr: str = "source",
+    salt: str = "mix",
+) -> str:
+    """WHERE-clause twin: ``rk <= CASE source ... END`` over the same
+    hash-ranked window (embed in a query that defines ``rk``)."""
+    whens = " ".join(
+        f"WHEN {source_expr} = '{s}' THEN {int(k)}" for s, k in sorted(quotas.items())
+    )
+    return f"rk <= (CASE {whens} ELSE 0 END)"
+
+
+def mix_rank_sql(key_expr: str = "doc_id", source_expr: str = "source", *, salt: str = "mix") -> str:
+    """The ROW_NUMBER() expression the twin window needs."""
+    return (
+        f"ROW_NUMBER() OVER (PARTITION BY {source_expr} "
+        f"ORDER BY {_bucket_sql(key_expr, salt)} ASC, {key_expr} ASC)"
+    )

@@ -1171,3 +1171,24 @@ def unigram_vocab_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
 
     rows = unigram_vocab_stats_oracle_rows(sf_dir)
     return values_sql(rows, [("token", "VARCHAR"), ("n_occ", "BIGINT")])
+
+
+def mix_sources_oracle_sql() -> str:
+    """Twin for q_mix_sources: the SAME integer quota vector (pure
+    Python apportionment, engine-free) + the SAME portable hash-ranked
+    window in DuckDB SQL."""
+    from .operators.sampling import (
+        largest_remainder_quotas,
+        mix_rank_sql,
+        mix_sources_sql,
+    )
+
+    weights = {f"src{i}": i + 1 for i in range(20)}
+    quotas = largest_remainder_quotas(weights, total=200)
+    return f"""
+        WITH ranked AS (
+            SELECT doc_id, source, {mix_rank_sql("doc_id", "source")} AS rk
+            FROM documents
+        )
+        SELECT doc_id, source FROM ranked WHERE {mix_sources_sql(quotas)}
+    """

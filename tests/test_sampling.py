@@ -130,3 +130,50 @@ def test_sample_token_budget_semantics(spark):
         tokens_col="n_tokens", budget=150, n_buckets=8,
     ).collect()
     assert {r["doc_id"] for r in out2} == expect
+
+
+def test_largest_remainder_quotas_exact():
+    """Quotas sum to exactly the budget, respect proportionality within
+    1, and are pure-integer deterministic (tie goes to smaller source)."""
+    from geokitten_spark.operators.sampling import largest_remainder_quotas
+
+    q = largest_remainder_quotas({"a": 1, "b": 1, "c": 1}, total=100)
+    assert sum(q.values()) == 100 and sorted(q.values()) == [33, 33, 34]
+    # the leftover seat goes to the largest remainder; all equal -> 'a'
+    assert q["a"] == 34
+    w = {f"s{i}": i + 1 for i in range(7)}
+    q2 = largest_remainder_quotas(w, total=500)
+    assert sum(q2.values()) == 500
+    tot = sum(w.values())
+    for s, k in q2.items():
+        assert abs(k - 500 * w[s] / tot) < 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        largest_remainder_quotas({"a": 0}, total=10)
+
+
+def test_mix_sources_exact_counts_and_determinism(spark):
+    """Exactly quota rows per source, sources without a quota dropped,
+    same selection at any partitioning, and the window plans as
+    WindowGroupLimit (partial top-k before the exchange)."""
+    from geokitten_spark.operators.sampling import (
+        largest_remainder_quotas,
+        mix_sources,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    quotas = largest_remainder_quotas({"src0": 3, "src1": 1, "src2": 1}, total=40)
+    got = mix_sources(docs, quotas).select("doc_id", "source").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    assert {s: len(v) for s, v in by_src.items()} == quotas
+    again = mix_sources(docs.repartition(13), quotas).select("doc_id", "source").collect()
+    assert {(r["doc_id"], r["source"]) for r in again} == {
+        (r["doc_id"], r["source"]) for r in got
+    }
+    plan = mix_sources(docs, quotas)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
