@@ -2160,6 +2160,50 @@ def q_bpe_vocab(spark, sf_dir):
     return bpe_vocab_stats(docs, vocab_words=10_000, n_merges=200, n_top=50)
 
 
+def q_sitemap_frontier(spark, sf_dir):
+    """Sitemap lane end-to-end (sources/sitemap.py): render one XML
+    <urlset> per host (listing every crawled url with doc_id%3 != 2
+    plus one never-crawled url per host), parse it back with the
+    pure-Catalyst regexp scanner, and reconcile against the crawl via
+    ONE full-outer url join + per-host aggregate — n_new is the recrawl
+    frontier, n_stale the ghost set. The oracle is FORMULA-derived
+    (urls and the listing rule come from doc_id arithmetic) — it never
+    touches XML, so it independently checks render→parse→reconcile."""
+    from geokitten_spark.functions.geocode import url_from_doc_id
+    from geokitten_spark.sources.sitemap import (
+        parse_urlset,
+        render_sitemaps,
+        sitemap_frontier,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hn = (F.col("doc_id") % 97).cast("string")
+    host = F.concat(F.lit("host"), hn, F.lit(".example"))
+    url = url_from_doc_id(F.col("doc_id"), F.col("lang"))
+    lastmod = F.concat(
+        F.lit("2025-01-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+    )
+    listed = docs.filter(F.col("doc_id") % 3 != 2).select(
+        host.alias("host"), url.alias("url"), lastmod.alias("lastmod")
+    )
+    fresh = (
+        docs.select(hn.alias("hn"))
+        .distinct()
+        .select(
+            F.concat(F.lit("host"), "hn", F.lit(".example")).alias("host"),
+            F.concat(
+                F.lit("https://host"), "hn", F.lit(".example/new/page-"), "hn"
+            ).alias("url"),
+            F.lit("2025-02-01").alias("lastmod"),
+        )
+    )
+    xml = render_sitemaps(listed.unionByName(fresh))
+    parsed = parse_urlset(xml)
+    crawled = docs.select(host.alias("host"), url.alias("url"))
+    return sitemap_frontier(parsed, crawled)
+
+
 def q_mix_sources(spark, sf_dir):
     """Dataset mixing with exact integer quotas (operators/sampling.py):
     DoReMi-style domain weights (weight of src{i} = i+1) apportioned to
@@ -2590,6 +2634,46 @@ def q_ann_sq8_topk(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return sq8_topk(emb, query_id=0, k=10)
+
+
+def q_ann_rerank(spark, sf_dir):
+    """Two-stage retrieval (the production ANN pattern): SQ8 integer
+    scoring proposes 50 candidates (4x-compressed scan, exact int64
+    scores), then ONLY those 50 rows pay full-precision cosine and the
+    final top-10 comes from the reranked set — at 100 TB the expensive
+    exact pass touches 50 rows instead of the corpus. Candidate set and
+    rerank are both engine-exact (integer stage boundary; float cosine
+    only orders 50 well-separated finalists)."""
+    from pyspark.sql import Window
+
+    from geokitten_spark.operators.ann import sq8_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cand = sq8_topk(emb, query_id=0, k=50).select("vec_id")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    v = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, F.col("qv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    sim = dot / (norm(v) * norm(F.col("qv")))
+    rer = (
+        emb.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qrow))
+        .select("vec_id", sim.alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("sim").desc(), F.col("vec_id").asc()
+    )
+    return rer.withColumn("rank", F.row_number().over(w)).select("vec_id", "rank")
 
 
 def q_ann_batch_topk(spark, sf_dir):
@@ -3325,6 +3409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_vocab": q_unigram_vocab,
         "chunk_documents": q_chunk_documents,
         "mix_sources": q_mix_sources,
+        "ann_rerank": q_ann_rerank,
+        "sitemap_frontier": q_sitemap_frontier,
     }
 
 
@@ -4059,6 +4145,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(score AS BIGINT) AS score, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 10
         """,
+        # retrieve (SQ8 integer stage, engine-exact candidate set) -> rerank
+        # (exact cosine on the 50 finalists only)
+        "ann_rerank": """
+            WITH elems AS (
+                SELECT vec_id, CAST(i + 1 AS INT) AS pos,
+                       (embedding::DOUBLE[])[CAST(i + 1 AS INT)] AS x
+                FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+            ),
+            stats AS (SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM elems GROUP BY pos),
+            codes AS (
+                SELECT vec_id, e.pos,
+                       CAST(CASE WHEN mx = mn THEN 0
+                            ELSE floor((x - mn) / (mx - mn) * 255 + 0.5) END AS BIGINT) AS c
+                FROM elems e JOIN stats s ON e.pos = s.pos
+            ),
+            q AS (SELECT pos, c AS qc FROM codes WHERE vec_id = 0),
+            scored AS (
+                SELECT c.vec_id, SUM(c.c * q.qc) AS score
+                FROM codes c JOIN q ON c.pos = q.pos
+                WHERE c.vec_id <> 0 GROUP BY c.vec_id
+            ),
+            cand AS (
+                SELECT vec_id FROM (
+                    SELECT vec_id,
+                           ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS rk
+                    FROM scored
+                ) WHERE rk <= 50
+            ),
+            qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+            rer AS (
+                SELECT e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], qv) AS sim
+                FROM embeddings e JOIN cand USING (vec_id), qv
+            ),
+            rranked AS (
+                SELECT vec_id, ROW_NUMBER() OVER (ORDER BY sim DESC, vec_id ASC) AS rank
+                FROM rer
+            )
+            SELECT vec_id, CAST(rank AS INT) AS rank FROM rranked WHERE rank <= 10
+        """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    COUNT(*) AS n_events, round(SUM(value), 2) AS total_value
@@ -4182,6 +4308,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_vocab": _ora.bpe_vocab_sql(),
         "unigram_vocab": _ora.unigram_vocab_sql(),
         "mix_sources": _ora.mix_sources_oracle_sql(),
+        "sitemap_frontier": _ora.sitemap_frontier_sql(),
         # chunk k covers tokens [k*24, k*24+32); list_slice end is inclusive
         "chunk_documents": """
             WITH t AS (

@@ -1192,3 +1192,45 @@ def mix_sources_oracle_sql() -> str:
         )
         SELECT doc_id, source FROM ranked WHERE {mix_sources_sql(quotas)}
     """
+
+
+def sitemap_frontier_sql() -> str:
+    """Formula twin for q_sitemap_frontier: the listing rule and every
+    url are doc_id arithmetic, so the expected reconciliation is pure
+    SQL over `documents` — no XML is ever rendered or parsed here."""
+    from .functions.geocode import url_from_doc_id_sql
+
+    url = url_from_doc_id_sql("doc_id", "lang")
+    return f"""
+        WITH d AS (
+            SELECT doc_id, CAST(doc_id % 97 AS VARCHAR) AS hn, {url} AS url,
+                   '2025-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+                       AS lastmod
+            FROM documents
+        ),
+        listed AS (
+            SELECT 'host' || hn || '.example' AS host, url AS u, lastmod
+            FROM d WHERE doc_id % 3 <> 2
+            UNION ALL
+            SELECT 'host' || hn || '.example',
+                   'https://host' || hn || '.example/new/page-' || hn,
+                   '2025-02-01'
+            FROM (SELECT DISTINCT hn FROM d)
+        ),
+        crawled AS (SELECT 'host' || hn || '.example' AS host, url AS u FROM d),
+        j AS (
+            SELECT coalesce(l.host, c.host) AS host,
+                   (l.u IS NOT NULL)::INT AS l, (c.u IS NOT NULL)::INT AS c,
+                   l.lastmod
+            FROM listed l FULL OUTER JOIN crawled c ON l.u = c.u
+        )
+        SELECT host,
+               CAST(SUM(l) AS BIGINT) AS n_listed,
+               CAST(SUM(c) AS BIGINT) AS n_crawled,
+               CAST(SUM(CASE WHEN l = 1 AND c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_new,
+               CAST(SUM(CASE WHEN c = 1 AND l = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_stale,
+               MAX(lastmod) AS latest_lastmod
+        FROM j GROUP BY host
+    """
