@@ -2160,6 +2160,47 @@ def q_bpe_vocab(spark, sf_dir):
     return bpe_vocab_stats(docs, vocab_words=10_000, n_merges=200, n_top=50)
 
 
+def q_stream_neardup(spark, sf_dir):
+    """Streaming incremental near-dup (streaming/neardup.py): the
+    near-dup corpus arrives as two parquet batches (originals, then
+    mutated copies — id-monotone arrival), each page is fingerprinted
+    and banded with the SAME Catalyst expressions as the batch simhash
+    lane, and a per-(band, slice) applyInPandasWithState bucket flags
+    every fingerprint against all earlier ones. Per-doc verdicts then
+    equal the batch pair set exactly, so the oracle is the SAME
+    banded-pair SQL the batch lane is hash-proven against, aggregated
+    to (doc_id, is_neardup, dup_of)."""
+    import os
+    import tempfile
+    import uuid
+
+    from geokitten_spark.fixtures import _NEARDUP_ID_OFFSET, neardup_corpus
+    from geokitten_spark.streaming import run_to_memory
+    from geokitten_spark.streaming.neardup import (
+        neardup_flags_stream,
+        simhash_banded_stream,
+    )
+
+    corpus = neardup_corpus(spark, sf_dir)
+    src = os.path.join(tempfile.gettempdir(), f"gk_snd_{uuid.uuid4().hex[:8]}")
+    corpus.filter(F.col("doc_id") < _NEARDUP_ID_OFFSET).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    corpus.filter(F.col("doc_id") >= _NEARDUP_ID_OFFSET).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(corpus.schema).parquet(src)
+    flags = neardup_flags_stream(simhash_banded_stream(stream))
+    name = f"q_snd_{uuid.uuid4().hex[:8]}"
+    run_to_memory(flags, name, os.path.join(src, "_ckpt"), output_mode="append")
+    agg = spark.table(name).groupBy("doc_id").agg(F.min("dup_of").alias("dup_of"))
+    return corpus.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.col("dup_of").isNotNull().alias("is_neardup"),
+        "dup_of",
+    )
+
+
 def q_sitemap_frontier(spark, sf_dir):
     """Sitemap lane end-to-end (sources/sitemap.py): render one XML
     <urlset> per host (listing every crawled url with doc_id%3 != 2
@@ -3411,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_sources": q_mix_sources,
         "ann_rerank": q_ann_rerank,
         "sitemap_frontier": q_sitemap_frontier,
+        "stream_neardup": q_stream_neardup,
     }
 
 
@@ -4309,6 +4351,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_vocab": _ora.unigram_vocab_sql(),
         "mix_sources": _ora.mix_sources_oracle_sql(),
         "sitemap_frontier": _ora.sitemap_frontier_sql(),
+        "stream_neardup": _ora.stream_neardup_sql(),
         # chunk k covers tokens [k*24, k*24+32); list_slice end is inclusive
         "chunk_documents": """
             WITH t AS (

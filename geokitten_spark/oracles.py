@@ -1234,3 +1234,22 @@ def sitemap_frontier_sql() -> str:
                MAX(lastmod) AS latest_lastmod
         FROM j GROUP BY host
     """
+
+
+def stream_neardup_sql() -> str:
+    """Twin for q_stream_neardup: under id-monotone arrival the
+    incremental verdicts equal the batch banded-pair set, so the twin
+    is the SAME pair SQL the batch simhash lane is hash-proven against,
+    aggregated to per-doc (is_neardup, dup_of = smallest earlier
+    match)."""
+    from .fixtures import neardup_corpus_cte
+    from .operators.dedup import simhash_neardup_sql
+
+    inner = simhash_neardup_sql(neardup_corpus_cte())
+    return f"""
+        WITH {neardup_corpus_cte()},
+        pairs AS (SELECT * FROM ({inner})),
+        agg AS (SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of FROM pairs GROUP BY doc_b)
+        SELECT c.doc_id, (a.doc_id IS NOT NULL) AS is_neardup, a.dup_of
+        FROM corpus c LEFT JOIN agg a USING (doc_id)
+    """
