@@ -2160,6 +2160,34 @@ def q_bpe_vocab(spark, sf_dir):
     return bpe_vocab_stats(docs, vocab_words=10_000, n_merges=200, n_top=50)
 
 
+def q_quality_compression(spark, sf_dir):
+    """Deflate-compressibility quality signal (functions/text.py,
+    the Gopher/RefinedWeb heuristic): natural prose compresses to a
+    much higher permille than machine-generated repetition. The corpus
+    is documents (doc_id < 500) plus a planted repetitive twin of every
+    10th doc (its 16-char prefix repeated 20x, id + 2M); one Arrow-
+    batched zlib pass, exact integer output (comp_len * 1000 // raw_len
+    over UTF-8 byte lengths). Oracle = the same frozen DEFLATE encoder
+    driver-side (VALUES)."""
+    from geokitten_spark.functions.text import compression_signal_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    rep = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.repeat(F.substring("text", 1, 16), 20).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(rep)
+    cols = compression_signal_cols(F.col("text"))
+    return corpus.select(
+        "doc_id",
+        cols["raw_len"].alias("raw_len"),
+        cols["comp_len"].alias("comp_len"),
+        cols["comp_permille"].alias("comp_permille"),
+    )
+
+
 def q_stream_neardup(spark, sf_dir):
     """Streaming incremental near-dup (streaming/neardup.py): the
     near-dup corpus arrives as two parquet batches (originals, then
@@ -3453,6 +3481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rerank": q_ann_rerank,
         "sitemap_frontier": q_sitemap_frontier,
         "stream_neardup": q_stream_neardup,
+        "quality_compression": q_quality_compression,
     }
 
 
@@ -4352,6 +4381,7 @@ def oracle_sql() -> dict[str, str]:
         "mix_sources": _ora.mix_sources_oracle_sql(),
         "sitemap_frontier": _ora.sitemap_frontier_sql(),
         "stream_neardup": _ora.stream_neardup_sql(),
+        "quality_compression": _ora.quality_compression_sql(),
         # chunk k covers tokens [k*24, k*24+32); list_slice end is inclusive
         "chunk_documents": """
             WITH t AS (

@@ -561,3 +561,37 @@ def c4_clean_sql(text_expr: str) -> dict:
             f"AND NOT contains({text_expr}, '{{'))"
         ),
     }
+
+
+def compression_signal_cols(text: Column) -> dict:
+    """Deflate-compressibility quality signal (the Gopher/RefinedWeb
+    heuristic: machine-generated or highly repetitive text compresses
+    far better than natural prose). One Arrow-batched pandas UDF
+    (zlib level 6 — a frozen, fully deterministic DEFLATE encoder),
+    map-only; the emitted signal is exact integer math:
+    ``comp_permille = comp_len * 1000 // raw_len``.
+
+    Returns dict of named Columns: raw_len, comp_len, comp_permille."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _comp_len(col: pd.Series) -> pd.Series:
+        import zlib
+
+        return col.map(
+            lambda s: len(zlib.compress(s.encode("utf-8"), 6))
+            if s is not None
+            else None
+        ).astype("Int64")
+
+    raw_len = F.octet_length(text).cast("long")  # zlib sees UTF-8 BYTES
+    comp_len = _comp_len(text)
+    permille = F.when(
+        raw_len > 0, (comp_len * 1000 - F.pmod(comp_len * 1000, raw_len)) / raw_len
+    ).otherwise(F.lit(None)).cast("long")
+    return {
+        "raw_len": raw_len,
+        "comp_len": comp_len,
+        "comp_permille": permille,
+    }

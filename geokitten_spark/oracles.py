@@ -1253,3 +1253,35 @@ def stream_neardup_sql() -> str:
         SELECT c.doc_id, (a.doc_id IS NOT NULL) AS is_neardup, a.dup_of
         FROM corpus c LEFT JOIN agg a USING (doc_id)
     """
+
+
+def quality_compression_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (doc_id, raw_len, comp_len, comp_permille) for
+    q_quality_compression: the same frozen zlib-level-6 DEFLATE over the
+    same corpus rows, driver-side."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for did, txt in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        if did >= 500:
+            continue
+        variants = [(did, txt)]
+        if did % 10 == 0:
+            variants.append((did + 2_000_000, txt[:16] * 20))
+        for vid, s in variants:
+            raw = len(s.encode("utf-8"))
+            comp = len(zlib.compress(s.encode("utf-8"), 6))
+            rows.append((vid, raw, comp, comp * 1000 // raw if raw else None))
+    rows.sort()
+    return values_sql(
+        rows,
+        [
+            ("doc_id", "BIGINT"),
+            ("raw_len", "BIGINT"),
+            ("comp_len", "BIGINT"),
+            ("comp_permille", "BIGINT"),
+        ],
+    )

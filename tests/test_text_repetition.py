@@ -143,3 +143,34 @@ def test_c4_clean_rules(spark):
     assert "javascript" not in got[2][2] and "too short" not in got[2][2]
     assert got[3][1] is False      # curly brace doc-level drop
     assert got[4][1] is False      # lorem ipsum doc-level drop
+
+
+def test_compression_signal_separates_prose_from_spam(spark):
+    """The Gopher/RefinedWeb deflate heuristic: repeated-boilerplate
+    text lands at a far lower comp_permille than natural-ish prose, the
+    UDF equals driver zlib exactly, and the pass is map-only."""
+    import zlib
+
+    from geokitten_spark.functions.text import compression_signal_cols
+
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "wanders far away to see what else the day may bring along")
+    spam = "buy now " * 40
+    df = spark.createDataFrame([(1, prose), (2, spam)], "doc_id long, text string")
+    cols = compression_signal_cols(F.col("text"))
+    out = {
+        r["doc_id"]: (r["raw_len"], r["comp_len"], r["comp_permille"])
+        for r in df.select(
+            "doc_id",
+            cols["raw_len"].alias("raw_len"),
+            cols["comp_len"].alias("comp_len"),
+            cols["comp_permille"].alias("comp_permille"),
+        ).collect()
+    }
+    for did, s in [(1, prose), (2, spam)]:
+        raw = len(s.encode("utf-8"))
+        comp = len(zlib.compress(s.encode("utf-8"), 6))
+        assert out[did] == (raw, comp, comp * 1000 // raw)
+    assert out[2][2] < 200 < out[1][2]  # spam compresses ~10x better
+    plan = df.select(cols["comp_permille"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
