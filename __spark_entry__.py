@@ -2160,6 +2160,28 @@ def q_bpe_vocab(spark, sf_dir):
     return bpe_vocab_stats(docs, vocab_words=10_000, n_merges=200, n_top=50)
 
 
+def q_dataset_report(spark, sf_dir):
+    """Per-source dataset card (the report every curated corpus ships
+    with): doc/token/char totals, language spread, and average length —
+    one hash aggregate with map-side partials (token counting is the
+    same codegen split expression the quality lane uses; no Python).
+    Exact integers except avg_tokens, which is one rounded division of
+    two exact integers — engine-identical."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_tokens = F.size(
+        F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != F.lit(""))
+    ).cast("long")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("n_tokens"),
+        F.sum(F.length("text").cast("long")).alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(
+            F.sum(n_tokens).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_tokens"),
+    )
+
+
 def q_quality_compression(spark, sf_dir):
     """Deflate-compressibility quality signal (functions/text.py,
     the Gopher/RefinedWeb heuristic): natural prose compresses to a
@@ -3482,6 +3504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_frontier": q_sitemap_frontier,
         "stream_neardup": q_stream_neardup,
         "quality_compression": q_quality_compression,
+        "dataset_report": q_dataset_report,
     }
 
 
@@ -4382,6 +4405,21 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_frontier": _ora.sitemap_frontier_sql(),
         "stream_neardup": _ora.stream_neardup_sql(),
         "quality_compression": _ora.quality_compression_sql(),
+        "dataset_report": """
+            WITH t AS (
+                SELECT source, lang, length(text) AS n_chars,
+                       len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                       w -> w <> '')) AS n_tokens
+                FROM documents
+            )
+            SELECT source,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens
+            FROM t GROUP BY source
+        """,
         # chunk k covers tokens [k*24, k*24+32); list_slice end is inclusive
         "chunk_documents": """
             WITH t AS (
