@@ -500,3 +500,103 @@ def sq8_topk(
     return topk.withColumn("rank", F.row_number().over(w)).select(
         id_col, "score", "rank"
     )
+
+
+class SQ8Index:
+    """Persisted scalar-quantized index: build once (one params pass +
+    one map-only quantize pass), probe many.
+
+    Layout mirrors IVFIndex: ``<path>/codes`` holds (id, array<smallint>
+    codes — 4x smaller than the float32 vectors they replace),
+    ``<path>/_meta`` the per-dim (mn, mx) params + column names (parquet
+    for exact float64 roundtrip). ``load`` rehydrates in a new session
+    with no rebuild; queries quantize DRIVER-side with the same IEEE
+    arithmetic, so a probe is one broadcast-free map scan of the code
+    table + TakeOrderedAndProject — no shuffle, exact int64 scores,
+    identical results at any parallelism."""
+
+    def __init__(self, emb: DataFrame, *, storage_path: str,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        spark = emb.sparkSession
+        self.id_col = id_col
+        self.storage_path = storage_path
+        self.mn, self.mx = sq8_params(emb, vec_col=vec_col)
+        v = F.col(vec_col).cast("array<double>")
+        codes = emb.select(
+            F.col(id_col),
+            F.transform(
+                sq8_code_col(v, self.mn, self.mx), lambda c: c.cast("smallint")
+            ).alias("codes"),
+        )
+        codes.write.mode("overwrite").parquet(f"{storage_path}/codes")
+        self.codes = spark.read.parquet(f"{storage_path}/codes")
+        spark.createDataFrame(
+            [([float(x) for x in self.mn], [float(x) for x in self.mx],
+              id_col)],
+            ["mn", "mx", "id_col"],
+        ).coalesce(1).write.mode("overwrite").parquet(f"{storage_path}/_meta")
+
+    @classmethod
+    def load(cls, spark, storage_path: str) -> "SQ8Index":
+        obj = cls.__new__(cls)
+        meta = spark.read.parquet(f"{storage_path}/_meta").first()
+        obj.mn = [float(x) for x in meta["mn"]]
+        obj.mx = [float(x) for x in meta["mx"]]
+        obj.id_col = meta["id_col"]
+        obj.storage_path = storage_path
+        obj.codes = spark.read.parquet(f"{storage_path}/codes")
+        return obj
+
+    def _score(self, qcodes: list[int]) -> Column:
+        q_lit = F.array(*[F.lit(int(c)).cast("long") for c in qcodes])
+        return F.aggregate(
+            F.zip_with(
+                F.transform(F.col("codes"), lambda c: c.cast("long")),
+                q_lit,
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def search(self, query_vec: list[float], *, k: int = 10) -> DataFrame:
+        qcodes = sq8_quantize_query(list(query_vec), self.mn, self.mx)
+        return (
+            self.codes.select(
+                F.col(self.id_col), self._score(qcodes).alias("score")
+            )
+            .orderBy(F.col("score").desc(), F.col(self.id_col).asc())
+            .limit(k)
+        )
+
+    def search_many(self, queries, *, k: int = 10) -> DataFrame:
+        """Batched probes in ONE scan: the quantized query codes
+        broadcast as a (query_id, qcodes) table; per-query top-k via
+        WindowGroupLimit. Returns (query_id, id, rank)."""
+        from pyspark.sql import Window
+
+        spark = self.codes.sparkSession
+        rows = [
+            (int(qid), sq8_quantize_query(list(qv), self.mn, self.mx))
+            for qid, qv in queries
+        ]
+        qdf = spark.createDataFrame(rows, ["query_id", "qcodes"])
+        score = F.aggregate(
+            F.zip_with(
+                F.transform(F.col("codes"), lambda c: c.cast("long")),
+                F.transform(F.col("qcodes"), lambda c: c.cast("long")),
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col(self.id_col).asc()
+        )
+        return (
+            self.codes.join(F.broadcast(qdf))
+            .select("query_id", F.col(self.id_col), score.alias("score"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", self.id_col, "rank")
+        )

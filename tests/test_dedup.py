@@ -598,3 +598,36 @@ def test_sq8_topk_matches_numpy_and_plan(spark):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_sq8_index_persistence_and_batch(spark, tmp_path):
+    """SQ8Index: load() in effect rehydrates (params + codes) with no
+    rebuild and reproduces search() exactly; search_many equals looped
+    search; the probe scan is shuffle-free up to the top-k."""
+    from geokitten_spark.operators.ann import SQ8Index, sq8_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    p = str(tmp_path / "sq8")
+    built = SQ8Index(emb, storage_path=p)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    a = [(r["vec_id"], r["score"]) for r in built.search(qv, k=5).collect()]
+    loaded = SQ8Index.load(spark, p)
+    b = [(r["vec_id"], r["score"]) for r in loaded.search(qv, k=5).collect()]
+    assert a == b and len(a) == 5
+    # index search (vec 0 included in the code table) agrees with the
+    # ad-hoc operator on the shared non-query ids
+    ad_hoc = [r["vec_id"] for r in sq8_topk(emb, query_id=0, k=6).collect()]
+    assert [i for i, _ in a if i != 0] == ad_hoc[: len([i for i, _ in a if i != 0])]
+
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+               for r in emb.limit(3).collect()]
+    many = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in loaded.search_many(queries, k=4).collect()
+    }
+    for qid, v in queries:
+        one = [r["vec_id"] for r in loaded.search(v, k=4).collect()]
+        assert [many[(qid, rk)] for rk in range(1, 5)] == one
+
+    plan = loaded.search(qv, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "BatchEvalPython" not in plan
