@@ -21,3 +21,9 @@ from .geojson import (  # noqa: F401
     write_geojson,
     parse_geojson_bytes,
 )
+from .sitemap import (  # noqa: F401
+    render_sitemaps,
+    parse_urlset,
+    parse_sitemapindex,
+    sitemap_frontier,
+)

@@ -10,3 +10,7 @@ from .windowed import (  # noqa: F401
     stateful_user_counts,
     run_to_memory,
 )
+from .neardup import (  # noqa: F401
+    simhash_banded_stream,
+    neardup_flags_stream,
+)
