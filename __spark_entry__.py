@@ -2251,6 +2251,22 @@ def q_stream_neardup(spark, sf_dir):
     )
 
 
+def q_robots_sitemaps(spark, sf_dir):
+    """Sitemap autodiscovery from robots.txt (functions/robots.py):
+    ``Sitemap:`` lines are group-independent per RFC 9309, skipped by
+    the rule parser (pinned by robots_filter staying green) and
+    surfaced here by a pure-Catalyst per-line extraction. Oracle =
+    FORMULA (the fixture publishes sitemap lines by host-number
+    arithmetic), so it checks the parse independently."""
+    from geokitten_spark.fixtures import host_robots_fixture
+    from geokitten_spark.functions.robots import sitemap_directives
+
+    robots = spark.createDataFrame(
+        host_robots_fixture(), "host string, robots_txt string"
+    )
+    return sitemap_directives(robots)
+
+
 def q_sitemap_frontier(spark, sf_dir):
     """Sitemap lane end-to-end (sources/sitemap.py): render one XML
     <urlset> per host (listing every crawled url with doc_id%3 != 2
@@ -3505,6 +3521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_neardup": q_stream_neardup,
         "quality_compression": q_quality_compression,
         "dataset_report": q_dataset_report,
+        "robots_sitemaps": q_robots_sitemaps,
     }
 
 
@@ -4404,6 +4421,18 @@ def oracle_sql() -> dict[str, str]:
         "mix_sources": _ora.mix_sources_oracle_sql(),
         "sitemap_frontier": _ora.sitemap_frontier_sql(),
         "stream_neardup": _ora.stream_neardup_sql(),
+        # formula oracle: the fixture publishes Sitemap: lines by host-number
+        # arithmetic (h%3 one, h%9 a second) — never parses robots.txt
+        "robots_sitemaps": """
+            SELECT 'host' || CAST(h AS VARCHAR) || '.example' AS host,
+                   'https://host' || CAST(h AS VARCHAR) || '.example/sitemap.xml'
+                       AS sitemap_url
+            FROM generate_series(0, 96) t(h) WHERE h % 3 = 0
+            UNION ALL
+            SELECT 'host' || CAST(h AS VARCHAR) || '.example',
+                   'https://host' || CAST(h AS VARCHAR) || '.example/sitemap-news.xml'
+            FROM generate_series(0, 96) t(h) WHERE h % 9 = 0
+        """,
         "quality_compression": _ora.quality_compression_sql(),
         "dataset_report": """
             WITH t AS (

@@ -94,7 +94,10 @@ def host_robots_fixture() -> list:
     with a longest-match Allow carve-back for low-numbered pages; every
     4th host adds a bot-specific group (wildcard + ``$``-anchored rule)
     that REPLACES the ``*`` group per RFC 9309 group selection; every
-    7th host includes an ignored directive mid-group."""
+    7th host includes an ignored directive mid-group; every 3rd host
+    publishes a ``Sitemap:`` line (every 9th, two) — group-independent
+    per RFC 9309, skipped by the rule parser, surfaced by
+    ``sitemap_directives``."""
     langs = ["en", "es", "de", "fr", "pt"]
     out = []
     for h in range(97):
@@ -114,6 +117,10 @@ def host_robots_fixture() -> list:
                 "User-agent: geokittenbot",
                 "Disallow: /*/page-*9$",
             ]
+        if h % 3 == 0:
+            lines.append(f"Sitemap: https://host{h}.example/sitemap.xml")
+        if h % 9 == 0:
+            lines.append(f"Sitemap: https://host{h}.example/sitemap-news.xml")
         out.append((f"host{h}.example", "\n".join(lines) + "\n"))
     return out
 

@@ -162,3 +162,25 @@ def robots_verdicts(urls: DataFrame, rules: DataFrame) -> DataFrame:
             F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
         )
     )
+
+
+def sitemap_directives(robots_df: DataFrame, *, text_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) -> exploded (host, sitemap_url).
+
+    ``Sitemap:`` lines are GROUP-INDEPENDENT (RFC 9309 / sitemaps.org
+    autodiscovery): they apply to the whole file wherever they appear,
+    so extraction ignores group structure entirely. Pure Catalyst
+    (per-line comment strip + case-insensitive match inside one
+    higher-order transform) — map-only, composes with the broadcast
+    rules build in the same scan."""
+    lines = F.split(F.col(text_col), "\n")
+    urls = F.filter(
+        F.transform(
+            lines,
+            lambda l: F.regexp_extract(
+                F.trim(F.split(l, "#").getItem(0)), r"(?i)^sitemap:\s*(\S+)$", 1
+            ),
+        ),
+        lambda u: u != F.lit(""),
+    )
+    return robots_df.select("host", F.explode(urls).alias("sitemap_url"))

@@ -102,3 +102,35 @@ def test_verdict_plan_broadcasts_rules(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_sitemap_directives_group_independent(spark):
+    """Sitemap: lines surface wherever they appear (group-independent),
+    comments strip, matching is case-insensitive, hosts without a line
+    emit nothing — and the rule parser still skips them (a fixture host
+    with sitemap lines yields identical rules)."""
+    from geokitten_spark.functions.robots import (
+        parse_robots_txt,
+        sitemap_directives,
+    )
+
+    txt = (
+        "User-agent: *\nDisallow: /x\n"
+        "sitemap: https://a.example/sm1.xml  # trailing comment\n"
+        "User-agent: geokittenbot\nDisallow: /y\n"
+        "SITEMAP: https://a.example/sm2.xml\n"
+    )
+    df = spark.createDataFrame(
+        [("a.example", txt), ("b.example", "User-agent: *\nDisallow: /z\n")],
+        "host string, robots_txt string",
+    )
+    got = sorted(
+        (r["host"], r["sitemap_url"]) for r in sitemap_directives(df).collect()
+    )
+    assert got == [
+        ("a.example", "https://a.example/sm1.xml"),
+        ("a.example", "https://a.example/sm2.xml"),
+    ]
+    assert parse_robots_txt(txt) == [(False, "/y")]  # sitemap lines skipped
+    plan = sitemap_directives(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
