@@ -604,6 +604,10 @@ def _squery_leg(cpus: int, reps: int = 1) -> dict[str, list]:
     spark = get_spark(app_name=f"squery-scaling-{cpus}", master=f"local[{cpus}]")
     out: dict[str, list] = {}
     try:
+        from geokitten_spark.operators.ann import (
+            sq8_code_col, sq8_params, sq8_quantize_query,
+        )
+
         docs = bench_documents(spark, SF_DIR, SQ_REPLICATE).cache()
         n_docs = docs.count()
         points = docs.select("doc_id", "lang", "lon", "lat")
@@ -652,7 +656,50 @@ def _squery_leg(cpus: int, reps: int = 1) -> dict[str, list]:
         texts_half = texts.filter(F.col("doc_id") % 2 == 0)
         n_half = n_docs // 2
 
+        # SQ8 scan leg (round-4 session 4): the quantize+int-dot scoring
+        # map stage over a replicated embeddings table. The base table is
+        # tiny, so REPARTITION BEFORE THE EXPLODE — without it the whole
+        # 20M-row scan runs as one task and measures nothing (calibration
+        # run: 1 partition, 103s at local[2]). Factor sized for the
+        # 30-80s local[2] band like the other legs.
+        sq8_factor = int(os.environ.get("SPARK_GRAFT_SQ8_FACTOR", "4000"))
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        sq8_mn, sq8_mx = sq8_params(emb)
+        sq8_qc = sq8_quantize_query(
+            [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]],
+            sq8_mn, sq8_mx,
+        )
+        n_sq8 = emb.count() * sq8_factor
+        emb_big = (
+            emb.repartition(64)
+            .select(
+                F.explode(F.sequence(F.lit(0), F.lit(sq8_factor - 1))).alias("rep"),
+                "vec_id", "embedding",
+            )
+            .select(
+                (F.col("vec_id") * sq8_factor + F.col("rep")).alias("vec_id"),
+                "embedding",
+            )
+        )
+        sq8_qlit = F.array(*[F.lit(int(c)).cast("long") for c in sq8_qc])
+        sq8_score = F.aggregate(
+            F.zip_with(
+                sq8_code_col(
+                    F.col("embedding").cast("array<double>"), sq8_mn, sq8_mx
+                ),
+                sq8_qlit,
+                lambda a, b: a * b,
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
         ops = {
+            "ann_sq8_scan": lambda: _materialize(
+                emb_big.select("vec_id", sq8_score.alias("s"))
+                .orderBy(F.col("s").desc(), F.col("vec_id").asc())
+                .limit(10)
+            ),
             "knn_join": lambda: _materialize(
                 knn_join(points_knn, id_col="doc_id", k=3, res=7, ring_k=2)
             ),
@@ -680,6 +727,7 @@ def _squery_leg(cpus: int, reps: int = 1) -> dict[str, list]:
             "pip_partitioned": n_mid,
             "dedup_span_coverage": n_half,
             "knn_join": n_knn,
+            "ann_sq8_scan": n_sq8,
         }
         for name, fn in ops.items():
             fn()  # warmup: Python pool spawn + codegen
