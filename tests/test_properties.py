@@ -339,3 +339,84 @@ def test_difference_identical_and_containing():
     # subtractor strictly inside -> hole; net area = 1 - 0.25
     d = difference(t, _sq(0.25, 0.25, 0.75, 0.75))
     assert abs(geometry_area(d) - 0.75) < 1e-9
+
+
+# --- round-4 session-4 kernels -------------------------------------------
+
+
+@given(
+    st.lists(st.integers(-30000, 30000), min_size=200, max_size=2000),
+    st.floats(0.01, 50.0, allow_nan=False, allow_infinity=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_afp64_exact_gain_invariance_property(samples, gain):
+    """Any positive float gain leaves the audio fingerprint bit-identical
+    (log-energy differences cancel the constant log g^2 exactly)."""
+    from geokitten_spark.functions.phash import afp64
+
+    x = np.asarray(samples, dtype=np.float64)
+    assert afp64(x) == afp64(x * gain)
+
+
+@given(st.text(alphabet="abcdef", min_size=1, max_size=24),
+       st.integers(0, 2**32))
+@settings(max_examples=100, deadline=None)
+def test_viterbi_always_reconstructs(word, seed):
+    """Whatever vocabulary the trainer lands on, a segmentation always
+    exists and re-joins to the input word exactly."""
+    import random
+
+    from geokitten_spark.operators.unigram import unigram_train, viterbi_segment
+
+    rng = random.Random(seed)
+    dict_words = ["".join(rng.choice("abcdef") for _ in range(rng.randrange(1, 9)))
+                  for _ in range(rng.randrange(1, 12))]
+    logp = unigram_train([(w, rng.randrange(1, 50)) for w in dict_words],
+                         vocab_size=20, seed_size=100, em_iters=1)
+    assert "".join(viterbi_segment(word, logp, 6)) == word
+
+
+@given(st.integers(1, 500), st.integers(1, 64), st.integers(1, 64))
+@settings(max_examples=150, deadline=None)
+def test_chunk_count_formula_covers_everything(n, window, stride):
+    """1 + ceil((n-window)/stride) chunks cover [0, n) with no gap: the
+    last chunk's start + window >= n and starts advance by stride."""
+    if stride > window:
+        return
+    nc = 1 if n <= window else -((-(n - window)) // stride) + 1
+    starts = [k * stride for k in range(nc)]
+    assert starts[-1] + window >= n          # full coverage
+    assert all(s < n for s in starts)        # no empty chunk
+    if nc > 1:
+        assert starts[-2] + window < n       # minimal count
+
+
+@given(
+    st.dictionaries(st.text(alphabet="abcxyz", min_size=1, max_size=4),
+                    st.integers(0, 1000), min_size=1, max_size=12),
+    st.integers(0, 100000),
+)
+@settings(max_examples=150, deadline=None)
+def test_largest_remainder_is_exact_and_proportional(weights, total):
+    from geokitten_spark.operators.sampling import largest_remainder_quotas
+
+    if sum(weights.values()) <= 0:
+        return
+    q = largest_remainder_quotas(weights, total)
+    W = sum(weights.values())
+    assert sum(q.values()) == total
+    for s, w in weights.items():
+        assert abs(q[s] - total * w / W) < 1.0
+
+
+@given(st.text(min_size=0, max_size=200))
+@settings(max_examples=150, deadline=None)
+def test_mojibake_repair_is_conservative_and_idempotent(s):
+    """Repairing arbitrary text never crashes; repairing a repaired
+    text is a no-op (fixpoint); pure-ASCII text is always untouched."""
+    from geokitten_spark.functions.mojibake import repair_mojibake
+
+    fixed, rounds = repair_mojibake(s)
+    assert repair_mojibake(fixed) == (fixed, 0)
+    if s.isascii():
+        assert (fixed, rounds) == (s, 0)
