@@ -2182,6 +2182,48 @@ def q_dataset_report(spark, sf_dir):
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The END-TO-END curation chain as one query — what a user actually
+    runs to turn a crawl into a training corpus: quality gate (codegen,
+    fused into the scan) → exact dedup (keep min doc_id per
+    fingerprint; ONE 8-byte-key shuffle) → domain mixing (exact
+    largest-remainder quotas, hash-ranked per-source selection) →
+    per-source yield report. Every stage is individually hash-proven
+    (corpus_filter, mix_sources); this query proves they COMPOSE —
+    total plan: scan + 3 shuffles at any corpus size."""
+    from pyspark.sql import Window
+
+    from geokitten_spark.functions.text import fingerprint_col, quality_cols
+    from geokitten_spark.operators.sampling import (
+        largest_remainder_quotas,
+        mix_sources,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_cols(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        fingerprint_col(F.col("text")).alias("fp"),
+        F.round(q["quality_score"], 6).alias("score"),
+        q["n_tokens"].alias("n_tokens"),
+    ).filter((F.col("score") >= 0.5) & (F.col("n_tokens") >= 10))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp", "score")
+    )
+    quotas = largest_remainder_quotas(
+        {f"src{i}": i + 1 for i in range(20)}, total=150
+    )
+    mixed = mix_sources(deduped, quotas)
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 def q_quality_compression(spark, sf_dir):
     """Deflate-compressibility quality signal (functions/text.py,
     the Gopher/RefinedWeb heuristic): natural prose compresses to a
@@ -3522,6 +3564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_compression": q_quality_compression,
         "dataset_report": q_dataset_report,
         "robots_sitemaps": q_robots_sitemaps,
+        "curation_pipeline": q_curation_pipeline,
     }
 
 
@@ -4434,6 +4477,7 @@ def oracle_sql() -> dict[str, str]:
             FROM generate_series(0, 96) t(h) WHERE h % 9 = 0
         """,
         "quality_compression": _ora.quality_compression_sql(),
+        "curation_pipeline": _ora.curation_pipeline_sql(),
         "dataset_report": """
             WITH t AS (
                 SELECT source, lang, length(text) AS n_chars,

@@ -1285,3 +1285,47 @@ def quality_compression_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
             ("comp_permille", "BIGINT"),
         ],
     )
+
+
+def curation_pipeline_sql() -> str:
+    """Twin for q_curation_pipeline: the SAME quality gate, fingerprint
+    dedup window, quota vector, and hash-ranked mixing window chained in
+    one DuckDB query — proving the stages compose engine-identically."""
+    from .functions.text import fingerprint_sql, quality_sql
+    from .operators.sampling import (
+        largest_remainder_quotas,
+        mix_rank_sql,
+        mix_sources_sql,
+    )
+
+    qual = quality_sql("text")
+    quotas = largest_remainder_quotas(
+        {f"src{i}": i + 1 for i in range(20)}, total=150
+    )
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, source, {fingerprint_sql("text")} AS fp,
+                   {qual["quality_score"]} AS score,
+                   {qual["n_tokens"]} AS n_tokens
+            FROM documents
+        ),
+        filtered AS (
+            SELECT * FROM scored WHERE score >= 0.5 AND n_tokens >= 10
+        ),
+        deduped AS (
+            SELECT doc_id, source, n_tokens FROM (
+                SELECT doc_id, source, n_tokens,
+                       ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM filtered
+            ) WHERE rn = 1
+        ),
+        ranked AS (
+            SELECT doc_id, source, n_tokens,
+                   {mix_rank_sql("doc_id", "source")} AS rk
+            FROM deduped
+        ),
+        mixed AS (SELECT * FROM ranked WHERE {mix_sources_sql(quotas)})
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+        FROM mixed GROUP BY source
+    """
