@@ -2160,6 +2160,63 @@ def q_bpe_vocab(spark, sf_dir):
     return bpe_vocab_stats(docs, vocab_words=10_000, n_merges=200, n_top=50)
 
 
+def q_lang_consistency(spark, sf_dir):
+    """Mixed-language page detection (the C4 §2.2 drop rule): split each
+    doc into four word-quarters (integer boundaries — floor(k·n/4), the
+    same arithmetic in both engines), plant a Spanish-marker-saturated
+    final quarter on doc_id%7==0 docs, lang-id every section with the
+    shared marker-count rule, and report per doc (n_sections, n_langs,
+    is_mixed, main_lang — max count, ties to the lexicographically
+    smaller lang). All codegen: split/slice/transform + one (doc, lang)
+    count shuffle + one per-doc window over ≤4 rows."""
+    from pyspark.sql import Window
+
+    from geokitten_spark.functions.text import lang_id_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    k = F.col("k")
+    s = F.floor(k * F.col("n") / F.lit(4.0)).cast("int")
+    e = F.floor((k + 1) * F.col("n") / F.lit(4.0)).cast("int")
+    secs = base.select(
+        "doc_id", "toks", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"), "n"
+    ).select("doc_id", "k", s.alias("s"), e.alias("e"), "toks").filter(
+        F.col("e") > F.col("s")
+    )
+    quarter = F.slice(F.col("toks"), F.col("s") + 1, F.col("e") - F.col("s"))
+    sec_text = F.when(
+        (F.col("doc_id") % 7 == 0) & (F.col("k") == 3),
+        F.concat(
+            F.lit("el "),
+            F.array_join(
+                F.transform(quarter, lambda x: F.concat(x, F.lit(" el"))), " "
+            ),
+        ),
+    ).otherwise(F.array_join(quarter, " "))
+    langs = secs.select("doc_id", lang_id_col(sec_text).alias("lang"))
+    counts = langs.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("lang").asc())
+    main = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("main_lang"))
+    )
+    agg = langs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_sections"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+    )
+    return agg.join(main, "doc_id").select(
+        "doc_id",
+        "n_sections",
+        "n_langs",
+        (F.col("n_langs") > 1).alias("is_mixed"),
+        "main_lang",
+    )
+
+
 def q_dataset_report(spark, sf_dir):
     """Per-source dataset card (the report every curated corpus ships
     with): doc/token/char totals, language spread, and average length —
@@ -3565,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_report": q_dataset_report,
         "robots_sitemaps": q_robots_sitemaps,
         "curation_pipeline": q_curation_pipeline,
+        "lang_consistency": q_lang_consistency,
     }
 
 
@@ -4478,6 +4536,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_compression": _ora.quality_compression_sql(),
         "curation_pipeline": _ora.curation_pipeline_sql(),
+        "lang_consistency": _ora.lang_consistency_sql(),
         "dataset_report": """
             WITH t AS (
                 SELECT source, lang, length(text) AS n_chars,

@@ -1329,3 +1329,54 @@ def curation_pipeline_sql() -> str:
                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
         FROM mixed GROUP BY source
     """
+
+
+def lang_consistency_sql() -> str:
+    """Twin for q_lang_consistency: the SAME quarter arithmetic,
+    planting rule, shared marker-count lang id, and deterministic
+    main-lang election in pure DuckDB SQL."""
+    from .functions.text import lang_id_sql
+
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               w -> w <> '') AS toks
+            FROM documents
+        ),
+        secs AS (
+            SELECT doc_id, k,
+                   CAST(floor(k * len(toks) / 4.0) AS INT) AS s,
+                   CAST(floor((k + 1) * len(toks) / 4.0) AS INT) AS e,
+                   toks
+            FROM t, UNNEST([0, 1, 2, 3]) AS u(k)
+        ),
+        texts AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 AND k = 3
+                        THEN 'el ' || array_to_string(
+                                 list_transform(toks[s + 1 : e], x -> x || ' el'),
+                                 ' ')
+                        ELSE array_to_string(toks[s + 1 : e], ' ')
+                   END AS sec
+            FROM secs WHERE e > s
+        ),
+        langs AS (SELECT doc_id, {lang_id_sql("sec")} AS lang FROM texts),
+        counts AS (SELECT doc_id, lang, COUNT(*) AS c FROM langs GROUP BY 1, 2),
+        main AS (
+            SELECT doc_id, lang AS main_lang FROM (
+                SELECT doc_id, lang,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, lang ASC) AS rn
+                FROM counts
+            ) WHERE rn = 1
+        ),
+        agg AS (
+            SELECT doc_id, CAST(COUNT(*) AS INT) AS n_sections,
+                   CAST(COUNT(DISTINCT lang) AS INT) AS n_langs
+            FROM langs GROUP BY doc_id
+        )
+        SELECT a.doc_id, n_sections, n_langs, (n_langs > 1) AS is_mixed,
+               main_lang
+        FROM agg a JOIN main m ON a.doc_id = m.doc_id
+    """

@@ -32,3 +32,16 @@ def test_nfc_folds_decomposed_and_is_idempotent(spark):
         ).collect()
     ]
     assert twice == got
+
+
+def test_lang_consistency_planted_docs_all_fire(spark):
+    """Every doc_id%7==0 doc (Spanish-saturated final quarter) reports
+    is_mixed; the election is deterministic across partitionings."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_lang_consistency(spark, "/root/testdata/sf0.001")
+    rows = {r["doc_id"]: r for r in df.collect()}
+    planted = [d for d in rows if d % 7 == 0]
+    assert planted and all(rows[d]["is_mixed"] for d in planted)
+    assert all(1 <= rows[d]["n_sections"] <= 4 for d in rows)
+    assert all(rows[d]["n_langs"] >= 2 for d in planted)
