@@ -3237,6 +3237,29 @@ def q_link_pagerank(spark, sf_dir):
     )
 
 
+def q_link_pagerank_redistribute(spark, sf_dir):
+    """Textbook dangling-mass PageRank (operators/linkgraph.py,
+    ``dangling='redistribute'``): out-edges of every doc_id % 7 == 0
+    node are dropped, so ~1/7 of the graph is dangling; each iteration
+    sums the rank those nodes hold (ONE O(nodes) aggregate producing a
+    single broadcast row — never collected) and credits every node
+    ``dmass div n`` before damping. All steps stay exact int64, so the
+    DuckDB chained-CTE twin (with its per-iteration d{i} CTEs) matches
+    bit-for-bit — under 'decay' these ranks would be strictly smaller."""
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.operators.linkgraph import extract_links, pagerank
+
+    docs = web_documents(spark, sf_dir)
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = extract_links(docs).filter(F.col("src") % 7 != 0)
+    ranks = pagerank(nodes, edges, n_iters=4, dangling="redistribute")
+    return (
+        ranks.select("node", F.col("rank").alias("rank_units"))
+        .orderBy(F.desc("rank_units"), F.asc("node"))
+        .limit(25)
+    )
+
+
 def q_mvt_tiles(spark, sf_dir):
     """Vector-tile sink (viz/mvt.py): res-6 tile aggregate → per-cell
     rectangle corners (exact bit-shift id decode; all corner math is
@@ -3270,6 +3293,48 @@ def q_mvt_tiles(spark, sf_dir):
         (F.lit(-90.0) + (iy + 1) * (180.0 / n)).alias("lat1"),
     )
     out = mvt_cells(corners, z=3)
+    return out.select(
+        "z",
+        "x",
+        "y",
+        "n_features",
+        F.length("pbf").cast("long").alias("pbf_len"),
+        F.md5("pbf").alias("pbf_md5"),
+    )
+
+
+def q_mvt_pyramid(spark, sf_dir):
+    """Vector-tile PYRAMID (viz/mvt.py mvt_pyramid): the same res-6
+    aggregate rendered at zooms 3/2/1 in one job — the assignment pass
+    emits each cell once per zoom (map-only) and a SINGLE (z, x, y)
+    shuffle feeds one grouped render, instead of one aggregate
+    recomputation per level. Blobs are byte-deterministic; oracle =
+    the same pure kernels driver-side (oracles.mvt_pyramid_sql), one
+    VALUES row per (z, x, y), md5 per blob."""
+    from geokitten_spark.cells.grid import RES_SHIFT, X_SHIFT
+    from geokitten_spark.functions.cells_udfs import grid_cell_col
+    from geokitten_spark.viz.mvt import mvt_pyramid
+
+    docs = _web_docs(spark, sf_dir)
+    tiles = (
+        docs.select(grid_cell_col(F.col("lon"), F.col("lat"), 6).alias("cell_id"))
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    ix = F.shiftright(F.col("cell_id"), X_SHIFT).bitwiseAND(
+        F.lit((1 << (RES_SHIFT - X_SHIFT)) - 1)
+    )
+    iy = F.col("cell_id") % (1 << X_SHIFT)
+    n = float(1 << 6)
+    corners = tiles.select(
+        "cell_id",
+        "n_docs",
+        (F.lit(-180.0) + ix * (360.0 / n)).alias("lon0"),
+        (F.lit(-90.0) + iy * (180.0 / n)).alias("lat0"),
+        (F.lit(-180.0) + (ix + 1) * (360.0 / n)).alias("lon1"),
+        (F.lit(-90.0) + (iy + 1) * (180.0 / n)).alias("lat1"),
+    )
+    out = mvt_pyramid(corners, zooms=(3, 2, 1))
     return out.select(
         "z",
         "x",
@@ -3466,72 +3531,68 @@ def q_polygon_overlap(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
-        # queries with the weakest driver-side evidence: first the 40 never
-        # driver-green entries, then by the round of their last green row
-        # (r1, r2, r3).  Re-derived each round from CORRECTNESS_r*.json.
-        # --- never driver-green ---
-        "dedup_clusters": q_dedup_clusters,
-        "semdedup": q_semdedup,
-        "dedup_bloom": q_dedup_bloom,
-        "dedup_bloom_sharded": q_dedup_bloom_sharded,
-        "dsir_select": q_dsir_select,
-        "dsir_resample": q_dsir_resample,
-        "quality_classifier": q_quality_classifier,
-        "sessionize": q_sessionize,
-        "embed_neardup_lsh": q_embed_neardup_lsh,
-        "s2_tile_agg": q_s2_tile_agg,
-        "hex_tile_agg": q_hex_tile_agg,
-        "geohash_tile_agg": q_geohash_tile_agg,
-        "h3_tile_agg": q_h3_tile_agg,
-        "h3_rollup": q_h3_rollup,
-        "h3_knn": q_h3_knn,
-        "h3_polyfill": q_h3_polyfill,
-        "h3_vectorize": q_h3_vectorize,
-        "ann_batch_topk": q_ann_batch_topk,
-        "geohash_rollup": q_geohash_rollup,
-        "cell_join_bucketed": q_cell_join_bucketed,
-        "admin_standardize": q_admin_standardize,
-        "subtract_overlap": q_subtract_overlap,
-        "kml_roundtrip": q_kml_roundtrip,
-        "geojson_roundtrip": q_geojson_roundtrip,
-        "media_features": q_media_features,
-        "media_frames": q_media_frames,
-        "media_audio": q_media_audio,
-        "lm_perplexity": q_lm_perplexity,
-        "bpe_vocab": q_bpe_vocab,
-        "stream_sessions": q_stream_sessions,
-        "stream_dedup": q_stream_dedup,
-        "stream_interval_join": q_stream_interval_join,
-        "stream_geo_tiles": q_stream_geo_tiles,
-        "stream_h3_tiles": q_stream_h3_tiles,
-        "stream_stateful": q_stream_stateful,
-        "stream_quality_gate": q_stream_quality_gate,
-        "geo_aggregates": q_geo_aggregates,
-        "simplify_tiles": q_simplify_tiles,
-        "hull_compactness": q_hull_compactness,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_pq_topk": q_ann_pq_topk,
-        # --- last green r1 ---
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "embed_neardup": q_embed_neardup,
-        "asof_join": q_asof_join,
-        "range_join_bands": q_range_join_bands,
-        "topk_per_group": q_topk_per_group,
-        "set_ops": q_set_ops,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "events_hourly": q_events_hourly,
-        "extract_invariant": q_extract_invariant,
+        # queries with the weakest driver-side evidence: first the 41 entries
+        # that have never had a driver-green row (the late-r4 + session-4
+        # additions), then the greens with the OLDEST driver evidence
+        # (r1 stream_hourly, the six r2 rows, the two oldest r3 rows).
+        # Re-derived each round from CORRECTNESS_r*.json.
+        # --- never driver-green (late-r4 batch) ---
+        "h3_pentagon_disk": q_h3_pentagon_disk,
+        "pack_sequences": q_pack_sequences,
+        "distinct_sketch": q_distinct_sketch,
+        "distinct_sketch_union": q_distinct_sketch_union,
+        "heavy_hitters_cms": q_heavy_hitters_cms,
+        "quantile_sketch": q_quantile_sketch,
+        "media_phash": q_media_phash,
+        "tpch_q2_min_cost": q_tpch_q2_min_cost,
+        "tpch_q8_market_share": q_tpch_q8_market_share,
+        "tpch_q9_profit": q_tpch_q9_profit,
+        "tpch_q11_important_stock": q_tpch_q11_important_stock,
+        "tpch_q13_order_dist": q_tpch_q13_order_dist,
+        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
+        "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
+        "warc_roundtrip": q_warc_roundtrip,
+        "link_degrees": q_link_degrees,
+        "link_pagerank": q_link_pagerank,
+        "mvt_tiles": q_mvt_tiles,
+        "polygon_overlap": q_polygon_overlap,
+        "unicode_normalize": q_unicode_normalize,
+        "robots_filter": q_robots_filter,
+        "cdx_index": q_cdx_index,
+        "ccnet_buckets": q_ccnet_buckets,
+        "crawl_delta": q_crawl_delta,
+        "theta_overlap": q_theta_overlap,
+        "leakage_safe_split": q_leakage_safe_split,
+        # --- never driver-green (session-4 batch) ---
+        "media_audio_dedup": q_media_audio_dedup,
+        "ann_sq8_topk": q_ann_sq8_topk,
+        "fix_mojibake": q_fix_mojibake,
+        "boilerplate_extract": q_boilerplate_extract,
+        "unigram_vocab": q_unigram_vocab,
+        "chunk_documents": q_chunk_documents,
+        "mix_sources": q_mix_sources,
+        "ann_rerank": q_ann_rerank,
+        "sitemap_frontier": q_sitemap_frontier,
+        "stream_neardup": q_stream_neardup,
+        "quality_compression": q_quality_compression,
+        "dataset_report": q_dataset_report,
+        "robots_sitemaps": q_robots_sitemaps,
+        "curation_pipeline": q_curation_pipeline,
+        "lang_consistency": q_lang_consistency,
+        # --- oldest driver evidence: r1 ---
         "stream_hourly": q_sessionize_stream_twin,
-        # --- last green r2 ---
+        # --- oldest driver evidence: r2 ---
         "contamination_check": q_contamination_check,
         "sample_stratified": q_sample_stratified,
         "sample_per_group": q_sample_per_group,
         "fingerprint_rolling": q_fingerprint_rolling,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
-        # --- last green r3 ---
+        # --- oldest driver evidence: r3 (two oldest fill the window) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3_topk": q_tpch_q3_topk,
+        # ================= past the 50-query driver window =================
+        # --- last green r3 ---
         "tpch_q5_joins": q_tpch_q5_joins,
         "tpch_q6_filter": q_tpch_q6_filter,
         "tpch_q17_scalar_subquery": q_tpch_q17_scalar_subquery,
@@ -3580,49 +3641,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_paragraph_dedup,
         "tfidf_top_terms": q_tfidf_top_terms,
         "split_assign": q_split_assign,
-        # --- new in r4 (appended past the 50-query driver window so the
-        # window stays on the never-checked set; covered by STRICT_r04) ---
-        "h3_pentagon_disk": q_h3_pentagon_disk,
-        "pack_sequences": q_pack_sequences,
-        "distinct_sketch": q_distinct_sketch,
-        "distinct_sketch_union": q_distinct_sketch_union,
-        "heavy_hitters_cms": q_heavy_hitters_cms,
-        "quantile_sketch": q_quantile_sketch,
-        "media_phash": q_media_phash,
-        "tpch_q2_min_cost": q_tpch_q2_min_cost,
-        "tpch_q8_market_share": q_tpch_q8_market_share,
-        "tpch_q9_profit": q_tpch_q9_profit,
-        "tpch_q11_important_stock": q_tpch_q11_important_stock,
-        "tpch_q13_order_dist": q_tpch_q13_order_dist,
-        "tpch_q15_top_supplier": q_tpch_q15_top_supplier,
-        "tpch_q21_waiting_supplier": q_tpch_q21_waiting_supplier,
-        "warc_roundtrip": q_warc_roundtrip,
-        "link_degrees": q_link_degrees,
-        "link_pagerank": q_link_pagerank,
-        "mvt_tiles": q_mvt_tiles,
-        "polygon_overlap": q_polygon_overlap,
-        "unicode_normalize": q_unicode_normalize,
-        "robots_filter": q_robots_filter,
-        "cdx_index": q_cdx_index,
-        "ccnet_buckets": q_ccnet_buckets,
-        "crawl_delta": q_crawl_delta,
-        "theta_overlap": q_theta_overlap,
-        "leakage_safe_split": q_leakage_safe_split,
-        "media_audio_dedup": q_media_audio_dedup,
-        "ann_sq8_topk": q_ann_sq8_topk,
-        "fix_mojibake": q_fix_mojibake,
-        "boilerplate_extract": q_boilerplate_extract,
-        "unigram_vocab": q_unigram_vocab,
-        "chunk_documents": q_chunk_documents,
-        "mix_sources": q_mix_sources,
-        "ann_rerank": q_ann_rerank,
-        "sitemap_frontier": q_sitemap_frontier,
-        "stream_neardup": q_stream_neardup,
-        "quality_compression": q_quality_compression,
-        "dataset_report": q_dataset_report,
-        "robots_sitemaps": q_robots_sitemaps,
-        "curation_pipeline": q_curation_pipeline,
-        "lang_consistency": q_lang_consistency,
+        # --- last green r4 (the freshest driver evidence, so last) ---
+        "dedup_clusters": q_dedup_clusters,
+        "semdedup": q_semdedup,
+        "dedup_bloom": q_dedup_bloom,
+        "dedup_bloom_sharded": q_dedup_bloom_sharded,
+        "dsir_select": q_dsir_select,
+        "dsir_resample": q_dsir_resample,
+        "quality_classifier": q_quality_classifier,
+        "sessionize": q_sessionize,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
+        "s2_tile_agg": q_s2_tile_agg,
+        "hex_tile_agg": q_hex_tile_agg,
+        "geohash_tile_agg": q_geohash_tile_agg,
+        "h3_tile_agg": q_h3_tile_agg,
+        "h3_rollup": q_h3_rollup,
+        "h3_knn": q_h3_knn,
+        "h3_polyfill": q_h3_polyfill,
+        "h3_vectorize": q_h3_vectorize,
+        "ann_batch_topk": q_ann_batch_topk,
+        "geohash_rollup": q_geohash_rollup,
+        "cell_join_bucketed": q_cell_join_bucketed,
+        "admin_standardize": q_admin_standardize,
+        "subtract_overlap": q_subtract_overlap,
+        "kml_roundtrip": q_kml_roundtrip,
+        "geojson_roundtrip": q_geojson_roundtrip,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "media_audio": q_media_audio,
+        "lm_perplexity": q_lm_perplexity,
+        "bpe_vocab": q_bpe_vocab,
+        "stream_sessions": q_stream_sessions,
+        "stream_dedup": q_stream_dedup,
+        "stream_interval_join": q_stream_interval_join,
+        "stream_geo_tiles": q_stream_geo_tiles,
+        "stream_h3_tiles": q_stream_h3_tiles,
+        "stream_stateful": q_stream_stateful,
+        "stream_quality_gate": q_stream_quality_gate,
+        "geo_aggregates": q_geo_aggregates,
+        "simplify_tiles": q_simplify_tiles,
+        "hull_compactness": q_hull_compactness,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_pq_topk": q_ann_pq_topk,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "embed_neardup": q_embed_neardup,
+        "asof_join": q_asof_join,
+        "range_join_bands": q_range_join_bands,
+        "topk_per_group": q_topk_per_group,
+        "set_ops": q_set_ops,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "events_hourly": q_events_hourly,
+        "extract_invariant": q_extract_invariant,
+        # --- new in r5 (appended past the 50-query driver window so the
+        # window stays on the never-checked set; covered by STRICT_r05) ---
+        "link_pagerank_redistribute": q_link_pagerank_redistribute,
+        "mvt_pyramid": q_mvt_pyramid,
     }
 
 
@@ -4340,7 +4413,9 @@ def oracle_sql() -> dict[str, str]:
             codes AS (
                 SELECT vec_id, e.pos,
                        CAST(CASE WHEN mx = mn THEN 0
-                            ELSE floor((x - mn) / (mx - mn) * 255 + 0.5) END AS BIGINT) AS c
+                            ELSE LEAST(255, GREATEST(0,
+                                 floor((x - mn) / (mx - mn) * 255 + 0.5)))
+                            END AS BIGINT) AS c
                 FROM elems e JOIN stats s ON e.pos = s.pos
             ),
             q AS (SELECT pos, c AS qc FROM codes WHERE vec_id = 0),
@@ -4369,7 +4444,9 @@ def oracle_sql() -> dict[str, str]:
             codes AS (
                 SELECT vec_id, e.pos,
                        CAST(CASE WHEN mx = mn THEN 0
-                            ELSE floor((x - mn) / (mx - mn) * 255 + 0.5) END AS BIGINT) AS c
+                            ELSE LEAST(255, GREATEST(0,
+                                 floor((x - mn) / (mx - mn) * 255 + 0.5)))
+                            END AS BIGINT) AS c
                 FROM elems e JOIN stats s ON e.pos = s.pos
             ),
             q AS (SELECT pos, c AS qc FROM codes WHERE vec_id = 0),
@@ -4877,7 +4954,20 @@ def oracle_sql() -> dict[str, str]:
         + "\nSELECT node, rank AS rank_units FROM r5"
           " ORDER BY rank DESC, node LIMIT 25"
     )
+    # textbook dangling-mass mode over a graph with real dangling nodes
+    # (out-edges of doc_id % 7 == 0 dropped)
+    out["link_pagerank_redistribute"] = (
+        pagerank_sql(
+            "SELECT doc_id AS node FROM documents",
+            f"SELECT * FROM ({link_edges_sql()}) WHERE src % 7 <> 0",
+            n_iters=4,
+            dangling="redistribute",
+        )
+        + "\nSELECT node, rank AS rank_units FROM r4"
+          " ORDER BY rank DESC, node LIMIT 25"
+    )
     out["mvt_tiles"] = _ora.mvt_tiles_sql()
+    out["mvt_pyramid"] = _ora.mvt_pyramid_sql()
     out["polygon_overlap"] = _ora.polygon_overlap_sql()
     # CCNet buckets: the oracle-checked lm chain + one NTILE window
     out["ccnet_buckets"] = f"""
@@ -4964,13 +5054,13 @@ def oracle_sql() -> dict[str, str]:
         la AS (
             SELECT urlkey, digest, url FROM ca
             QUALIFY ROW_NUMBER() OVER (
-                PARTITION BY urlkey ORDER BY ts DESC
+                PARTITION BY urlkey ORDER BY ts DESC, digest DESC, url DESC
             ) = 1
         ),
         lb AS (
             SELECT urlkey, digest, url FROM cb
             QUALIFY ROW_NUMBER() OVER (
-                PARTITION BY urlkey ORDER BY ts DESC
+                PARTITION BY urlkey ORDER BY ts DESC, digest DESC, url DESC
             ) = 1
         )
         SELECT COALESCE(la.urlkey, lb.urlkey) AS urlkey,

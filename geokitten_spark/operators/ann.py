@@ -432,7 +432,11 @@ def sq8_params(emb: DataFrame, *, vec_col: str = "embedding") -> tuple[list, lis
 
 def sq8_code_col(vec: Column, mn: list, mx: list) -> Column:
     """array<double> -> array<bigint> of 0..255 codes:
-    floor((x - mn) / (mx - mn) * 255 + 0.5), constant-range dims -> 0.
+    floor((x - mn) / (mx - mn) * 255 + 0.5), constant-range dims -> 0,
+    clamped to [0, 255] so components outside the trained per-dim range
+    (out-of-distribution query vectors) degrade gracefully instead of
+    producing codes <0 / >255 that skew int64 scores. The clamp is a
+    no-op for in-corpus vectors (mn/mx ARE the corpus extremes).
     Pure IEEE-double arithmetic in a fixed op order, so Spark, DuckDB,
     and driver-side Python produce bit-identical codes — the scores are
     exact int64 and hash-portable across engines."""
@@ -443,7 +447,13 @@ def sq8_code_col(vec: Column, mn: list, mx: list) -> Column:
         shifted,
         rng_lit,
         lambda x, r: F.when(r == F.lit(0.0), F.lit(0).cast("long")).otherwise(
-            F.floor(x / r * F.lit(255.0) + F.lit(0.5))
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(255).cast("long"),
+                    F.floor(x / r * F.lit(255.0) + F.lit(0.5)),
+                ),
+            )
         ),
     )
 
@@ -451,13 +461,18 @@ def sq8_code_col(vec: Column, mn: list, mx: list) -> Column:
 def sq8_quantize_query(qv: list, mn: list, mx: list) -> list[int]:
     """The same quantizer for one driver-side query vector (Python
     float ops are the same IEEE doubles, so codes match the cluster's
-    bit-for-bit)."""
+    bit-for-bit), with the same [0, 255] clamp for out-of-range
+    components."""
     import math
 
     out = []
     for x, a, b in zip(qv, mn, mx):
         r = float(b) - float(a)
-        out.append(0 if r == 0.0 else int(math.floor((float(x) - float(a)) / r * 255.0 + 0.5)))
+        if r == 0.0:
+            out.append(0)
+        else:
+            c = int(math.floor((float(x) - float(a)) / r * 255.0 + 0.5))
+            out.append(max(0, min(255, c)))
     return out
 
 

@@ -98,14 +98,24 @@ def pagerank(
     n_iters: int = 5,
     damping_pct: int = 85,
     checkpoint_every: int = 2,
+    dangling: str = "decay",
 ) -> DataFrame:
     """Integer-exact damped PageRank; returns (node, rank) in rank units.
 
     ``nodes`` must have a ``node`` column, ``edges`` (src, dst). The one
     driver-side scalar is the node count (control plane, same as DSIR's
-    count pass). Dangling nodes keep their base share and emit nothing
-    (their mass decays — the standard simplification; the fixture graph
-    has out-degree 3 everywhere, so no mass is dangling there)."""
+    count pass).
+
+    ``dangling='decay'`` (default): nodes with no out-edges keep their
+    base share and emit nothing — their mass decays (the common
+    simplification; the fixture graph has out-degree 3 everywhere, so no
+    mass is dangling there). ``dangling='redistribute'``: the textbook
+    definition — each iteration sums the rank held by zero-out-degree
+    nodes (one extra O(nodes) aggregate producing ONE row, broadcast
+    back) and credits every node ``dangling_mass div n`` before damping,
+    still exact int64 arithmetic, so the DuckDB twin stays bit-identical."""
+    if dangling not in ("decay", "redistribute"):
+        raise ValueError(f"dangling must be decay|redistribute, got {dangling!r}")
     n = nodes.count()
     if n == 0:
         raise ValueError("pagerank over an empty node set")
@@ -131,19 +141,27 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                F.coalesce("s", F.lit(0)).cast("long").alias("s"),
+        summed = nodes.join(contrib, "node", "left").select(
+            "node", F.coalesce("s", F.lit(0)).cast("long").alias("s")
+        )
+        if dangling == "redistribute":
+            # one tiny aggregate: total rank on zero-out-degree nodes,
+            # broadcast back as a 1-row frame (never collected)
+            dang = ranks.join(
+                outd, ranks.node == outd.src, "left_anti"
+            ).agg(
+                F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dmass")
             )
-            .select(
+            summed = summed.crossJoin(F.broadcast(dang)).select(
                 "node",
-                (
-                    F.lit((keep_pct * base) // 100).cast("long")
-                    + F.expr(f"({damping_pct} * s) div 100")
-                ).alias("rank"),
+                (F.col("s") + F.expr(f"dmass div {n}")).alias("s"),
             )
+        ranks = summed.select(
+            "node",
+            (
+                F.lit((keep_pct * base) // 100).cast("long")
+                + F.expr(f"({damping_pct} * s) div 100")
+            ).alias("rank"),
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=False)
@@ -155,26 +173,42 @@ def pagerank_sql(
     edges_sql: str,
     n_iters: int = 5,
     damping_pct: int = 85,
+    dangling: str = "decay",
 ) -> str:
     """The identical integer chain as DuckDB CTEs: r0..rN, one CTE per
     iteration. ``nodes_sql`` must yield column ``node``, ``edges_sql``
     (src, dst). Returns a complete WITH prefix ending in ``rN`` — append
-    a SELECT over ``r{n_iters}``."""
+    a SELECT over ``r{n_iters}``. ``dangling='redistribute'`` mirrors
+    the operator's textbook mode: a d{i} CTE sums rank on
+    zero-out-degree nodes and every node is credited ``dmass // n``
+    before damping — same exact int64 steps."""
     keep_pct = 100 - damping_pct
     parts = [
         f"nodes AS ({nodes_sql})",
         f"edges AS ({edges_sql})",
         "outd AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src)",
+        "ncnt AS (SELECT COUNT(*) AS n FROM nodes)",
         "nbase AS (SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS base"
         " FROM nodes)",
         "r0 AS (SELECT node, (SELECT base FROM nbase) AS rank FROM nodes)",
     ]
     for i in range(1, n_iters + 1):
+        if dangling == "redistribute":
+            parts.append(
+                f"""d{i} AS (
+                SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dmass
+                FROM r{i - 1}
+                WHERE node NOT IN (SELECT src FROM outd)
+            )"""
+            )
+            credit = f" + (SELECT dmass FROM d{i}) // (SELECT n FROM ncnt)"
+        else:
+            credit = ""
         parts.append(
             f"""r{i} AS (
             SELECT n.node,
                    CAST(({keep_pct} * (SELECT base FROM nbase)) // 100
-                        + ({damping_pct} * COALESCE(c.s, 0)) // 100
+                        + ({damping_pct} * (COALESCE(c.s, 0){credit})) // 100
                         AS BIGINT) AS rank
             FROM nodes n
             LEFT JOIN (

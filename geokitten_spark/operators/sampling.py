@@ -295,10 +295,18 @@ def mix_sources(
     key_col: str = "doc_id",
     source_col: str = "source",
     salt: str = "mix",
+    validate: bool = False,
 ) -> DataFrame:
-    """Take EXACTLY ``quotas[source]`` rows per source, chosen by hash
+    """Take UP TO ``quotas[source]`` rows per source, chosen by hash
     rank — the deterministic face of mixture sampling (DoReMi-style
     domain weights become hard quotas via ``largest_remainder_quotas``).
+
+    A source with at least ``quotas[source]`` rows yields EXACTLY its
+    quota; a starved source (fewer rows than its quota) yields all its
+    rows, so the mixed total can be under budget. Pass
+    ``validate=True`` to detect that: it runs one aggregate over the
+    (already quota-bounded) output and raises ``ValueError`` naming
+    every starved source and its shortfall.
 
     One shuffle on the source key; the per-source top-k window plans as
     WindowGroupLimit (partial per-partition limit BEFORE the exchange),
@@ -318,11 +326,29 @@ def mix_sources(
     # partial per-partition top-k BEFORE the exchange, and the CASE
     # filter trims to the exact per-source quota after
     max_q = int(max(quotas.values(), default=0))
-    return (
+    out = (
         df.withColumn("__rk", F.row_number().over(w))
         .filter((F.col("__rk") <= F.lit(max_q)) & (F.col("__rk") <= q))
         .drop("__rk")
     )
+    if validate:
+        got = {
+            r["s"]: r["n"]
+            for r in out.groupBy(F.col(source_col).alias("s"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        starved = {
+            s: (k, got.get(s, 0))
+            for s, k in sorted(quotas.items())
+            if got.get(s, 0) < k
+        }
+        if starved:
+            detail = ", ".join(
+                f"{s}: wanted {k} got {g}" for s, (k, g) in starved.items()
+            )
+            raise ValueError(f"mix_sources starved sources — {detail}")
+    return out
 
 
 def mix_sources_sql(

@@ -51,6 +51,7 @@ extends the training-data-pipeline surface (round brief) alongside
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -105,27 +106,81 @@ def _fit_from_df(
     )
 
 
+# above this many k×d centroid cells the literal mode's codegen constant
+# gets unwieldy (paper-scale k ~11k × 768 dims would be a ~60 MB literal);
+# the arrow mode broadcasts the matrix once per executor instead
+_LITERAL_MAX_CELLS = 1 << 16
+
+
 def assign_clusters(
     emb: DataFrame,
     centroids: np.ndarray,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "auto",
 ) -> DataFrame:
-    """(id, cluster, v): map-only centroid argmax via a literal centroid
-    array — cosine per centroid is a codegen fold, cluster =
-    first-position-of-max (0-based). Zero shuffles, zero Python."""
-    cents = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in centroids[c]])
-            for c in range(len(centroids))
-        ]
-    )
+    """(id, cluster, v): map-only centroid argmax, zero shuffles.
+
+    ``mode='literal'`` inlines the k×d centroid matrix as a literal
+    array-of-arrays — cosine per centroid is a codegen fold, cluster =
+    first-position-of-max (0-based), zero Python. ``mode='arrow'``
+    broadcasts the numpy matrix and computes the argmax in an
+    Arrow-batched pandas UDF whose per-dimension accumulation replicates
+    the codegen fold's IEEE order EXACTLY (``acc += x_d * c_d`` dim by
+    dim, first-max tie-break) — verdicts are bit-identical between the
+    modes (parity-tested), so 'auto' can pick by matrix size: literal
+    while k×d fits comfortable codegen, arrow at paper-scale k
+    (SemDedup uses ~11k clusters × 768 dims ≈ 8.4M cells). Same
+    literal-vs-broadcast split as ``bloom.bloom_probe``."""
+    if mode == "auto":
+        mode = "literal" if centroids.size <= _LITERAL_MAX_CELLS else "arrow"
     v = F.col(vec_col).cast("array<double>")
-    sims = F.transform(cents, lambda c: _dot(v, c) / (_norm(v) * _norm(c)))
-    cluster = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    if mode == "literal":
+        cents = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in centroids[c]])
+                for c in range(len(centroids))
+            ]
+        )
+        sims = F.transform(cents, lambda c: _dot(v, c) / (_norm(v) * _norm(c)))
+        cluster = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        return emb.select(
+            F.col(id_col).alias("vid"), cluster.alias("cluster"), v.alias("v")
+        )
+    if mode != "arrow":
+        raise ValueError(f"mode must be literal|arrow|auto, got {mode!r}")
+    sc = emb.sparkSession.sparkContext
+    bc = sc.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf("int")
+    def _argmax(vs: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        C = bc.value
+        if not len(vs):
+            return pd.Series([], dtype="int32")
+        X = _np.stack([_np.asarray(x, dtype=_np.float64) for x in vs])
+        n, dim = X.shape
+        kk = len(C)
+        # dimension-by-dimension accumulation — the same IEEE op order
+        # as the literal mode's sequential codegen fold, so every sim
+        # (and therefore every argmax) matches bit-for-bit
+        dots = _np.zeros((n, kk))
+        nv = _np.zeros(n)
+        for d in range(dim):
+            dots += _np.outer(X[:, d], C[:, d])
+            nv += X[:, d] * X[:, d]
+        nc = _np.zeros(kk)
+        for d in range(dim):
+            nc += C[:, d] * C[:, d]
+        sims = dots / _np.outer(_np.sqrt(nv), _np.sqrt(nc))
+        return pd.Series(_np.argmax(sims, axis=1).astype("int32"))
+
     return emb.select(
-        F.col(id_col).alias("vid"), cluster.alias("cluster"), v.alias("v")
+        F.col(id_col).alias("vid"),
+        _argmax(v).alias("cluster"),
+        v.alias("v"),
     )
 
 
@@ -179,6 +234,7 @@ def semdedup(
     sample_n: int = 2048,
     threshold: float = 0.99,
     target_cluster_size: int = 4096,
+    assign_mode: str = "auto",
 ) -> DataFrame:
     """Per-document SemDedup verdicts: (vec_id, cluster, removed).
 
@@ -199,7 +255,9 @@ def semdedup(
     C = _fit_from_df(
         emb, id_col=id_col, vec_col=vec_col, k=k, iters=iters, sample_n=sample_n
     )
-    assigned = assign_clusters(emb, C, id_col=id_col, vec_col=vec_col)
+    assigned = assign_clusters(
+        emb, C, id_col=id_col, vec_col=vec_col, mode=assign_mode
+    )
     verdicts = assigned.groupBy("cluster").applyInPandas(
         _cluster_pair_scan(threshold),
         schema="vid long, cluster int, removed boolean",

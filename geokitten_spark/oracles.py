@@ -1048,6 +1048,49 @@ def mvt_tiles_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     )
 
 
+def mvt_pyramid_sql(sf_dir: str = ORACLE_SF_DIR,
+                    zooms: tuple = (3, 2, 1)) -> str:
+    """Expected (z, x, y, n_features, pbf_len, pbf_md5) for
+    q_mvt_pyramid: the same res-6 aggregate rendered at EVERY zoom in
+    ``zooms`` driver-side through the shared pure kernels — one VALUES
+    row per (z, x, y) blob, md5-compared byte-for-byte."""
+    import hashlib
+
+    from .cells.grid import grid_cell, grid_decode
+    from .viz.mvt import render_cells_tile, tile_of
+
+    lons, lats = _webdocs_lonlat(sf_dir)
+    cells = np.asarray(grid_cell(lons, lats, 6))
+    uniq, counts = np.unique(cells, return_counts=True)
+    res, ix, iy = grid_decode(uniq)
+    n = 2.0 ** res
+    lon0 = -180.0 + ix * 360.0 / n
+    lon1 = -180.0 + (ix + 1) * 360.0 / n
+    lat0 = -90.0 + iy * 180.0 / n
+    lat1 = -90.0 + (iy + 1) * 180.0 / n
+    rows = []
+    for z in sorted({int(v) for v in zooms}, reverse=True):
+        tx, ty = tile_of((lon0 + lon1) / 2, (lat0 + lat1) / 2, z)
+        groups: dict = {}
+        for k in range(len(uniq)):
+            groups.setdefault((int(tx[k]), int(ty[k])), []).append(
+                (int(uniq[k]), int(counts[k]), float(lon0[k]),
+                 float(lat0[k]), float(lon1[k]), float(lat1[k]))
+            )
+        for (gx, gy), rws in sorted(groups.items()):
+            blob = render_cells_tile(z, gx, gy, rws)
+            rows.append(
+                (z, gx, gy, len(rws), len(blob),
+                 hashlib.md5(blob).hexdigest())
+            )
+    return values_sql(
+        rows,
+        [("z", "INTEGER"), ("x", "BIGINT"), ("y", "BIGINT"),
+         ("n_features", "BIGINT"), ("pbf_len", "BIGINT"),
+         ("pbf_md5", "VARCHAR")],
+    )
+
+
 # ---------------------------------------------------------------------------
 # polygon×polygon overlap join oracle (operators/polyjoin.py)
 # ---------------------------------------------------------------------------

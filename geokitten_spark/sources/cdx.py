@@ -142,14 +142,26 @@ def latest_captures(captures: DataFrame) -> DataFrame:
     of a url (recrawls, retries); diffing two crawls is only meaningful
     over each side's newest capture.
 
+    Ties on ``ts`` (two captures of a urlkey in the same second — real
+    indexes have them) are broken deterministically: the election key is
+    the struct (ts, digest, url), so the lexicographically greatest
+    capture wins and digest/url always come from the SAME row.
+
     Scale shape: a single hash aggregation on ``urlkey`` with map-side
     partial ``max``/``max_by`` combine — duplicate captures of a url
     collapse before the shuffle, so the exchange carries one row per
     (partition, urlkey)."""
-    return captures.groupBy("urlkey").agg(
+    agg = captures.groupBy("urlkey").agg(
         F.max("ts").alias("ts"),
-        F.max_by("digest", "ts").alias("digest"),
-        F.max_by("url", "ts").alias("url"),
+        F.max_by(
+            F.struct("digest", "url"), F.struct("ts", "digest", "url")
+        ).alias("_elected"),
+    )
+    return agg.select(
+        "urlkey",
+        "ts",
+        F.col("_elected.digest").alias("digest"),
+        F.col("_elected.url").alias("url"),
     )
 
 

@@ -91,18 +91,21 @@ def sitemap_frontier(listed: DataFrame, crawled: DataFrame) -> DataFrame:
     """Reconcile what the site lists vs what the crawl captured.
 
     ``listed``: (host, loc, lastmod); ``crawled``: (host, url). ONE
-    full-outer join on the url + one per-host aggregate. Returns
+    full-outer join on (host, url) + one per-host aggregate — the join
+    is host-qualified because cross-host sitemap entries are legal: the
+    same URL string listed by host A but crawled under host B must count
+    as A's frontier and B's ghost, not as matched for both. Returns
     (host, n_listed, n_crawled, n_new, n_stale, latest_lastmod) where
     n_new = listed but never crawled (the recrawl frontier) and
     n_stale = crawled but not listed (the ghost set)."""
     left = listed.select("host", F.col("loc").alias("u"), "lastmod",
                          F.lit(1).alias("__l"))
-    right = crawled.select(F.col("host").alias("host_r"),
-                           F.col("url").alias("u"), F.lit(1).alias("__c"))
-    j = left.join(right, "u", "full_outer")
+    right = crawled.select("host", F.col("url").alias("u"),
+                           F.lit(1).alias("__c"))
+    j = left.join(right, ["host", "u"], "full_outer")
     return (
         j.select(
-            F.coalesce("host", "host_r").alias("host"),
+            "host",
             F.coalesce("__l", F.lit(0)).alias("l"),
             F.coalesce("__c", F.lit(0)).alias("c"),
             "lastmod",

@@ -58,6 +58,7 @@ __all__ = [
     "decode_mvt",
     "lonlat_to_tile_px",
     "mvt_cells",
+    "mvt_pyramid",
     "EXTENT",
 ]
 
@@ -477,3 +478,62 @@ def mvt_cells(tiles: DataFrame, z: int, layer: str = "cells") -> DataFrame:
         )
 
     return assigned.groupBy("x", "y").applyInPandas(render, schema=_MVT_SCHEMA)
+
+
+def mvt_pyramid(tiles: DataFrame, zooms: Sequence[int],
+                layer: str = "cells") -> DataFrame:
+    """Tile pyramid from ONE cell aggregate: blobs for every zoom in
+    ``zooms`` (production tile serving needs z, z-1, … together).
+
+    Scale shape: the assignment map pass emits each cell row once per
+    zoom (|zooms|× expansion, map-only — no per-level job), then a
+    SINGLE (z, x, y)-keyed shuffle feeds one grouped render. Rendering
+    L levels costs one exchange of L·O(cells) rows, not L aggregate
+    recomputations; coarser zooms pack more cells per tile but hold the
+    same total rows, so no level is a hot key beyond the z=0 world tile
+    (bounded by the cell count)."""
+    zs = sorted({int(z) for z in zooms}, reverse=True)
+    if not zs:
+        raise ValueError("mvt_pyramid needs at least one zoom level")
+    with_c = tiles.withColumn(
+        "_clon", (F.col("lon0") + F.col("lon1")) / 2
+    ).withColumn("_clat", (F.col("lat0") + F.col("lat1")) / 2)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            clon = pdf["_clon"].to_numpy()
+            clat = pdf["_clat"].to_numpy()
+            base = pdf.drop(columns=["_clon", "_clat"])
+            for z in zs:
+                tx, ty = tile_of(clon, clat, z)
+                out = base.copy()
+                out["z"] = np.int32(z)
+                out["x"] = tx
+                out["y"] = ty
+                yield out
+
+    assigned_schema = StructType(
+        [f for f in tiles.schema.fields]
+        + [
+            StructField("z", IntegerType()),
+            StructField("x", LongType()),
+            StructField("y", LongType()),
+        ]
+    )
+    assigned = with_c.mapInPandas(assign, schema=assigned_schema)
+
+    def render(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        z, tx, ty = int(key[0]), int(key[1]), int(key[2])
+        rows = list(
+            zip(pdf["cell_id"], pdf["n_docs"], pdf["lon0"], pdf["lat0"],
+                pdf["lon1"], pdf["lat1"])
+        )
+        blob = render_cells_tile(z, tx, ty, rows, layer=layer)
+        return pd.DataFrame(
+            [(z, tx, ty, len(rows), blob)],
+            columns=["z", "x", "y", "n_features", "pbf"],
+        )
+
+    return assigned.groupBy("z", "x", "y").applyInPandas(
+        render, schema=_MVT_SCHEMA
+    )

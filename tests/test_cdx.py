@@ -155,6 +155,48 @@ def test_crawl_delta_classification(spark):
     assert n == dup_changed
 
 
+def test_latest_captures_tie_is_deterministic(spark):
+    """Two captures of a urlkey sharing the max ts must elect a
+    deterministic winner — the lexicographically greatest (digest, url)
+    — and digest/url must come from the SAME capture row (no mix of
+    one row's digest with another row's url)."""
+    from geokitten_spark.sources.cdx import latest_captures
+
+    caps = spark.createDataFrame(
+        [
+            # tie on ts: digest 'bb' > 'aa' wins, carrying ITS url u2
+            ("k1", 100, "https://k1/u1", "aa"),
+            ("k1", 100, "https://k1/u2", "bb"),
+            # stale row never competes
+            ("k1", 50, "https://k1/old", "zz"),
+            # tie on (ts, digest): url breaks it
+            ("k2", 7, "https://k2/p", "cc"),
+            ("k2", 7, "https://k2/q", "cc"),
+        ],
+        "urlkey string, ts long, url string, digest string",
+    )
+    got = {r.urlkey: (r.ts, r.digest, r.url)
+           for r in latest_captures(caps).collect()}
+    assert got == {
+        "k1": (100, "bb", "https://k1/u2"),
+        "k2": (7, "cc", "https://k2/q"),
+    }
+    # twin semantics: DuckDB ROW_NUMBER ordered (ts, digest, url) DESC
+    con = duckdb.connect()
+    con.sql("""CREATE TABLE caps(urlkey VARCHAR, ts BIGINT,
+               url VARCHAR, digest VARCHAR)""")
+    con.sql("""INSERT INTO caps VALUES
+        ('k1',100,'https://k1/u1','aa'), ('k1',100,'https://k1/u2','bb'),
+        ('k1',50,'https://k1/old','zz'),
+        ('k2',7,'https://k2/p','cc'), ('k2',7,'https://k2/q','cc')""")
+    twin = {r[0]: (r[1], r[2], r[3]) for r in con.sql("""
+        SELECT urlkey, ts, digest, url FROM caps
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY urlkey ORDER BY ts DESC, digest DESC, url DESC
+        ) = 1""").fetchall()}
+    assert twin == got
+
+
 def test_crawl_delta_plan_is_codegen_joins(spark):
     """No Python in the plan: election aggs + one full-outer join."""
     from geokitten_spark.fixtures import crawl_snapshots

@@ -560,6 +560,28 @@ def test_sq8_codes_match_driver_quantizer(spark):
         assert all(0 <= c <= 255 for c in want)
 
 
+def test_sq8_out_of_range_vectors_clamp(spark):
+    """Components outside the trained per-dim [mn, mx] — an
+    out-of-distribution query vector — must clamp to 0/255 in BOTH the
+    Column expression and the driver-side quantizer, never produce
+    codes <0 or >255."""
+    from geokitten_spark.operators.ann import sq8_code_col, sq8_quantize_query
+
+    mn, mx = [0.0, -1.0, 2.0], [1.0, 1.0, 2.0]  # dim 3 is constant-range
+    ood = [5.0, -9.0, 7.0]  # above / below / constant-dim-off
+    assert sq8_quantize_query(ood, mn, mx) == [255, 0, 0]
+    inb = [0.5, 0.0, 2.0]
+    assert sq8_quantize_query(inb, mn, mx) == [128, 128, 0]
+    rows = spark.createDataFrame([(ood,), (inb,)], "v array<double>")
+    got = [
+        list(r["c"])
+        for r in rows.select(
+            sq8_code_col(F.col("v"), mn, mx).alias("c")
+        ).collect()
+    ]
+    assert got == [[255, 0, 0], [128, 128, 0]]
+
+
 def test_sq8_topk_matches_numpy_and_plan(spark):
     """sq8_topk's top-5 equals a full numpy recomputation (quantize
     every row with the driver kernel, integer dot, sort by score desc /

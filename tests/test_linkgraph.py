@@ -97,6 +97,56 @@ def test_pagerank_plan_stays_jvm_side(spark):
     assert "SinglePartition" not in plan
 
 
+def _duck_pagerank_redist(nodes_rows, edges_rows, n_iters=5):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?)",
+                    [(n,) for n in nodes_rows])
+    con.execute("CREATE TABLE e (src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO e VALUES (?, ?)", edges_rows)
+    q = pagerank_sql("SELECT doc_id AS node FROM documents",
+                     "SELECT src, dst FROM e", n_iters=n_iters,
+                     dangling="redistribute")
+    return dict(con.execute(
+        q + f"\nSELECT node, rank FROM r{n_iters}").fetchall())
+
+
+def test_pagerank_redistribute_matches_twin_and_conserves_mass(spark):
+    """dangling='redistribute' (textbook PageRank): the dangling node's
+    rank is shared out each iteration instead of decaying. On the
+    handmade graph with dangling node 3 the twin matches bit-for-bit,
+    total mass stays within n-per-division floor loss of the budget
+    (decay mode leaks the whole dangling share), and every node is at
+    least as ranked as under decay."""
+    nodes = [0, 1, 2, 3]
+    edges = [(0, 1), (0, 2), (1, 0), (2, 0), (2, 3)]
+    ndf = spark.createDataFrame([(n,) for n in nodes], "node long")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(ndf, edf, n_iters=5,
+                          dangling="redistribute").collect()
+    }
+    assert got == _duck_pagerank_redist(nodes, edges, n_iters=5)
+    decay = {r.node: r.rank for r in pagerank(ndf, edf, n_iters=5).collect()}
+    assert all(got[n] >= decay[n] for n in nodes)
+    assert sum(got.values()) > sum(decay.values())
+    # each iteration floors at most ~(n + 2) units per node across the
+    # div steps; with 4 nodes / 5 iterations the retained mass must be
+    # within a few hundred units of the full budget
+    assert RANK_UNIT - sum(got.values()) < 1000
+    # no dangling nodes -> the two modes agree exactly
+    full_edges = edges + [(3, 0)]
+    edf2 = spark.createDataFrame(full_edges, "src long, dst long")
+    a = {r.node: r.rank for r in pagerank(ndf, edf2, n_iters=3).collect()}
+    b = {
+        r.node: r.rank
+        for r in pagerank(ndf, edf2, n_iters=3,
+                          dangling="redistribute").collect()
+    }
+    assert a == b
+
+
 def test_pagerank_empty_nodes_raises(spark):
     ndf = spark.createDataFrame([], "node long")
     edf = spark.createDataFrame([], "src long, dst long")

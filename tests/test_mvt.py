@@ -147,6 +147,56 @@ def test_mvt_cells_blobs_decode_and_count(spark):
     assert total_feats == corners.count()
 
 
+def test_mvt_pyramid_levels_equal_per_level_renders(spark):
+    """mvt_pyramid(zooms=(3,2,1)) must produce, per level, EXACTLY the
+    blobs mvt_cells renders at that level (byte-identical), every cell
+    appears once per level, and coarser levels have no more tiles."""
+    from geokitten_spark.viz.mvt import mvt_pyramid
+
+    corners = _corner_tiles(spark, SF_SMOKE)
+    pyr = {
+        (r.z, r.x, r.y): bytes(r.pbf)
+        for r in mvt_pyramid(corners, zooms=(3, 2, 1)).collect()
+    }
+    n_cells = corners.count()
+    for z in (3, 2, 1):
+        single = {
+            (z, r.x, r.y): bytes(r.pbf)
+            for r in mvt_cells(corners, z=z).collect()
+        }
+        level = {k: v for k, v in pyr.items() if k[0] == z}
+        assert level == single
+        feats = sum(
+            len(decode_mvt(v)[0]["features"]) for v in level.values()
+        )
+        assert feats == n_cells
+    tiles_per_z = {z: sum(1 for k in pyr if k[0] == z) for z in (1, 2, 3)}
+    assert tiles_per_z[1] <= tiles_per_z[2] <= tiles_per_z[3]
+
+
+def test_mvt_pyramid_partitioning_invariant_and_single_shuffle(spark):
+    from geokitten_spark.viz.mvt import mvt_pyramid
+
+    corners = _corner_tiles(spark, SF_SMOKE)
+    a = {
+        (r.z, r.x, r.y): bytes(r.pbf)
+        for r in mvt_pyramid(corners, zooms=(3, 2)).collect()
+    }
+    b = {
+        (r.z, r.x, r.y): bytes(r.pbf)
+        for r in mvt_pyramid(corners.repartition(13), zooms=(3, 2)).collect()
+    }
+    assert a == b
+    # one exchange keyed (z, x, y) feeds the render — not one per level
+    plan = (
+        mvt_pyramid(corners, zooms=(3, 2, 1))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2  # agg + render keys
+
+
 def test_mvt_cells_partitioning_invariant(spark):
     corners = _corner_tiles(spark, SF_SMOKE)
     a = {(r.z, r.x, r.y): bytes(r.pbf) for r in mvt_cells(corners, z=3).collect()}

@@ -177,3 +177,25 @@ def test_mix_sources_exact_counts_and_determinism(spark):
     }
     plan = mix_sources(docs, quotas)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_mix_sources_starved_source_validate(spark):
+    """A source with fewer rows than its quota under-fills silently by
+    default (documented), and validate=True raises naming the starved
+    source with its shortfall."""
+    import pytest as _pytest
+
+    from geokitten_spark.operators.sampling import mix_sources
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 8 else "tiny") for i in range(10)],
+        "doc_id long, source string",
+    )
+    quotas = {"big": 5, "tiny": 4}  # tiny has only 2 rows
+    got = mix_sources(docs, quotas).groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"big": 5, "tiny": 2}
+    with _pytest.raises(ValueError, match="tiny: wanted 4 got 2"):
+        mix_sources(docs, quotas, validate=True)
+    # no starvation -> validate passes and returns the same selection
+    ok = mix_sources(docs, {"big": 5, "tiny": 2}, validate=True)
+    assert ok.count() == 7

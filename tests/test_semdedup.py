@@ -88,6 +88,73 @@ def test_assignment_is_map_only(spark):
     assert "Exchange" not in plan
 
 
+def test_assign_modes_literal_vs_arrow_parity(spark):
+    """The Arrow-broadcast assignment (the paper-scale-k path, where a
+    k×d literal would be a ~60 MB codegen constant) must agree with the
+    literal codegen mode on EVERY row — the pandas kernel replicates the
+    fold's per-dimension IEEE accumulation order exactly. Also: 'auto'
+    flips to arrow above the cell threshold, and the arrow plan is still
+    exchange-free (map-only)."""
+    from geokitten_spark.operators.semdedup import _LITERAL_MAX_CELLS
+
+    emb = _corpus(spark)
+    sample = np.array(
+        [
+            r[0]
+            for r in emb.orderBy("vec_id")
+            .limit(2048)
+            .select(F.col("embedding").cast("array<double>"))
+            .collect()
+        ]
+    )
+    C = kmeans_fit(sample, k=10)
+    lit = {
+        r.vid: r.cluster
+        for r in assign_clusters(emb, C, mode="literal").collect()
+    }
+    arw = {
+        r.vid: r.cluster
+        for r in assign_clusters(emb, C, mode="arrow").collect()
+    }
+    assert lit == arw
+    plan = (
+        assign_clusters(emb, C, mode="arrow")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    # auto-mode routing: a matrix over the threshold picks arrow
+    big_k = _LITERAL_MAX_CELLS // C.shape[1] + 1
+    big = np.tile(C[:1], (big_k, 1))
+    plan_big = (
+        assign_clusters(emb, big, mode="auto")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan_big or "Python" in plan_big
+    plan_small = (
+        assign_clusters(emb, C, mode="auto")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan_small
+
+
+def test_semdedup_verdicts_identical_under_arrow_assign(spark):
+    """End-to-end: semdedup(assign_mode='arrow') returns the SAME
+    (vec_id, cluster, removed) verdicts as the literal default."""
+    a = semdedup(_corpus(spark), k=10, threshold=0.99).collect()
+    b = semdedup(
+        _corpus(spark), k=10, threshold=0.99, assign_mode="arrow"
+    ).collect()
+    assert {(r.vec_id, r.cluster, r.removed) for r in a} == {
+        (r.vec_id, r.cluster, r.removed) for r in b
+    }
+
+
 def test_kmeans_fit_deterministic_and_separates_fixture(spark):
     emb = _corpus(spark)
     sample = np.array(

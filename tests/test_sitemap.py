@@ -69,6 +69,24 @@ def test_frontier_counts(spark):
     assert r["latest_lastmod"] == "2025-02-01"
 
 
+def test_frontier_cross_host_url_not_conflated(spark):
+    """The same URL string listed by host A but crawled under host B
+    (cross-host sitemap entries are legal) must count as A's frontier
+    AND B's ghost — the reconcile join is host-qualified."""
+    shared = "https://cdn.example/asset"
+    listed = spark.createDataFrame(
+        [("a.example", shared, "2025-01-01")],
+        "host string, loc string, lastmod string",
+    )
+    crawled = spark.createDataFrame(
+        [("b.example", shared)], "host string, url string"
+    )
+    rows = {r["host"]: r for r in sitemap_frontier(listed, crawled).collect()}
+    a, b = rows["a.example"], rows["b.example"]
+    assert (a["n_listed"], a["n_crawled"], a["n_new"], a["n_stale"]) == (1, 0, 1, 0)
+    assert (b["n_listed"], b["n_crawled"], b["n_new"], b["n_stale"]) == (0, 1, 0, 1)
+
+
 def test_parse_plan_is_jvm_only(spark):
     sm = render_sitemaps(_urls(spark))
     plan = parse_urlset(sm)._jdf.queryExecution().executedPlan().toString()
