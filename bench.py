@@ -26,6 +26,15 @@ import time
 from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# bench-process JVM sizing/logging (read by session.DEFAULT_CONFS at first
+# get_spark): the 10x scale-step legs need headroom beyond the 8g test
+# default, and JVM unified-logging warnings (gc,alloc GCLocker retries)
+# print to STDOUT where they can interleave with the one-line JSON the
+# driver parses — disable them for the bench process only.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+os.environ.setdefault(
+    "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xlog:disable"
+)
 # 600 x 5k docs = 3M rows: sizes every spatial headline leg to >= ~5s at
 # local[32] so per-query ratios are decision-grade, not sub-second jitter
 # (VERDICT r2 item 6; the r1/r2 records used replicate=100 — the fence
@@ -263,6 +272,107 @@ def run_once(cpus: int, flagship_only: bool = False) -> dict:
         **extra,
         **cpu_controls(),
     }
+
+
+SCALE_STEP_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_STEP_FACTOR", "10"))
+
+
+def _synth_minhash_corpus(spark, n_rows: int):
+    """Distinct-text corpus for the minhash scale leg: 30 words of 12
+    sha2-derived chars per row, all codegen. Replicating the REAL text
+    column 6000x would plant 6000-member duplicate clusters whose pair
+    scan is quadratic BY CONSTRUCTION (any real pipeline exact-dedups
+    those upstream); distinct texts measure what actually scales — the
+    shingle/signature/band machinery and its shuffles."""
+    words = [
+        F.substring(
+            F.sha2(F.concat(F.col("id").cast("string"), F.lit(f":{i}")), 256),
+            1, 12,
+        )
+        for i in range(30)
+    ]
+    return spark.range(n_rows).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+    )
+
+
+def scale_step(cpus: int) -> dict:
+    """10x scale-step evidence (one leg per round, VERDICT r4 item 4):
+    run the flagship and the two heaviest legs at replicate R and R×10
+    in ONE session, UNCACHED at both scales (same end-to-end work per
+    doc), and report docs/sec at each plus the 10x/1x throughput ratio —
+    ~1.0 means no spill cliff and no driver-side growth in the step."""
+    os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    from geokitten_spark.fixtures import admin_rects_pdf
+    from geokitten_spark.functions.cells_udfs import grid_cell_col
+    from geokitten_spark.operators.dedup import minhash_neardup
+    from geokitten_spark.operators.linkgraph import extract_links, pagerank
+    from geokitten_spark.operators.pip_join import pip_join
+    from geokitten_spark.session import get_spark
+
+    spark = get_spark(app_name=f"gk-scale-step-{cpus}", master=f"local[{cpus}]")
+    out: dict = {"factor": SCALE_STEP_FACTOR, "legs": {}}
+    try:
+        def flagship_leg(rep: int):
+            docs = bench_documents(spark, SF_DIR, rep)
+            located = pip_join(
+                docs.select("doc_id", "url", "lang", "lon", "lat"),
+                admin_rects_pdf(),
+                id_col="n_nationkey",
+                wkt_col="geometry_wkt",
+                s2_cells={"s2_cell": 9},
+            )
+            tiled = located.withColumn(
+                "cell_id", grid_cell_col(F.col("lon"), F.col("lat"), 7)
+            )
+            return _materialize(
+                tiled.groupBy("n_nationkey", "cell_id").agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.approx_count_distinct("s2_cell").alias("n_s2_cells"),
+                )
+            )
+
+        def pagerank_leg(rep: int):
+            docs = bench_documents(spark, SF_DIR, rep)
+            nodes = docs.select(F.col("doc_id").alias("node"))
+            edges = extract_links(docs.select("doc_id", "html"))
+            _materialize(pagerank(nodes, edges, n_iters=3))
+
+        def minhash_leg(n_rows: int):
+            corpus = _synth_minhash_corpus(spark, n_rows)
+            _materialize(minhash_neardup(corpus))
+
+        base_rows = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+        legs = [
+            ("flagship_pip_tile", flagship_leg, REPLICATE),
+            ("link_pagerank", pagerank_leg, REPLICATE),
+            ("dedup_minhash_synth", minhash_leg, 20 * base_rows),
+        ]
+        for name, fn, base in legs:
+            fn(base)  # warmup at 1x: worker spawn + codegen, excluded
+            rec = {}
+            for label, size in (("1x", base), ("10x", base * SCALE_STEP_FACTOR)):
+                t0 = time.monotonic()
+                fn(size)
+                wall = time.monotonic() - t0
+                if name == "flagship_pip_tile":
+                    n_docs = size * base_rows
+                elif name == "link_pagerank":
+                    n_docs = size * base_rows
+                else:
+                    n_docs = size
+                rec[label] = {
+                    "wall_sec": round(wall, 3),
+                    "n_docs": n_docs,
+                    "docs_per_sec": round(n_docs / wall, 1),
+                }
+            rec["throughput_ratio_10x_vs_1x"] = round(
+                rec["10x"]["docs_per_sec"] / rec["1x"]["docs_per_sec"], 3
+            )
+            out["legs"][name] = rec
+    finally:
+        spark.stop()
+    return out
 
 
 def cpu_controls() -> dict:
@@ -843,6 +953,11 @@ def main():
         return
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     result = run_once(cpus)
+    # 10x scale-step evidence (VERDICT r4 item 4): separate section so the
+    # suite-wall "value" and the per-leg regression fence stay comparable
+    # across rounds; disable with SPARK_GRAFT_SCALE_STEP=0
+    if os.environ.get("SPARK_GRAFT_SCALE_STEP", "1") != "0":
+        result["scale_step_10x"] = scale_step(cpus)
     base_name, base = load_fence_baseline(
         os.path.dirname(os.path.abspath(__file__)),
         sf=result.get("sf"),

@@ -33,6 +33,13 @@ DEFAULT_CONFS = {
     # ``spark-submit --py-files``
     "spark.executorEnv.PYTHONPATH": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 }
+# extra JVM flags (e.g. bench.py sets -Xlog:disable so JVM gc,alloc
+# warnings can't interleave with its one-line JSON on stdout); only set
+# when requested so other runs keep default JVM logging
+if os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS"):
+    DEFAULT_CONFS["spark.driver.extraJavaOptions"] = os.environ[
+        "SPARK_GRAFT_DRIVER_JAVA_OPTS"
+    ]
 
 
 def get_spark(
