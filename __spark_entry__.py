@@ -3345,6 +3345,67 @@ def q_mvt_pyramid(spark, sf_dir):
     )
 
 
+def q_iceberg_read(spark, sf_dir):
+    """S8 read path, jar-free (plans/iceberg_meta.py): build a
+    spec-shaped Iceberg table in a temp dir — real parquet data files
+    (hash-partitioned on doc_id so layout is deterministic) plus
+    metadata json + Avro manifest-list/manifests written by the stdlib
+    codec (plans/avro.py) — for TWO snapshots (even doc_ids, then all),
+    then read it back with the pure-Python metadata reader and return,
+    per snapshot: file count, the lineage's row total, and an
+    independent count from actually SCANNING the manifest-pruned file
+    list with spark.read.parquet (time travel). lineage_rows ==
+    scanned_rows pins that manifests and data agree; the oracle derives
+    the same numbers from `documents` alone."""
+    import os
+    import tempfile
+
+    from geokitten_spark.plans.iceberg_meta import (
+        read_iceberg_table,
+        write_fixture_iceberg_table,
+    )
+    from geokitten_spark.plans.snapshot import SnapshotStore
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    loc = tempfile.mkdtemp(prefix="gk_iceberg_read_")
+    d1 = os.path.join(loc, "data", "s1")
+    d2 = os.path.join(loc, "data", "s2")
+    docs.filter(F.col("doc_id") % 2 == 0).repartition(3, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(d1)
+    docs.repartition(4, "doc_id").write.mode("overwrite").parquet(d2)
+
+    def footers(d):
+        return [
+            {"file": os.path.join(d, m["file"]), "rows": m["rows"],
+             "bytes": m["bytes"]}
+            for m in SnapshotStore._parquet_file_metrics(d)
+        ]
+
+    write_fixture_iceberg_table(loc, [(100, footers(d1)), (200, footers(d2))])
+    tbl = read_iceberg_table(loc)
+    rows = []
+    for sid in sorted(tbl.snapshots):
+        snap = tbl.snapshots[sid]
+        rows.append(
+            (
+                sid,
+                len(snap.files),
+                sum(f["rows"] for f in snap.files),
+                tbl.to_df(spark, snapshot_id=sid).count(),
+            )
+        )
+    import shutil
+
+    shutil.rmtree(loc, ignore_errors=True)  # rows already materialized
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id long, n_files long, lineage_rows long, scanned_rows long",
+    )
+
+
 def q_unicode_normalize(spark, sf_dir):
     """Unicode NFC normalization (functions/text.py:normalize_nfc): every
     doc's text gets decomposed combining sequences appended (e+U+0301,
@@ -3696,6 +3757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window stays on the never-checked set; covered by STRICT_r05) ---
         "link_pagerank_redistribute": q_link_pagerank_redistribute,
         "mvt_pyramid": q_mvt_pyramid,
+        "iceberg_read": q_iceberg_read,
     }
 
 
@@ -4968,6 +5030,19 @@ def oracle_sql() -> dict[str, str]:
     )
     out["mvt_tiles"] = _ora.mvt_tiles_sql()
     out["mvt_pyramid"] = _ora.mvt_pyramid_sql()
+    # S8 read path: snapshot 100 = even doc_ids over 3 hash partitions,
+    # snapshot 200 = all docs over 4; lineage must equal a real scan
+    out["iceberg_read"] = """
+        SELECT CAST(100 AS BIGINT) AS snapshot_id,
+               CAST(3 AS BIGINT) AS n_files,
+               CAST(COUNT(*) AS BIGINT) AS lineage_rows,
+               CAST(COUNT(*) AS BIGINT) AS scanned_rows
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT CAST(200 AS BIGINT), CAST(4 AS BIGINT),
+               CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        FROM documents
+    """
     out["polygon_overlap"] = _ora.polygon_overlap_sql()
     # CCNet buckets: the oracle-checked lm chain + one NTILE window
     out["ccnet_buckets"] = f"""

@@ -94,6 +94,9 @@ class SnapshotStore:
     lineage: list = field(default_factory=list)
     format: str = "parquet"  # 'parquet' | 'iceberg' | 'auto'
     catalog: str = "gk_snap"  # iceberg catalog name (must be configured)
+    # parquet-backend stages also get a spec-shaped Iceberg metadata tree
+    # (readable jar-free via plans.iceberg_meta.read_iceberg_table)
+    iceberg_mirror: bool = True
 
     def _resolve_format(self, spark: SparkSession) -> str:
         if self.format == "auto":
@@ -253,6 +256,31 @@ class SnapshotStore:
             raise RuntimeError(
                 f"stage {stage}: observed {observed_rows} rows but parquet "
                 f"footers record {manifest['row_count']}"
+            )
+        if fmt != "iceberg" and self.iceberg_mirror:
+            # lay the spec-shaped Iceberg metadata tree over the stage's
+            # parquet files (metadata json + Avro manifest-list/manifest,
+            # plans/iceberg_meta.py) BEFORE the manifest commit point:
+            # every committed stage snapshot is then readable as an
+            # Iceberg table jar-free (read_iceberg_table(snap_dir)), and
+            # a runtime-jar drop-in reads the same tree. KBs of metadata,
+            # no data pass — the same files the footer metrics walked.
+            from .iceberg_meta import write_fixture_iceberg_table
+
+            data_root = os.path.join(snap_dir, "data")
+            write_fixture_iceberg_table(
+                snap_dir,
+                [(
+                    int(sid[:15], 16),
+                    [
+                        {
+                            "file": os.path.join(data_root, p["file"]),
+                            "rows": p["rows"],
+                            "bytes": p["bytes"],
+                        }
+                        for p in partitions
+                    ],
+                )],
             )
         tmp = self.manifest_path(stage, sid) + ".tmp"
         os.makedirs(snap_dir, exist_ok=True)

@@ -109,6 +109,21 @@ def test_avro_container_reads_hand_built_file(tmp_path):
     assert records == [{"v": 5}, {"v": -3}]
 
 
+def test_avro_enum_fixed_and_skippable_blocks():
+    enum = {"type": "enum", "name": "status", "symbols": ["ok", "bad"]}
+    assert _enc(enum, "bad") == b"\x02"  # index 1 zigzag
+    assert decode_value(io.BytesIO(b"\x02"), enum) == "bad"
+    fixed = {"type": "fixed", "name": "sync", "size": 4}
+    assert _enc(fixed, b"abcd") == b"abcd"
+    assert decode_value(io.BytesIO(b"abcd"), fixed) == b"abcd"
+    with pytest.raises(ValueError, match="4 bytes"):
+        _enc(fixed, b"ab")
+    # negative array block count: abs(count) items preceded by byte size
+    arr = {"type": "array", "items": "long"}
+    raw = b"\x03" + b"\x04" + b"\x02\x04" + b"\x00"  # count -2, size 2, [1,2]
+    assert decode_value(io.BytesIO(raw), arr) == [1, 2]
+
+
 def test_avro_file_roundtrip_deflate(tmp_path):
     schema = {
         "type": "record", "name": "e",
@@ -198,6 +213,41 @@ def test_iceberg_reader_rejects_torn_manifest(tmp_path, spark):
         f.write(b"\x00")  # grow the file past the recorded length
     with pytest.raises(ValueError, match="torn metadata"):
         read_iceberg_table(loc)
+
+
+def test_snapshot_store_stage_is_iceberg_readable(spark, tmp_path):
+    """Every committed parquet-backend stage snapshot doubles as an
+    Iceberg table: read_iceberg_table(snap_dir) returns the SAME
+    per-file lineage the stage manifest recorded, and a time-travel scan
+    reproduces the stage rows."""
+    from geokitten_spark.plans.snapshot import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "store"))
+    res = store.run_stage(
+        spark,
+        "stg",
+        lambda s: s.range(1000).withColumnRenamed("id", "doc_id")
+        .repartition(4, "doc_id"),
+        config={"v": 1},
+    )
+    snap_dir = os.path.join(store.root, "stg", f"snap-{res.snapshot_id}")
+    tbl = read_iceberg_table(snap_dir)
+    want = sorted(
+        (os.path.join(snap_dir, "data", p["file"]), p["rows"], p["bytes"])
+        for p in res.manifest["partitions"]
+    )
+    got = [(f["file"], f["rows"], f["bytes"]) for f in tbl.files]
+    assert got == want
+    assert tbl.to_df(spark).count() == 1000
+    # resumed stages must NOT rewrite metadata (same tree still reads)
+    res2 = store.run_stage(
+        spark,
+        "stg",
+        lambda s: s.range(1000).withColumnRenamed("id", "doc_id"),
+        config={"v": 1},
+    )
+    assert res2.resumed
+    assert read_iceberg_table(snap_dir).files == tbl.files
 
 
 def test_iceberg_files_contract_relation_parity(spark, tmp_path):
