@@ -1,7 +1,8 @@
 """Offline verification of the arithmetic-coded JPEG entropy layer.
 
-No independent JPEG library exists in this container, so correctness
-rests on the strongest checks available offline:
+(Third-party interop against libjpeg-turbo lives in
+tests/test_jpeg_interop.py — both directions, sequential + progressive.
+This module keeps the self-contained checks that need no compiler:)
 
 * bit-level QM coder roundtrips over adversarial context/bias mixes
   (exercising renormalization, conditional exchange, byte stuffing, and
