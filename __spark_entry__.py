@@ -3406,6 +3406,65 @@ def q_iceberg_read(spark, sf_dir):
     )
 
 
+def q_geoparquet_roundtrip(spark, sf_dir):
+    """GeoParquet sink/source roundtrip (sources/geoparquet.py): build a
+    deterministic boundary table over `nation` (k%3==0 -> MULTIPOLYGON of
+    a 2x3 rect + a triangle, area 8.5 / 9 vertices; else POLYGON 7x4 rect
+    with a 2x2 hole, area 24 / 10 vertices), encode WKB, write the
+    distributed GeoParquet sink (one file per partition, `geo` footer
+    metadata), read it back with the footer-validating source, and
+    recompute kind/vertices/area FROM THE DECODED GEOMETRY — any WKB or
+    parquet corruption changes the numbers. The oracle derives the same
+    values from `nation` keys by arithmetic alone."""
+    import shutil
+    import tempfile
+
+    from geokitten_spark.functions.geometry_udfs import (
+        planar_area,
+        wkt_vertex_count,
+    )
+    from geokitten_spark.sources.geoparquet import (
+        read_geoparquet,
+        write_geoparquet,
+        wkt_to_wkb,
+    )
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    k = F.col("n_nationkey")
+    mp_wkt = F.format_string(
+        "MULTIPOLYGON (((%d 0, %d 0, %d 3, %d 3, %d 0)), "
+        "((%d 10, %d 10, %d 15, %d 10)))",
+        k, k + 2, k + 2, k, k, k, k + 1, k + 1, k,
+    )
+    pg_wkt = F.format_string(
+        "POLYGON ((%d 0, %d 0, %d 4, %d 4, %d 0), "
+        "(%d 1, %d 1, %d 3, %d 3, %d 1))",
+        k * 10, k * 10 + 7, k * 10 + 7, k * 10, k * 10,
+        k * 10 + 1, k * 10 + 3, k * 10 + 3, k * 10 + 1, k * 10 + 1,
+    )
+    boundaries = nation.withColumn(
+        "geometry", wkt_to_wkb(F.when(k % 3 == 0, mp_wkt).otherwise(pg_wkt))
+    ).repartition(3, "n_nationkey").sortWithinPartitions("n_nationkey")
+
+    loc = tempfile.mkdtemp(prefix="gk_geoparquet_")
+    write_geoparquet(boundaries, loc, geometry_col="geometry").collect()
+    back = read_geoparquet(spark, loc)
+    rows = (
+        back.select(
+            "n_nationkey",
+            F.regexp_extract("geometry_wkt", r"^([A-Z]+)", 1).alias("geom_kind"),
+            wkt_vertex_count("geometry_wkt").alias("n_vertices"),
+            planar_area("geometry_wkt").alias("area"),
+        )
+        .orderBy("n_nationkey")
+        .collect()
+    )
+    shutil.rmtree(loc, ignore_errors=True)  # rows already materialized
+    return spark.createDataFrame(
+        rows, "n_nationkey long, geom_kind string, n_vertices long, area double"
+    )
+
+
 def q_unicode_normalize(spark, sf_dir):
     """Unicode NFC normalization (functions/text.py:normalize_nfc): every
     doc's text gets decomposed combining sequences appended (e+U+0301,
@@ -3758,6 +3817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank_redistribute": q_link_pagerank_redistribute,
         "mvt_pyramid": q_mvt_pyramid,
         "iceberg_read": q_iceberg_read,
+        "geoparquet_roundtrip": q_geoparquet_roundtrip,
     }
 
 
@@ -5042,6 +5102,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(200 AS BIGINT), CAST(4 AS BIGINT),
                CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) AS BIGINT)
         FROM documents
+    """
+    # GeoParquet roundtrip: geometry is a pure function of the nation key,
+    # so kind/vertex/area recompute as key arithmetic (the Spark side
+    # derives them from the geometry that survived WKB+parquet+WKB)
+    out["geoparquet_roundtrip"] = """
+        SELECT n_nationkey,
+               CASE WHEN n_nationkey % 3 = 0 THEN 'MULTIPOLYGON'
+                    ELSE 'POLYGON' END AS geom_kind,
+               CAST(CASE WHEN n_nationkey % 3 = 0 THEN 9 ELSE 10 END
+                    AS BIGINT) AS n_vertices,
+               CAST(CASE WHEN n_nationkey % 3 = 0 THEN 8.5 ELSE 24.0 END
+                    AS DOUBLE) AS area
+        FROM nation
     """
     out["polygon_overlap"] = _ora.polygon_overlap_sql()
     # CCNet buckets: the oracle-checked lm chain + one NTILE window
