@@ -221,6 +221,31 @@ def run_queries(spark, sf_dir: str, flagship_only: bool = False) -> tuple[dict, 
 
     timed("link_pagerank", pagerank_leg, reps=2)
 
+    # GeoParquet sink (new r5): per-doc POINT geometry -> WKB encode ->
+    # distributed partitioned write with `geo` footer metadata. One
+    # Arrow map pass + one file per partition; measures the geometry
+    # interchange path end-to-end (encode + parquet write + manifest).
+    import shutil
+    import tempfile
+
+    from geokitten_spark.sources.geoparquet import (
+        points_to_wkb,
+        write_geoparquet,
+    )
+
+    def geoparquet_leg():
+        loc = tempfile.mkdtemp(prefix="gk_bench_geoparquet_")
+        try:
+            pts = docs.select(
+                "doc_id",
+                points_to_wkb(F.col("lon"), F.col("lat")).alias("geometry"),
+            )
+            _materialize(write_geoparquet(pts, loc, geometry_col="geometry"))
+        finally:
+            shutil.rmtree(loc, ignore_errors=True)
+
+    timed("geoparquet_write", geoparquet_leg, reps=2)
+
     # the cached 500k-doc table (html+text) is only used by the spatial
     # queries above — release it before the relational loop so its GC
     # pressure doesn't pollute those timings

@@ -132,6 +132,32 @@ def test_wkb_columns_null_safe(spark):
     assert rows[None].geometry is None and rows[None].back is None
 
 
+def test_points_to_wkb_matches_wkt_path(spark):
+    from geokitten_spark.sources.geoparquet import points_to_wkb
+
+    df = spark.createDataFrame(
+        [(1, -122.25, 37.5), (2, 0.0, 0.0), (3, None, 12.0), (4, 179.9, -89.9)],
+        "id long, lon double, lat double",
+    )
+    rows = df.select(
+        "id",
+        points_to_wkb(F.col("lon"), F.col("lat")).alias("fast"),
+        wkt_to_wkb(
+            F.when(
+                F.col("lon").isNotNull(),
+                F.format_string("POINT (%s %s)", "lon", "lat"),
+            )
+        ).alias("slow"),
+    ).collect()
+    for r in rows:
+        if r.id == 3:
+            assert r.fast is None and r.slow is None
+        else:
+            assert bytes(r.fast) == bytes(r.slow)
+            g = parse_wkb(bytes(r.fast))
+            assert to_wkt(g).startswith("POINT")
+
+
 def test_empty_partitions_write_no_files(spark, tmp_path):
     df = (
         _boundary_df(spark, n=2)
