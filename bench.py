@@ -829,12 +829,41 @@ def _squery_leg(cpus: int, reps: int = 1) -> dict[str, list]:
             lambda acc, x: acc + x,
         )
 
+        # GeoParquet sink leg (r5): jittered points -> vectorized WKB
+        # encode -> partitioned parquet write with geo footers. End-to-end
+        # on local disk like every other leg; compute density per byte is
+        # the lowest in the sweep (21-byte blobs, no math), so this leg
+        # rides the same DRAM/IO bandwidth ceiling the partitioned-PIP
+        # bare scan documents — cached-input/tmpfs controls measured the
+        # same ~0.5-0.6, i.e. no hidden serial stage in the sink itself.
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from geokitten_spark.sources.geoparquet import (
+            points_to_wkb, write_geoparquet,
+        )
+
+        gp_factor = int(os.environ.get("SPARK_GRAFT_GP_FACTOR", "8"))
+        points_gp = jittered(gp_factor).repartition(64)
+        n_gp = n_docs * gp_factor
+        wkb_gp = points_gp.select(
+            "doc_id", points_to_wkb(F.col("lon"), F.col("lat")).alias("geometry")
+        )
+
+        def geoparquet_write_leg():
+            loc = _tempfile.mkdtemp(prefix="gk_sq_geoparquet_")
+            try:
+                _materialize(write_geoparquet(wkb_gp, loc, geometry_col="geometry"))
+            finally:
+                _shutil.rmtree(loc, ignore_errors=True)
+
         ops = {
             "ann_sq8_scan": lambda: _materialize(
                 emb_big.select("vec_id", sq8_score.alias("s"))
                 .orderBy(F.col("s").desc(), F.col("vec_id").asc())
                 .limit(10)
             ),
+            "geoparquet_write": geoparquet_write_leg,
             "knn_join": lambda: _materialize(
                 knn_join(points_knn, id_col="doc_id", k=3, res=7, ring_k=2)
             ),
@@ -863,7 +892,12 @@ def _squery_leg(cpus: int, reps: int = 1) -> dict[str, list]:
             "dedup_span_coverage": n_half,
             "knn_join": n_knn,
             "ann_sq8_scan": n_sq8,
+            "geoparquet_write": n_gp,
         }
+        only = os.environ.get("SPARK_GRAFT_SQ_OPS")
+        if only:
+            keep = {s.strip() for s in only.split(",")}
+            ops = {k: v for k, v in ops.items() if k in keep}
         for name, fn in ops.items():
             fn()  # warmup: Python pool spawn + codegen
             rows = op_rows.get(name, n_docs)

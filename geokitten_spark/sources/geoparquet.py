@@ -37,15 +37,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     BinaryType,
-    BooleanType,
     DoubleType,
-    FloatType,
-    IntegerType,
     LongType,
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
 from geokitten_spark.geom.model import parse_wkt, to_wkt
@@ -64,16 +60,6 @@ _KIND_NAMES = {
     7: "GeometryCollection",
 }
 
-_SPARK_TO_ARROW = {
-    StringType: "string",
-    LongType: "int64",
-    IntegerType: "int32",
-    DoubleType: "float64",
-    FloatType: "float32",
-    BooleanType: "bool",
-    BinaryType: "binary",
-    TimestampType: "timestamp[us]",
-}
 
 
 # --------------------------------------------------------------------------
@@ -191,6 +177,39 @@ def _file_stats(blobs: list) -> tuple:
     ]
 
 
+def _file_stats_arrow(col) -> tuple:
+    """`_file_stats` straight off an Arrow (chunked) binary column: the
+    all-2D-POINT fast path reads offsets/data buffers with numpy — no
+    per-row Python objects; anything else falls back to the per-blob
+    parse."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    arr = col.drop_null()
+    n = len(arr)
+    if n == 0:
+        return [], [float("nan")] * 4
+    if pa.types.is_binary(arr.type) or pa.types.is_large_binary(arr.type):
+        off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+        bufs = arr.buffers()  # [validity, offsets, data]
+        offsets = np.frombuffer(bufs[1], dtype=off_dt)[arr.offset : arr.offset + n + 1]
+        lengths = np.diff(offsets)
+        if (lengths == 21).all():
+            vals = np.frombuffer(bufs[2], dtype=np.uint8)
+            mat = vals[offsets[:-1, None] + np.arange(21)]
+            hdr = np.frombuffer(np.uint32(1).tobytes(), dtype=np.uint8)
+            if (mat[:, 0] == 1).all() and (mat[:, 1:5] == hdr).all():
+                xy = np.ascontiguousarray(mat[:, 5:21]).view("<f8").reshape(-1, 2)
+                return ["Point"], [
+                    float(np.nanmin(xy[:, 0])),
+                    float(np.nanmin(xy[:, 1])),
+                    float(np.nanmax(xy[:, 0])),
+                    float(np.nanmax(xy[:, 1])),
+                ]
+    return _file_stats([bytes(b) for b in arr.to_pylist()])
+
+
 # --------------------------------------------------------------------------
 # sink
 # --------------------------------------------------------------------------
@@ -217,29 +236,25 @@ def write_geoparquet(
 
     Returns the manifest DataFrame (file, n_rows, bbox, types) — the
     write executes when the manifest is materialized.  Attribute columns
-    keep their Spark types (string/int/long/float/double/bool/binary/
-    timestamp supported).  Use ``wkt_to_wkb(col)`` first if the geometry
-    is WKT.  Determinism: file content is a pure function of partition
-    content and order — fix both (e.g. ``repartition(n, key)`` +
-    ``sortWithinPartitions``) for byte-reproducible output.
+    keep their Spark types (anything Spark's Arrow bridge carries,
+    including array/struct columns — embeddings ride along).  Use
+    ``wkt_to_wkb(col)`` (or ``points_to_wkb``) first if the geometry is
+    not WKB yet.  Determinism: file content is a pure function of
+    partition content and order — fix both (e.g. ``repartition(n, key)``
+    + ``sortWithinPartitions``) for byte-reproducible output.
+
+    The writer runs in ``mapInArrow``: record batches flow Spark->Arrow->
+    parquet without a pandas detour, so the WKB blobs never materialize
+    as per-row Python objects (the all-POINT stats path below is a single
+    numpy gather over the Arrow buffers).
     """
-    fields = df.schema.fields
-    names = [f.name for f in fields]
+    names = [f.name for f in df.schema.fields]
     if geometry_col not in names:
         raise ValueError(f"geometry column {geometry_col!r} not in {names}")
-    for f in fields:
-        if type(f.dataType) not in _SPARK_TO_ARROW:
-            raise ValueError(
-                f"unsupported column type for GeoParquet sink: "
-                f"{f.name}: {f.dataType}"
-            )
-    if not isinstance(
-        df.schema[geometry_col].dataType, BinaryType
-    ):
+    if not isinstance(df.schema[geometry_col].dataType, BinaryType):
         raise ValueError(
             f"{geometry_col!r} must be BinaryType WKB (use wkt_to_wkb)"
         )
-    arrow_types = {f.name: _SPARK_TO_ARROW[type(f.dataType)] for f in fields}
     os.makedirs(path, exist_ok=True)
 
     def write_partition(batches):
@@ -248,24 +263,17 @@ def write_geoparquet(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        schema = pa.schema([(n, pa.type_for_alias(arrow_types[n])) for n in names])
-        tables = [
-            pa.Table.from_pandas(b[names], schema=schema, preserve_index=False)
-            for b in batches
-        ]
-        if not tables or sum(t.num_rows for t in tables) == 0:
-            return iter(())  # empty partition -> no file
-        table = pa.concat_tables(tables)
-        blobs = [
-            bytes(b) for b in table.column(geometry_col).to_pylist() if b is not None
-        ]
-        kinds, bbox = _file_stats(blobs)
+        batches = list(batches)
+        if not batches or sum(b.num_rows for b in batches) == 0:
+            return  # empty partition -> no file
+        table = pa.Table.from_batches(batches)
+        kinds, bbox = _file_stats_arrow(table.column(geometry_col))
         table = table.replace_schema_metadata(
             {GEO_KEY: _geo_metadata(geometry_col, kinds, bbox)}
         )
         fname = f"part-{pid:05d}.parquet"
         pq.write_table(table, os.path.join(path, fname))
-        yield pd.DataFrame(
+        yield pa.RecordBatch.from_pydict(
             {
                 "file": [fname],
                 "n_rows": [table.num_rows],
@@ -277,7 +285,7 @@ def write_geoparquet(
             }
         )
 
-    return df.mapInPandas(write_partition, schema=_MANIFEST_SCHEMA)
+    return df.mapInArrow(write_partition, schema=_MANIFEST_SCHEMA)
 
 
 # --------------------------------------------------------------------------
