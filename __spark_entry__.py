@@ -3465,6 +3465,32 @@ def q_geoparquet_roundtrip(spark, sf_dir):
     )
 
 
+def q_raster_tiles(spark, sf_dir):
+    """Raster heat-tile PYRAMID (viz/raster.py): the vector→RASTER half
+    of the north_rule's raster↔vector loop. Webdoc points → packed
+    global-pixel ids at zoom 3 (one Arrow pass through the shared
+    numpy mercator kernel) → ONE map-side-combined pixel aggregate
+    (the only O(docs) shuffle) → zooms 3 and 2 projected from the
+    finest pixels by integer shifts (pure codegen, counts add exactly)
+    → one (z, x, y)-keyed grouped render into grayscale PNGs via the
+    from-scratch encoder. Blobs are byte-deterministic (integer gray
+    ramp, tile-max normalized); oracle = the same pure kernels
+    driver-side with numpy binning (oracles.raster_tiles_sql), one
+    VALUES row per (z, x, y), md5 per blob."""
+    from geokitten_spark.viz.raster import raster_heat_tiles
+
+    docs = _web_docs(spark, sf_dir)
+    out = raster_heat_tiles(docs.select("lon", "lat"), zooms=(3, 2), tile_px=64)
+    return out.select(
+        "z",
+        "x",
+        "y",
+        "n_points",
+        F.length("png").cast("long").alias("png_len"),
+        F.md5("png").alias("png_md5"),
+    )
+
+
 def q_unicode_normalize(spark, sf_dir):
     """Unicode NFC normalization (functions/text.py:normalize_nfc): every
     doc's text gets decomposed combining sequences appended (e+U+0301,
@@ -3818,6 +3844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mvt_pyramid": q_mvt_pyramid,
         "iceberg_read": q_iceberg_read,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
+        "raster_tiles": q_raster_tiles,
     }
 
 
@@ -5116,6 +5143,7 @@ def oracle_sql() -> dict[str, str]:
                     AS DOUBLE) AS area
         FROM nation
     """
+    out["raster_tiles"] = _ora.raster_tiles_sql()
     out["polygon_overlap"] = _ora.polygon_overlap_sql()
     # CCNet buckets: the oracle-checked lm chain + one NTILE window
     out["ccnet_buckets"] = f"""

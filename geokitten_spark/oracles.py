@@ -1091,6 +1091,53 @@ def mvt_pyramid_sql(sf_dir: str = ORACLE_SF_DIR,
     )
 
 
+def raster_tiles_sql(sf_dir: str = ORACLE_SF_DIR, zooms: tuple = (3, 2),
+                     tile_px: int = 64) -> str:
+    """Expected (z, x, y, n_points, png_len, png_md5) for q_raster_tiles:
+    the webdocs points pushed through the SAME pure numpy kernels
+    (viz/raster.py point_pixel + render_heat_tile) driver-side — numpy
+    binning instead of the Spark aggregate, so the distributed plumbing
+    (Arrow pixel encode, packed-id aggregate, per-zoom shift projection,
+    grouped render) is what the hash compare exercises. One VALUES row
+    per (z, x, y) blob, md5-compared byte-for-byte."""
+    import hashlib
+
+    from .viz.raster import point_pixel, render_heat_tile
+
+    lons, lats = _webdocs_lonlat(sf_dir)
+    zs = sorted({int(z) for z in zooms}, reverse=True)
+    zf = zs[0]
+    gx, gy = point_pixel(lons, lats, zf, tile_px)
+    uniq, counts = np.unique((gx << 32) | gy, return_counts=True)
+    ugx, ugy = uniq >> 32, uniq & 0xFFFFFFFF
+    log2t = tile_px.bit_length() - 1
+    rows = []
+    for z in zs:
+        dz = zf - z
+        zx, zy = ugx >> dz, ugy >> dz
+        tx, ty = zx >> log2t, zy >> log2t
+        pix = (zy & (tile_px - 1)) * tile_px + (zx & (tile_px - 1))
+        groups: dict = {}
+        for k in range(len(uniq)):
+            groups.setdefault((int(tx[k]), int(ty[k])), []).append(
+                (int(pix[k]), int(counts[k]))
+            )
+        for (gtx, gty), rws in sorted(groups.items()):
+            blob = render_heat_tile(
+                [p for p, _ in rws], [c for _, c in rws], tile_px
+            )
+            rows.append(
+                (z, gtx, gty, sum(c for _, c in rws), len(blob),
+                 hashlib.md5(blob).hexdigest())
+            )
+    return values_sql(
+        rows,
+        [("z", "INTEGER"), ("x", "BIGINT"), ("y", "BIGINT"),
+         ("n_points", "BIGINT"), ("png_len", "BIGINT"),
+         ("png_md5", "VARCHAR")],
+    )
+
+
 # ---------------------------------------------------------------------------
 # polygon×polygon overlap join oracle (operators/polyjoin.py)
 # ---------------------------------------------------------------------------

@@ -127,3 +127,14 @@ def test_lm_scoring_has_no_per_doc_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "doc_id" in line:
             raise AssertionError(f"per-doc Window in LM plan: {line.strip()}")
+
+
+def test_raster_tiles_two_exchanges_any_zoom_count(spark):
+    """viz/raster.py promises exactly TWO shuffles regardless of how many
+    zoom levels render: the packed-pixel aggregate (the only O(docs)
+    input) and the (z, x, y) grouped render over the per-zoom unions."""
+    from geokitten_spark.viz.raster import raster_heat_tiles
+
+    docs = web_documents(spark, SF_SMOKE).select("lon", "lat")
+    assert _n_exchanges(raster_heat_tiles(docs, zooms=(3,))) <= 2
+    assert _n_exchanges(raster_heat_tiles(docs, zooms=(4, 3, 2, 1))) <= 2
