@@ -246,6 +246,20 @@ def run_queries(spark, sf_dir: str, flagship_only: bool = False) -> tuple[dict, 
 
     timed("geoparquet_write", geoparquet_leg, reps=2)
 
+    # Raster heat-tile pyramid (new r5): the vector->raster sink. One
+    # Arrow pixel-encode pass over the corpus + map-side-combined pixel
+    # aggregate + grouped PNG render at zooms 6/5/4 — measures the full
+    # point->pixel->tile-blob path (the PNG encode itself is O(tiles)).
+    from geokitten_spark.viz.raster import raster_heat_tiles
+
+    timed(
+        "raster_tiles",
+        lambda: _materialize(
+            raster_heat_tiles(docs.select("lon", "lat"), zooms=(6, 5, 4))
+        ),
+        reps=2,
+    )
+
     # the cached 500k-doc table (html+text) is only used by the spatial
     # queries above — release it before the relational loop so its GC
     # pressure doesn't pollute those timings

@@ -189,3 +189,20 @@ def test_cross_decode_agreement_on_libpng_stream(shim, tmp_path):
     img = _img(40)
     stream = _shim_encode(shim, tmp_path, img, "agree", 2, 8, 1)
     assert np.array_equal(decode_png(stream), _shim_decode(shim, tmp_path, stream, "agree_rd"))
+
+
+def test_libpng_reads_raster_heat_tile(shim, tmp_path):
+    """The raster tile sink's blobs (viz/raster.py) are served to map
+    clients — a third-party decoder must read them exactly. libpng
+    re-verifies the CRCs/zlib stream and the gray ramp pixels."""
+    from geokitten_spark.viz.raster import render_heat_tile
+
+    blob = render_heat_tile([0, 5, 130, 130], [2, 1, 1, 2], 16)
+    out = _shim_decode(shim, tmp_path, blob, "raster_tile")
+    ours = decode_png(blob)
+    assert np.array_equal(out, np.repeat(ours, 3, axis=2) if ours.shape[2] == 1 else ours)
+    flat = out[:, :, 0].reshape(-1)
+    # pixel 130 sums its two entries to 3 = the tile max -> 255;
+    # count 2 -> 55 + 400//3 = 188; count 1 -> 55 + 200//3 = 121
+    assert flat[130] == 255 and flat[0] == 188 and flat[5] == 121
+    assert (flat > 0).sum() == 3
