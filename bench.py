@@ -871,11 +871,25 @@ def _squery_leg(cpus: int, reps: int = 1) -> dict[str, list]:
             finally:
                 _shutil.rmtree(loc, ignore_errors=True)
 
+        # Raster heat-tile leg (r5): Arrow pixel encode over jittered
+        # points + map-side-combined pixel aggregate + grouped PNG render
+        # (zooms 8/7/6). Throughput is bound by the vectorized encode
+        # pass, i.e. the Python-worker pool — the scaling signal for the
+        # Arrow UDF lane. Factor targets the 30-80s local[2] band.
+        from geokitten_spark.viz.raster import raster_heat_tiles
+
+        raster_factor = int(os.environ.get("SPARK_GRAFT_RASTER_FACTOR", "50"))
+        points_raster = jittered(raster_factor)
+        n_raster = n_docs * raster_factor
+
         ops = {
             "ann_sq8_scan": lambda: _materialize(
                 emb_big.select("vec_id", sq8_score.alias("s"))
                 .orderBy(F.col("s").desc(), F.col("vec_id").asc())
                 .limit(10)
+            ),
+            "raster_tiles": lambda: _materialize(
+                raster_heat_tiles(points_raster, zooms=(8, 7, 6))
             ),
             "geoparquet_write": geoparquet_write_leg,
             "knn_join": lambda: _materialize(
@@ -907,6 +921,7 @@ def _squery_leg(cpus: int, reps: int = 1) -> dict[str, list]:
             "knn_join": n_knn,
             "ann_sq8_scan": n_sq8,
             "geoparquet_write": n_gp,
+            "raster_tiles": n_raster,
         }
         only = os.environ.get("SPARK_GRAFT_SQ_OPS")
         if only:
