@@ -31,7 +31,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # default, and JVM unified-logging warnings (gc,alloc GCLocker retries)
 # print to STDOUT where they can interleave with the one-line JSON the
 # driver parses — disable them for the bench process only.
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
+# 24g: the r5 geoparquet + raster legs pushed the one-JVM suite peak
+# past 16g at sf0.1 (OOM in the late spatial stages; both legs are ~3s
+# and fine standalone — it's the cumulative cached-corpus + codegen +
+# shuffle peak). Host has 128 GiB; the per-leg timings are unaffected.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 os.environ.setdefault(
     "SPARK_GRAFT_DRIVER_JAVA_OPTS", "-Xlog:disable"
 )
