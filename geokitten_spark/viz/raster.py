@@ -163,9 +163,15 @@ def _zoom_struct(pid: Column, dz: int, z: int, tile_px: int) -> Column:
 
 
 def raster_heat_tiles(points: DataFrame, zooms: Sequence[int],
-                      tile_px: int = 64) -> DataFrame:
+                      tile_px: int = 64,
+                      weight_col: str | None = None) -> DataFrame:
     """(lon, lat) points → one grayscale PNG heat tile per (z, x, y)
     web-mercator tile, for every zoom in ``zooms``.
+
+    ``weight_col`` (integer column, e.g. a token count) switches the
+    per-pixel measure from point count to weight sum — same plan, the
+    aggregate just sums instead of counting, and a weight-w point is
+    byte-identical to w coincident unweighted points.
 
     Exactly TWO exchanges regardless of how many zooms are rendered:
     the packed-pixel hash aggregate (the only shuffle whose input is
@@ -176,13 +182,13 @@ def raster_heat_tiles(points: DataFrame, zooms: Sequence[int],
         raise ValueError("tile_px must be a power of two >= 2")
     zooms = sorted({int(z) for z in zooms}, reverse=True)
     zf = zooms[0]
-    base = (
-        points.select(
-            pixel_id_udf(zf, tile_px)(F.col("lon"), F.col("lat")).alias("pid")
-        )
-        .groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("n"))
+    measure = (
+        F.count(F.lit(1)) if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
     )
+    pid = pixel_id_udf(zf, tile_px)(F.col("lon"), F.col("lat")).alias("pid")
+    cols = [pid] if weight_col is None else [pid, weight_col]
+    base = points.select(*cols).groupBy("pid").agg(measure.alias("n"))
     # ONE exploded struct array per pixel row (map-side), NOT a Union of
     # per-zoom branches — a Union would re-plan (and re-scan) the whole
     # corpus aggregate once per level

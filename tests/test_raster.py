@@ -139,3 +139,24 @@ def test_raster_tiles_matches_driver_replica(spark):
         for key, rws in groups.items()
     }
     assert got == want
+
+
+def test_raster_tiles_weighted_equals_replicated(spark):
+    """A weight-w point renders byte-identically to w coincident
+    unweighted points (the weighted aggregate is the same measure)."""
+    import pyspark.sql.functions as F
+
+    pts = _synth_points(spark, n=120, parts=3)
+    weighted = pts.withColumn("w", (F.abs(F.hash("lon")) % 4 + 1).cast("long"))
+    replicated = weighted.select(
+        "lon", "lat", F.explode(F.sequence(F.lit(1), F.col("w"))).alias("_i")
+    )
+
+    def tiles(df, **kw):
+        out = raster_heat_tiles(df, zooms=(2,), tile_px=32, **kw)
+        return {
+            (r["z"], r["x"], r["y"]): (r["n_points"], hashlib.md5(r["png"]).hexdigest())
+            for r in out.collect()
+        }
+
+    assert tiles(weighted, weight_col="w") == tiles(replicated)
