@@ -3677,11 +3677,12 @@ def q_polygon_overlap(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
-        # queries with the weakest driver-side evidence: first the 41 entries
-        # that have never had a driver-green row (the late-r4 + session-4
-        # additions), then the greens with the OLDEST driver evidence
-        # (r1 stream_hourly, the six r2 rows, the two oldest r3 rows).
-        # Re-derived each round from CORRECTNESS_r*.json.
+        # queries with the weakest driver-side evidence: first the 46
+        # entries that have never had a driver-green row (41 late-r4 +
+        # session-4 additions, plus the 5 round-5 additions), then the
+        # greens with the OLDEST driver evidence (r1 stream_hourly, the
+        # three oldest r2 rows). This window drains the never-checked
+        # backlog to ZERO. Re-derived each round from CORRECTNESS_r*.json.
         # --- never driver-green (late-r4 batch) ---
         "h3_pentagon_disk": q_h3_pentagon_disk,
         "pack_sequences": q_pack_sequences,
@@ -3725,19 +3726,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": q_robots_sitemaps,
         "curation_pipeline": q_curation_pipeline,
         "lang_consistency": q_lang_consistency,
+        # --- never driver-green (new in r5) ---
+        "link_pagerank_redistribute": q_link_pagerank_redistribute,
+        "mvt_pyramid": q_mvt_pyramid,
+        "iceberg_read": q_iceberg_read,
+        "geoparquet_roundtrip": q_geoparquet_roundtrip,
+        "raster_tiles": q_raster_tiles,
         # --- oldest driver evidence: r1 ---
         "stream_hourly": q_sessionize_stream_twin,
-        # --- oldest driver evidence: r2 ---
+        # --- oldest driver evidence: r2 (three oldest fill the window) ---
         "contamination_check": q_contamination_check,
         "sample_stratified": q_sample_stratified,
         "sample_per_group": q_sample_per_group,
+        # ================= past the 50-query driver window =================
+        # --- remaining r2/r3 greens (displaced by the r5-new batch) ---
         "fingerprint_rolling": q_fingerprint_rolling,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
-        # --- oldest driver evidence: r3 (two oldest fill the window) ---
         "tpch_q1": q_tpch_q1,
         "tpch_q3_topk": q_tpch_q3_topk,
-        # ================= past the 50-query driver window =================
         # --- last green r3 ---
         "tpch_q5_joins": q_tpch_q5_joins,
         "tpch_q6_filter": q_tpch_q6_filter,
@@ -3838,13 +3845,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "events_hourly": q_events_hourly,
         "extract_invariant": q_extract_invariant,
-        # --- new in r5 (appended past the 50-query driver window so the
-        # window stays on the never-checked set; covered by STRICT_r05) ---
-        "link_pagerank_redistribute": q_link_pagerank_redistribute,
-        "mvt_pyramid": q_mvt_pyramid,
-        "iceberg_read": q_iceberg_read,
-        "geoparquet_roundtrip": q_geoparquet_roundtrip,
-        "raster_tiles": q_raster_tiles,
     }
 
 
