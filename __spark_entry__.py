@@ -3491,6 +3491,47 @@ def q_raster_tiles(spark, sf_dir):
     )
 
 
+def q_skew_salted_join(spark, sf_dir):
+    """North_rule "salted-key skew mitigation for dense cells" made
+    driver-visible (operators/skew.py). Web docs encode to COARSE res-3
+    grid cells — a handful of hot cells hold most of the corpus — then:
+    cell_histogram finds the hot cells, choose_salt_factor sizes the
+    fan-out from the hottest cell, and salted_join joins the skewed doc
+    side back to the per-cell dim with the big side salted
+    deterministically by doc_id (pmod(xxhash64), never random — stage
+    retries stay deterministic), the dim exploded ×salt, and the join
+    keyed on the (cell_id, __salt) column PAIR (overflow-proof for
+    packed BIGINT cell ids). Output folds the joined rows into
+    per-density-level counts; the oracle is the PLAIN unsalted
+    join+aggregate, so the driver's hash match IS the salted==plain
+    equivalence proof at driver grade."""
+    from geokitten_spark.functions.cells_udfs import grid_cell_col
+    from geokitten_spark.operators.skew import (
+        cell_histogram,
+        choose_salt_factor,
+        salted_join,
+    )
+
+    docs = _web_docs(spark, sf_dir)
+    pts = docs.select(
+        "doc_id", grid_cell_col(F.col("lon"), F.col("lat"), 3).alias("cell_id")
+    )
+    hist = cell_histogram(pts)
+    salt = choose_salt_factor(hist, target_rows_per_task=8, max_salt=16)
+    joined = salted_join(
+        pts,
+        hist.withColumnRenamed("count", "cell_count"),
+        on="cell_id",
+        salt=salt,
+        big_tag_col="doc_id",
+    )
+    return joined.groupBy("cell_count").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cell_id").alias("n_cells"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 def q_unicode_normalize(spark, sf_dir):
     """Unicode NFC normalization (functions/text.py:normalize_nfc): every
     doc's text gets decomposed combining sequences appended (e+U+0301,
@@ -3845,6 +3886,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "events_hourly": q_events_hourly,
         "extract_invariant": q_extract_invariant,
+        # --- new in final session (past the window; strict-record covered) ---
+        "skew_salted_join": q_skew_salted_join,
     }
 
 
@@ -5144,6 +5187,24 @@ def oracle_sql() -> dict[str, str]:
         FROM nation
     """
     out["raster_tiles"] = _ora.raster_tiles_sql()
+    # skew_salted_join: the oracle is the PLAIN (unsalted) join+aggregate —
+    # a hash match proves the salted plan is output-equivalent
+    out["skew_salted_join"] = f"""
+        {cte},
+        pts AS (
+            SELECT doc_id, {grid_cell_sql('lon', 'lat', 3)} AS cell_id
+            FROM webdocs
+        ),
+        hist AS (
+            SELECT cell_id, COUNT(*) AS cell_count FROM pts GROUP BY 1
+        )
+        SELECT h.cell_count,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT p.cell_id) AS n_cells,
+               MIN(p.doc_id) AS min_doc_id
+        FROM pts p JOIN hist h ON p.cell_id = h.cell_id
+        GROUP BY h.cell_count
+    """
     out["polygon_overlap"] = _ora.polygon_overlap_sql()
     # CCNet buckets: the oracle-checked lm chain + one NTILE window
     out["ccnet_buckets"] = f"""

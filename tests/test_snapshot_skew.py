@@ -180,3 +180,41 @@ def test_iceberg_files_contract_extraction(spark):
         "record_count",
         "file_size_in_bytes",
     }
+
+
+def test_skew_salted_join_driver_query_engages_salt_path(spark):
+    """The driver query skew_salted_join must actually exercise the salted
+    plan at fixture scale: the chosen salt factor exceeds 1 (res-3 cells
+    are genuinely hot), the physical join keys on the (cell_id, __salt)
+    column PAIR, and the result equals the plain unsalted twin."""
+    import __spark_entry__ as entrymod
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.functions.cells_udfs import grid_cell_col
+    from geokitten_spark.operators.skew import cell_histogram, choose_salt_factor
+
+    sf_dir = "/root/testdata/sf0.01"
+    pts = web_documents(spark, sf_dir).select(
+        "doc_id", grid_cell_col(F.col("lon"), F.col("lat"), 3).alias("cell_id")
+    )
+    salt = choose_salt_factor(
+        cell_histogram(pts), target_rows_per_task=8, max_salt=16
+    )
+    assert salt > 1, "fixture corpus must be dense enough to trigger salting"
+
+    out = entrymod.q_skew_salted_join(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan, "join must key on the (cell_id, __salt) pair"
+
+    hist = cell_histogram(pts).withColumnRenamed("count", "cell_count")
+    plain = (
+        pts.join(hist, on="cell_id")
+        .groupBy("cell_count")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cell_id").alias("n_cells"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in plain.collect()}
+    assert got == want
