@@ -3718,12 +3718,13 @@ def q_polygon_overlap(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
-        # queries with the weakest driver-side evidence: first the 46
+        # queries with the weakest driver-side evidence: first the 47
         # entries that have never had a driver-green row (41 late-r4 +
-        # session-4 additions, plus the 5 round-5 additions), then the
-        # greens with the OLDEST driver evidence (r1 stream_hourly, the
-        # three oldest r2 rows). This window drains the never-checked
-        # backlog to ZERO. Re-derived each round from CORRECTNESS_r*.json.
+        # session-4 additions, the 5 round-5 additions, plus the
+        # final-session skew_salted_join), then the greens with the
+        # OLDEST driver evidence (r1 stream_hourly, the two oldest r2
+        # rows). This window drains the never-checked backlog to ZERO.
+        # Re-derived each round from CORRECTNESS_r*.json.
         # --- never driver-green (late-r4 batch) ---
         "h3_pentagon_disk": q_h3_pentagon_disk,
         "pack_sequences": q_pack_sequences,
@@ -3773,13 +3774,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_read": q_iceberg_read,
         "geoparquet_roundtrip": q_geoparquet_roundtrip,
         "raster_tiles": q_raster_tiles,
+        # --- never driver-green (final session) ---
+        "skew_salted_join": q_skew_salted_join,
         # --- oldest driver evidence: r1 ---
         "stream_hourly": q_sessionize_stream_twin,
-        # --- oldest driver evidence: r2 (three oldest fill the window) ---
+        # --- oldest driver evidence: r2 (two oldest fill the window) ---
         "contamination_check": q_contamination_check,
         "sample_stratified": q_sample_stratified,
-        "sample_per_group": q_sample_per_group,
         # ================= past the 50-query driver window =================
+        "sample_per_group": q_sample_per_group,
         # --- remaining r2/r3 greens (displaced by the r5-new batch) ---
         "fingerprint_rolling": q_fingerprint_rolling,
         "dedup_minhash": q_dedup_minhash,
@@ -3886,8 +3889,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "events_hourly": q_events_hourly,
         "extract_invariant": q_extract_invariant,
-        # --- new in final session (past the window; strict-record covered) ---
-        "skew_salted_join": q_skew_salted_join,
     }
 
 
