@@ -1920,6 +1920,58 @@ def q_h3_polyfill(spark, sf_dir):
     )
 
 
+def q_h3_compact_cover(spark, sf_dir):
+    """Compacted mixed-res H3 cover join (cells/h3core.py compact_cells —
+    h3-py v4 semantics, roundtrip-pinned in tests/test_h3.py): the fixed
+    test polygon's res-3 polyfill (1,860 cells) compacts to a 253-cell
+    mixed-res cover (res 0-3, 7.4x smaller); every doc's res-3 H3 cell
+    is probed against the cover via PURE-codegen digit-truncation
+    ancestors (cells_udfs.h3_parent_col — bit ops, no Python stage), one
+    coalesce(when...) branch per cover res. At 10^12 rows this is the
+    region-filter shape that matters: the broadcast membership literal
+    set shrinks by the compaction factor and the probe stays inside
+    whole-stage codegen; only the initial H3 encode is an Arrow batch.
+    Output: (cover_cell, cover_res, n_docs). Oracle resolves containment
+    by FULL uncompact expansion instead — the hash match proves the
+    truncation-probe and expansion formulations agree cell-for-cell."""
+    import numpy as np
+
+    from geokitten_spark.cells import h3core
+    from geokitten_spark.functions.cells_udfs import h3_cell, h3_parent_col
+    from geokitten_spark.oracles import H3_COMPACT_RES, H3_POLYFILL_RING
+
+    res = H3_COMPACT_RES
+    full = h3core.polygon_to_cells(list(H3_POLYFILL_RING), res)
+    comp = h3core.compact_cells(full).astype(np.int64)
+    by_res: dict[int, list[int]] = {}
+    for c in comp.tolist():
+        by_res.setdefault((c >> 52) & 15, []).append(c)
+
+    docs = _web_docs(spark, sf_dir)
+    df = docs.select(h3_cell(res)(F.col("lon"), F.col("lat")).alias("cell3"))
+    branches = []
+    for r in sorted(by_res):
+        anc = (
+            F.col("cell3")
+            if r == res
+            else h3_parent_col(F.col("cell3"), res, r)
+        )
+        branches.append(F.when(anc.isin(by_res[r]), anc))
+    return (
+        df.withColumn("cover_cell", F.coalesce(*branches))
+        .filter(F.col("cover_cell").isNotNull())
+        .groupBy("cover_cell")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "cover_cell",
+            F.expr("CAST(shiftright(cover_cell, 52) & 15 AS INT)").alias(
+                "cover_res"
+            ),
+            "n_docs",
+        )
+    )
+
+
 def q_h3_vectorize(spark, sf_dir):
     """Raster→vector on true H3 ids: res-2 tile aggregate, then each
     cell's boundary rendered to WKT by a per-cell kernel on the
@@ -3718,13 +3770,13 @@ def q_polygon_overlap(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
-        # queries with the weakest driver-side evidence: first the 47
+        # queries with the weakest driver-side evidence: first the 48
         # entries that have never had a driver-green row (41 late-r4 +
         # session-4 additions, the 5 round-5 additions, plus the
-        # final-session skew_salted_join), then the greens with the
-        # OLDEST driver evidence (r1 stream_hourly, the two oldest r2
-        # rows). This window drains the never-checked backlog to ZERO.
-        # Re-derived each round from CORRECTNESS_r*.json.
+        # final-session skew_salted_join and h3_compact_cover), then the
+        # greens with the OLDEST driver evidence (r1 stream_hourly, the
+        # oldest r2 row). This window drains the never-checked backlog
+        # to ZERO. Re-derived each round from CORRECTNESS_r*.json.
         # --- never driver-green (late-r4 batch) ---
         "h3_pentagon_disk": q_h3_pentagon_disk,
         "pack_sequences": q_pack_sequences,
@@ -3776,12 +3828,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_tiles": q_raster_tiles,
         # --- never driver-green (final session) ---
         "skew_salted_join": q_skew_salted_join,
+        "h3_compact_cover": q_h3_compact_cover,
         # --- oldest driver evidence: r1 ---
         "stream_hourly": q_sessionize_stream_twin,
-        # --- oldest driver evidence: r2 (two oldest fill the window) ---
+        # --- oldest driver evidence: r2 (oldest fills the window) ---
         "contamination_check": q_contamination_check,
-        "sample_stratified": q_sample_stratified,
         # ================= past the 50-query driver window =================
+        "sample_stratified": q_sample_stratified,
         "sample_per_group": q_sample_per_group,
         # --- remaining r2/r3 greens (displaced by the r5-new batch) ---
         "fingerprint_rolling": q_fingerprint_rolling,
@@ -4858,6 +4911,7 @@ def oracle_sql() -> dict[str, str]:
         "h3_rollup": _ora.h3_rollup_sql(),
         "h3_knn": _ora.h3_knn_sql(),
         "h3_polyfill": _ora.h3_polyfill_sql(),
+        "h3_compact_cover": _ora.h3_compact_cover_sql(),
         "h3_vectorize": _ora.h3_vectorize_sql(),
         "h3_adaptive_tiles": _ora.h3_adaptive_tiles_sql(),
         "ann_batch_topk": _ora.ann_batch_topk_sql(),

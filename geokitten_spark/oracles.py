@@ -843,6 +843,43 @@ def h3_polyfill_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
     return _cell_count_values(cells.astype(np.int64)[keep])
 
 
+H3_COMPACT_RES = 3
+
+
+@lru_cache(maxsize=4)
+def h3_compact_cover_sql(sf_dir: str = ORACLE_SF_DIR) -> str:
+    """Expected (cover_cell, cover_res, n_docs) for q_h3_compact_cover:
+    each doc's res-3 cell mapped to its covering cell in the COMPACTED
+    mixed-res polyfill of the fixed test polygon, counted per cover cell.
+    Same kernels as the Spark side (polygon_to_cells / compact_cells /
+    latlng_to_cell); containment resolved by full uncompact expansion —
+    the Spark side instead probes digit-truncation ancestors, so a hash
+    match proves the two containment formulations agree."""
+    import collections
+
+    from .cells import h3core
+
+    lons, lats = _webdocs_lonlat(sf_dir)
+    cell3 = h3core.latlng_to_cell(lats, lons, H3_COMPACT_RES).astype(np.int64)
+    full = h3core.polygon_to_cells(list(H3_POLYFILL_RING), H3_COMPACT_RES)
+    comp = h3core.compact_cells(full).astype(np.int64)
+    cover: dict[int, int] = {}
+    for c in comp.tolist():
+        kids = h3core.uncompact_cells(
+            np.array([c], dtype=np.uint64), H3_COMPACT_RES
+        ).astype(np.int64)
+        for child in kids.tolist():
+            cover[child] = c
+    cnt = collections.Counter(
+        cover[int(x)] for x in cell3.tolist() if int(x) in cover
+    )
+    rows = [(c, (c >> 52) & 15, n) for c, n in sorted(cnt.items())]
+    return values_sql(
+        rows,
+        [("cover_cell", "BIGINT"), ("cover_res", "INTEGER"), ("n_docs", "BIGINT")],
+    )
+
+
 def h3_pentagon_disk_origins() -> list[int]:
     """The 72 warp-zone origins for q_h3_pentagon_disk: each of the 12
     res-2 pentagons plus its disk(1) — every cell the pentagon-safe BFS

@@ -138,3 +138,48 @@ def test_raster_tiles_two_exchanges_any_zoom_count(spark):
     docs = web_documents(spark, SF_SMOKE).select("lon", "lat")
     assert _n_exchanges(raster_heat_tiles(docs, zooms=(3,))) <= 2
     assert _n_exchanges(raster_heat_tiles(docs, zooms=(4, 3, 2, 1))) <= 2
+
+
+def test_h3_compact_cover_codegen_probe_single_shuffle(spark):
+    """The compacted-cover driver query's containment probe must stay
+    JVM-side (bit-arithmetic ancestors + INSET literals, NO row-at-a-time
+    Python) with exactly one shuffle (the per-cover-cell aggregate), and
+    its assignment must agree with the full-uncompact expansion."""
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from geokitten_spark.cells import h3core
+    from geokitten_spark.oracles import H3_COMPACT_RES, H3_POLYFILL_RING
+
+    df = entrymod.q_h3_compact_cover(spark, SF_SMOKE)
+    rows = df.collect()
+    plan = _physical(df)
+    assert "BatchEvalPython" not in plan, "probe fell back to per-row Python"
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert (
+        len(re.findall(r"\bExchange hashpartitioning", final_plan)) == 1
+    ), "expected exactly one shuffle (the per-cover-cell aggregate)"
+
+    full = h3core.polygon_to_cells(list(H3_POLYFILL_RING), H3_COMPACT_RES)
+    comp = set(h3core.compact_cells(full).astype(np.int64).tolist())
+    # every emitted cover cell is a member of the compacted set, at the
+    # res its own bits claim
+    for r in rows:
+        assert r["cover_cell"] in comp
+        assert (r["cover_cell"] >> 52) & 15 == r["cover_res"]
+
+    # conservation: total docs assigned via the mixed-res cover == docs
+    # whose res-3 cell is in the UNCOMPACTED polyfill (membership is
+    # equivalent by the compact/uncompact roundtrip)
+    from geokitten_spark.fixtures import web_documents
+    from geokitten_spark.functions.cells_udfs import h3_cell
+
+    docs = web_documents(spark, SF_SMOKE)
+    n_plain = (
+        docs.select(
+            h3_cell(H3_COMPACT_RES)(F.col("lon"), F.col("lat")).alias("c")
+        )
+        .filter(F.col("c").isin([int(x) for x in full.astype(np.int64)]))
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_plain
