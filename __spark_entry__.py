@@ -997,6 +997,21 @@ def q_web_tile_rollup(spark, sf_dir):
     return tile_rollup(docs, "lon", "lat", [3, 5, 7])
 
 
+def q_tile_distinct_rollup(spark, sf_dir):
+    """A6 multi-res DISTINCT (operators/tile.py:tile_distinct_rollup):
+    per-tile distinct-url HLL estimates for zooms 7/5/3 from ONE doc
+    shuffle — the finest-res register table is max-merged up the pyramid
+    via the arithmetic tile parent (register max-merge is lossless, see
+    operators/sketch.py). The oracle computes an independent SINGLE-PASS
+    sketch per zoom in DuckDB, so the driver hash match proves the
+    pyramid merge is bit-identical to per-level re-sketching — the
+    property that saves L-1 corpus shuffles at 10^12 docs."""
+    from geokitten_spark.operators.tile import tile_distinct_rollup
+
+    docs = _web_docs(spark, sf_dir)
+    return tile_distinct_rollup(docs, "lon", "lat", "url", [3, 5, 7])
+
+
 def q_tile_vectorize(spark, sf_dir):
     """A6 raster→vector: tile aggregate at res 6 vectorized back to cell
     rectangle corners (pure SQL decode of the packed id; the WKT feature
@@ -3770,13 +3785,14 @@ def q_polygon_overlap(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
-        # queries with the weakest driver-side evidence: first the 48
+        # queries with the weakest driver-side evidence: first the 49
         # entries that have never had a driver-green row (41 late-r4 +
-        # session-4 additions, the 5 round-5 additions, plus the
-        # final-session skew_salted_join and h3_compact_cover), then the
-        # greens with the OLDEST driver evidence (r1 stream_hourly, the
-        # oldest r2 row). This window drains the never-checked backlog
-        # to ZERO. Re-derived each round from CORRECTNESS_r*.json.
+        # session-4 additions, the 5 round-5 additions, plus the three
+        # final-session queries skew_salted_join / h3_compact_cover /
+        # tile_distinct_rollup), then the green with the OLDEST driver
+        # evidence (r1 stream_hourly). This window drains the
+        # never-checked backlog to ZERO. Re-derived each round from
+        # CORRECTNESS_r*.json.
         # --- never driver-green (late-r4 batch) ---
         "h3_pentagon_disk": q_h3_pentagon_disk,
         "pack_sequences": q_pack_sequences,
@@ -3829,11 +3845,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- never driver-green (final session) ---
         "skew_salted_join": q_skew_salted_join,
         "h3_compact_cover": q_h3_compact_cover,
+        "tile_distinct_rollup": q_tile_distinct_rollup,
         # --- oldest driver evidence: r1 ---
         "stream_hourly": q_sessionize_stream_twin,
-        # --- oldest driver evidence: r2 (oldest fills the window) ---
-        "contamination_check": q_contamination_check,
         # ================= past the 50-query driver window =================
+        "contamination_check": q_contamination_check,
         "sample_stratified": q_sample_stratified,
         "sample_per_group": q_sample_per_group,
         # --- remaining r2/r3 greens (displaced by the r5-new batch) ---
@@ -4395,6 +4411,18 @@ def oracle_sql() -> dict[str, str]:
         "web_tile_rollup": f"""
             {cte}
             {' UNION ALL '.join(rollups)}
+        """,
+        # tile_distinct_rollup: each zoom's oracle is an INDEPENDENT
+        # single-pass HLL sketch — the hash match against the Spark side's
+        # finest-register max-merge pyramid proves the merge is lossless
+        "tile_distinct_rollup": f"""
+            {cte}
+            {' UNION ALL '.join(
+                f"SELECT CAST({res} AS INT) AS res, cell_id, "
+                f"hll_distinct AS n_distinct "
+                f"FROM ({hll_distinct_sql('cell_id', 'url', '(SELECT ' + grid_cell_sql('lon', 'lat', res) + ' AS cell_id, url FROM webdocs)')})"
+                for res in (7, 5, 3)
+            )}
         """,
         "tile_vectorize": f"""
             {cte},

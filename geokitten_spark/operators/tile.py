@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..cells.grid import RES_SHIFT, X_SHIFT
 from ..functions.cells_udfs import grid_cell_col
 
-__all__ = ["tile_aggregate", "tile_rollup", "grid_parent_col", "cell_cover_df", "cell_equi_join", "geo_aggregates", "tile_vectorize", "tile_wkt_sql"]
+__all__ = ["tile_aggregate", "tile_rollup", "tile_distinct_rollup", "grid_parent_col", "cell_cover_df", "cell_equi_join", "geo_aggregates", "tile_vectorize", "tile_wkt_sql"]
 
 
 def tile_aggregate(
@@ -94,6 +94,72 @@ def tile_rollup(
         base.select(F.explode(levels).alias("lv"), "n_docs")
         .groupBy(F.col("lv.res").alias("res"), F.col("lv.cell_id").alias("cell_id"))
         .agg(F.sum("n_docs").alias("n_docs"))
+    )
+
+
+def tile_distinct_rollup(
+    docs: DataFrame,
+    lon_col: str,
+    lat_col: str,
+    key_col: str,
+    resolutions: list,
+    *,
+    m: int = 256,
+    salt: str = "hll",
+) -> DataFrame:
+    """Multi-res per-tile DISTINCT(key) estimates in ONE doc pass.
+
+    ``tile_rollup`` composes upward because counts are sums; distinct
+    counts are NOT summable (the same key appears under many child
+    tiles), so a naive multi-zoom distinct recomputes a
+    ``COUNT(DISTINCT)`` per level — L corpus shuffles. This operator
+    instead builds the HLL register table (operators/sketch.py) at the
+    FINEST resolution — the only O(docs) shuffle, output <= m rows per
+    tile — then derives every coarser level by exploding the register
+    table over the arithmetic tile parents and MAX-merging registers.
+    A register is a max of per-key ranks, so max-merging the children's
+    registers is LOSSLESS: the parent's estimate is bit-identical to a
+    single-pass sketch of the parent's docs — which is exactly what the
+    DuckDB oracle computes per level (the driver hash-match on query
+    ``tile_distinct_rollup`` is the losslessness proof at driver grade).
+
+    At 10^12 docs: one corpus shuffle + L sketch-table shuffles
+    (<= m x tiles rows each) instead of L corpus shuffles. Output:
+    (res, cell_id, n_distinct) with the sketch's deterministic
+    rounding (estimate std err ~1.04/sqrt(m)).
+    """
+    from .sketch import _hll_estimate, hll_registers
+
+    finest = max(resolutions)
+    base = docs.select(
+        grid_cell_col(F.col(lon_col), F.col(lat_col), finest).alias("cell_id"),
+        F.col(key_col).alias("__k"),
+    )
+    regs = hll_registers(base, "__k", ["cell_id"], m=m, salt=salt)
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("res"),
+                (
+                    F.col("cell_id")
+                    if r == finest
+                    else grid_parent_col(F.col("cell_id"), finest, r)
+                ).alias("cell_id"),
+            )
+            for r in sorted(resolutions, reverse=True)
+        ]
+    )
+    merged = (
+        regs.select(F.explode(levels).alias("lv"), "__reg", "__R")
+        .groupBy(
+            F.col("lv.res").alias("res"),
+            F.col("lv.cell_id").alias("cell_id"),
+            "__reg",
+        )
+        .agg(F.max("__R").alias("__R"))
+    )
+    return _hll_estimate(merged, ["res", "cell_id"], m).withColumnRenamed(
+        "hll_distinct", "n_distinct"
     )
 
 

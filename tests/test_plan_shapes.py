@@ -183,3 +183,41 @@ def test_h3_compact_cover_codegen_probe_single_shuffle(spark):
         .count()
     )
     assert sum(r["n_docs"] for r in rows) == n_plain
+
+
+def test_tile_distinct_rollup_one_doc_shuffle_and_lossless_merge(spark):
+    """The distinct pyramid must shuffle the DOCS exactly once (the
+    finest register table); coarser zooms re-shuffle only sketch-sized
+    register rows. And the max-merged pyramid estimates must equal an
+    independent single-pass sketch at every level (register merge is
+    lossless)."""
+    from geokitten_spark.functions.cells_udfs import grid_cell_col
+    from geokitten_spark.operators.sketch import hll_distinct
+    from geokitten_spark.operators.tile import tile_distinct_rollup
+
+    docs = web_documents(spark, SF_SMOKE)
+    df = tile_distinct_rollup(docs, "lon", "lat", "url", [3, 5, 7])
+    rows = df.collect()
+    # 3 shuffles total: docs→finest registers, register pyramid regroup,
+    # per-(res,cell) estimate — only the FIRST carries doc-sized data
+    # (count the AQE final plan only: after collect() the toString also
+    # embeds the pre-AQE "Initial Plan", which would double the count)
+    final_plan = _physical(df).split("== Initial Plan ==")[0]
+    assert len(re.findall(r"\bExchange hashpartitioning", final_plan)) <= 3
+
+    got = {(r["res"], r["cell_id"]): r["n_distinct"] for r in rows}
+    for res in (3, 5, 7):
+        single = hll_distinct(
+            docs.select(
+                grid_cell_col(F.col("lon"), F.col("lat"), res).alias("cell_id"),
+                "url",
+            ),
+            "url",
+            ["cell_id"],
+        ).collect()
+        for s in single:
+            assert got[(res, s["cell_id"])] == s["hll_distinct"], (
+                res,
+                s["cell_id"],
+            )
+        assert len(single) == sum(1 for k in got if k[0] == res)
