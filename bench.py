@@ -264,6 +264,21 @@ def run_queries(spark, sf_dir: str, flagship_only: bool = False) -> tuple[dict, 
         reps=2,
     )
 
+    # Multi-zoom DISTINCT rollup (new r5 final session): per-tile
+    # distinct-url HLL pyramid at zooms 7/5/3 — ONE corpus shuffle (the
+    # finest register table, map-side partial max), coarser zooms merged
+    # from sketch-sized register rows. The corpus-scale contrast with
+    # tile_rollup_x5 measures the sketch overhead vs plain counts.
+    from geokitten_spark.operators.tile import tile_distinct_rollup
+
+    timed(
+        "tile_distinct_x3",
+        lambda: _materialize(
+            tile_distinct_rollup(docs, "lon", "lat", "url", [7, 5, 3])
+        ),
+        reps=2,
+    )
+
     # the cached 500k-doc table (html+text) is only used by the spatial
     # queries above — release it before the relational loop so its GC
     # pressure doesn't pollute those timings
