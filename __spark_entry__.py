@@ -3085,6 +3085,54 @@ def q_heavy_hitters_cms(spark, sf_dir):
     return cms_lookup(counters, top, "tok", d=4, w=1024)
 
 
+def q_cms_merge_increments(spark, sf_dir):
+    """Count-min INCREMENT path (operators/sketch.py:cms_merge — the
+    frequency twin of q_distinct_sketch_union's HLL max-merge): slice
+    the corpus three ways by doc-id hash, build each slice's 4x1024
+    counter grid over its token stream, SUM-merge the three grids, then
+    probe the exact global top-20 tokens against the merged grid.
+    Counters are sums, so the merge is LOSSLESS: the oracle is the
+    SINGLE-PASS sketch over the whole corpus (byte-identical SQL to
+    heavy_hitters_cms's oracle), and the driver hash match proves
+    merged == single-pass. 100-TB shape: each ingest increment ships a
+    <= d*w-row grid; any period's frequency accounting sum-merges tiny
+    grids and broadcasts the result at candidate keys — the corpus is
+    never re-scanned."""
+    from geokitten_spark.operators.sketch import (
+        cms_counters,
+        cms_lookup,
+        cms_merge,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _toks(df):
+        return df.select(
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+            ).alias("tok")
+        )
+
+    grids = [
+        cms_counters(
+            _toks(docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i)),
+            "tok",
+            d=4,
+            w=1024,
+        )
+        for i in range(3)
+    ]
+    merged = cms_merge(grids)
+    toks = _toks(docs)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    return cms_lookup(merged, top, "tok", d=4, w=1024)
+
+
 def q_quantile_sketch(spark, sf_dir):
     """HDR-histogram quantiles (operators/sketch.py:qhist): per-source
     p50/p90/p99 text length without a per-group sort. Spark's
@@ -3785,14 +3833,14 @@ def q_polygon_overlap(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's first-50 correctness window covers the
-        # queries with the weakest driver-side evidence: first the 49
+        # queries with the weakest driver-side evidence: exactly the 50
         # entries that have never had a driver-green row (41 late-r4 +
-        # session-4 additions, the 5 round-5 additions, plus the three
+        # session-4 additions, the 5 round-5 additions, plus the four
         # final-session queries skew_salted_join / h3_compact_cover /
-        # tile_distinct_rollup), then the green with the OLDEST driver
-        # evidence (r1 stream_hourly). This window drains the
-        # never-checked backlog to ZERO. Re-derived each round from
-        # CORRECTNESS_r*.json.
+        # tile_distinct_rollup / cms_merge_increments). Every query past
+        # the window has a green driver row from r1-r4. This window
+        # drains the never-checked backlog to ZERO. Re-derived each
+        # round from CORRECTNESS_r*.json.
         # --- never driver-green (late-r4 batch) ---
         "h3_pentagon_disk": q_h3_pentagon_disk,
         "pack_sequences": q_pack_sequences,
@@ -3846,9 +3894,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": q_skew_salted_join,
         "h3_compact_cover": q_h3_compact_cover,
         "tile_distinct_rollup": q_tile_distinct_rollup,
+        "cms_merge_increments": q_cms_merge_increments,
+        # ================= past the 50-query driver window =================
         # --- oldest driver evidence: r1 ---
         "stream_hourly": q_sessionize_stream_twin,
-        # ================= past the 50-query driver window =================
         "contamination_check": q_contamination_check,
         "sample_stratified": q_sample_stratified,
         "sample_per_group": q_sample_per_group,
@@ -5270,6 +5319,11 @@ def oracle_sql() -> dict[str, str]:
         FROM nation
     """
     out["raster_tiles"] = _ora.raster_tiles_sql()
+    # cms_merge_increments: counters are sums, so the 3-way increment
+    # merge is lossless — its oracle IS the single-pass sketch lookup
+    # (byte-identical to heavy_hitters_cms's); the driver hash match is
+    # the merged == single-pass proof
+    out["cms_merge_increments"] = out["heavy_hitters_cms"]
     # skew_salted_join: the oracle is the PLAIN (unsalted) join+aggregate —
     # a hash match proves the salted plan is output-equivalent
     out["skew_salted_join"] = f"""
