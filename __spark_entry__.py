@@ -3133,6 +3133,41 @@ def q_cms_merge_increments(spark, sf_dir):
     return cms_lookup(merged, top, "tok", d=4, w=1024)
 
 
+def q_qhist_merge_increments(spark, sf_dir):
+    """HDR quantile-histogram INCREMENT path (operators/sketch.py:
+    qhist_merge) — completes the increment-merge trilogy alongside
+    distinct_sketch_union (HLL register MAX-merge) and
+    cms_merge_increments (CMS counter SUM-merge): slice the corpus three
+    ways by doc-id hash, build each slice's per-source HDR bucket table,
+    SUM-merge the tables, read p50/p90/p99 text length off the merged
+    grid. Bucket counts are sums of a pure function of the value
+    multiset, so the merge is LOSSLESS: the oracle is the SINGLE-PASS
+    sketch (byte-identical SQL to quantile_sketch's), and the driver
+    hash match proves merged == single-pass. 100-TB shape: each ingest
+    increment ships <= (65-sig)*2^sig bucket rows per group; any
+    period's latency/length percentiles come from merging bucket
+    tables, never re-scanning or re-sorting the corpus."""
+    from geokitten_spark.operators.sketch import (
+        qhist_counters,
+        qhist_merge,
+        qhist_quantiles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vals = docs.select(
+        "doc_id", "source", F.length("text").cast("long").alias("text_len")
+    )
+    parts = [
+        qhist_counters(
+            vals.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i),
+            "text_len",
+            ["source"],
+        )
+        for i in range(3)
+    ]
+    return qhist_quantiles(qhist_merge(parts), ["source"])
+
+
 def q_quantile_sketch(spark, sf_dir):
     """HDR-histogram quantiles (operators/sketch.py:qhist): per-source
     p50/p90/p99 text length without a per-group sort. Spark's
@@ -3896,6 +3931,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_distinct_rollup": q_tile_distinct_rollup,
         "cms_merge_increments": q_cms_merge_increments,
         # ================= past the 50-query driver window =================
+        # qhist_merge_increments: 51st never-driver-checked — covered by
+        # strict records at BOTH SFs, and its oracle is byte-identical
+        # to quantile_sketch's (driver-green r4)
+        "qhist_merge_increments": q_qhist_merge_increments,
         # --- oldest driver evidence: r1 ---
         "stream_hourly": q_sessionize_stream_twin,
         "contamination_check": q_contamination_check,
@@ -5319,11 +5358,13 @@ def oracle_sql() -> dict[str, str]:
         FROM nation
     """
     out["raster_tiles"] = _ora.raster_tiles_sql()
-    # cms_merge_increments: counters are sums, so the 3-way increment
-    # merge is lossless — its oracle IS the single-pass sketch lookup
-    # (byte-identical to heavy_hitters_cms's); the driver hash match is
-    # the merged == single-pass proof
+    # cms_merge_increments / qhist_merge_increments: counters are sums,
+    # so the 3-way increment merges are lossless — each oracle IS the
+    # single-pass sketch (byte-identical to heavy_hitters_cms's /
+    # quantile_sketch's); the driver hash match is the merged ==
+    # single-pass proof
     out["cms_merge_increments"] = out["heavy_hitters_cms"]
+    out["qhist_merge_increments"] = out["quantile_sketch"]
     # skew_salted_join: the oracle is the PLAIN (unsalted) join+aggregate —
     # a hash match proves the salted plan is output-equivalent
     out["skew_salted_join"] = f"""
