@@ -489,7 +489,10 @@ def load_fence_baseline(repo_dir: str, sf=None, replicate=None):
         if not m:
             continue
         try:
-            parsed = json.load(open(path)).get("parsed", {})
+            # "or {}": the driver records a failed/unparsed run as
+            # {"parsed": null} (BENCH_r05.json is one) — a null record is
+            # "no baseline here", not a crash
+            parsed = json.load(open(path)).get("parsed") or {}
         except Exception:
             continue
         if not parsed.get("queries"):
