@@ -120,36 +120,59 @@ def pagerank(
     if n == 0:
         raise ValueError("pagerank over an empty node set")
     base = RANK_UNIT // n
+    n_parts = int(nodes.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
     # edges ⋈ out-degree never changes across iterations — MATERIALIZE it
-    # once (lazy localCheckpoint: computed on first use, reused after).
-    # Without this, every iteration re-runs the whole edge derivation —
-    # for extracted link graphs that is a full html regexp pass per
-    # iteration. At cluster scale the same role is played by snapshotting
-    # the edge table (plans/snapshot.py) before iterating.
+    # once (lazy localCheckpoint: computed on first use, reused after),
+    # HASH-PARTITIONED BY src with an explicit partition count so every
+    # iteration's join reuses the stored partitioning instead of paying
+    # an edge-table exchange per iteration (localCheckpoint preserves
+    # outputPartitioning; the explicit count keeps AQE from coalescing
+    # one side out of alignment). Without this, every iteration re-runs
+    # the whole edge derivation — for extracted link graphs that is a
+    # full html regexp pass per iteration — AND re-shuffles it. At
+    # cluster scale the same role is played by snapshotting the edge
+    # table (plans/snapshot.py) partitioned the same way.
     e = (
         edges.join(outd, "src")
         .select("src", "dst", "od")
+        .repartition(n_parts, "src")
         .localCheckpoint(eager=False)
     )
-    ranks = nodes.select("node", F.lit(base).cast("long").alias("rank"))
+    # nodes likewise: partitioned by node once, so the per-iteration
+    # rank update join and the contrib aggregate stay co-partitioned
+    nodes_p = nodes.select("node").repartition(n_parts, "node").localCheckpoint(
+        eager=False
+    )
+    ranks = nodes_p.select("node", F.lit(base).cast("long").alias("rank"))
+    if dangling == "redistribute":
+        # the SET of zero-out-degree nodes never changes — compute it
+        # once (their rank does change; summed per iteration below)
+        danglers = (
+            nodes_p.join(outd, nodes_p.node == outd.src, "left_anti")
+            .localCheckpoint(eager=False)
+        )
     keep_pct = 100 - damping_pct
     for it in range(n_iters):
+        # ranks is partitioned by node (inherited from nodes_p through
+        # the BHJ-free update join), e by src: co-partitioned equi-join,
+        # zero exchange; the shuffle_hash hint skips re-sorting the edge
+        # table every iteration (build side is the per-partition rank
+        # slice — nodes/n_parts rows, bounded by the same sizing that
+        # makes the partitioning valid)
         contrib = (
-            e.join(ranks, e.src == ranks.node)
+            e.join(ranks.hint("shuffle_hash"), e.src == ranks.node)
             .select(e.dst.alias("node"), F.expr("rank div od").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        summed = nodes.join(contrib, "node", "left").select(
+        summed = nodes_p.join(contrib, "node", "left").select(
             "node", F.coalesce("s", F.lit(0)).cast("long").alias("s")
         )
         if dangling == "redistribute":
             # one tiny aggregate: total rank on zero-out-degree nodes,
             # broadcast back as a 1-row frame (never collected)
-            dang = ranks.join(
-                outd, ranks.node == outd.src, "left_anti"
-            ).agg(
+            dang = ranks.join(danglers, "node", "left_semi").agg(
                 F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dmass")
             )
             summed = summed.crossJoin(F.broadcast(dang)).select(
