@@ -140,13 +140,20 @@ def main():
     ap.add_argument("--time", action="store_true")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument(
+        "--conf", action="append", default=[], metavar="K=V",
+        help="extra spark conf for the probe session (repeatable)",
+    )
     args = ap.parse_args()
 
     from bench import bench_documents
     from geokitten_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(app_name="bench-probe", master=f"local[{cpus}]")
+    extra = dict(kv.split("=", 1) for kv in args.conf)
+    spark = get_spark(
+        app_name="bench-probe", master=f"local[{cpus}]", extra_confs=extra or None
+    )
     docs = bench_documents(spark, SF_DIR, REPLICATE).cache()
     docs.count()
 
