@@ -76,24 +76,43 @@ def wkb_to_wkt(wkb: pd.Series) -> pd.Series:
     return wkb.map(lambda b: None if b is None else to_wkt(parse_wkb(bytes(b))))
 
 
-@pandas_udf(BinaryType())
-def points_to_wkb(lon: pd.Series, lat: pd.Series) -> pd.Series:
+from pyspark.sql.functions import arrow_udf
+
+
+@arrow_udf(BinaryType())
+def points_to_wkb(lon, lat):
     """Vectorized (lon, lat) -> 21-byte ISO WKB POINT blobs — the scale
-    path for point-geometry tables (no per-row WKT parse: the batch is
-    assembled as one (n, 21) byte matrix in numpy). NULL lon or lat ->
-    NULL blob."""
+    path for point-geometry tables. Arrow-native: the batch is assembled
+    as one (n, 21) byte matrix in numpy and handed back as a BinaryArray
+    built from that single buffer plus a stride-21 offsets array — no
+    per-row Python objects anywhere (the old pandas form sliced one
+    bytes object per row). NULL lon or lat -> NULL blob."""
+    import pyarrow as pa
+
     n = len(lon)
     buf = np.empty((n, 21), dtype=np.uint8)
     buf[:, 0] = 1  # little-endian
     buf[:, 1:5] = np.frombuffer(np.uint32(1).tobytes(), dtype=np.uint8)
-    x = lon.to_numpy(dtype=np.float64, na_value=np.nan)
-    y = lat.to_numpy(dtype=np.float64, na_value=np.nan)
+    x = lon.to_numpy(zero_copy_only=False)
+    y = lat.to_numpy(zero_copy_only=False)
     buf[:, 5:13] = x.astype("<f8").view(np.uint8).reshape(n, 8)
     buf[:, 13:21] = y.astype("<f8").view(np.uint8).reshape(n, 8)
-    null = lon.isna().to_numpy() | lat.isna().to_numpy()
-    rows = buf.tobytes()
-    return pd.Series(
-        [None if null[i] else rows[i * 21 : (i + 1) * 21] for i in range(n)]
+    offsets = np.arange(0, 21 * (n + 1), 21, dtype=np.int32)
+    null_mask = np.zeros(n, dtype=bool)
+    if lon.null_count:
+        null_mask |= lon.is_null().to_numpy(zero_copy_only=False)
+    if lat.null_count:
+        null_mask |= lat.is_null().to_numpy(zero_copy_only=False)
+    if null_mask.any():
+        validity = pa.array(~null_mask).buffers()[1]
+        null_count = int(null_mask.sum())
+    else:
+        validity, null_count = None, 0
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [validity, pa.py_buffer(offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+        null_count=null_count,
     )
 
 

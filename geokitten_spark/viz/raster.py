@@ -182,9 +182,12 @@ def raster_heat_tiles(points: DataFrame, zooms: Sequence[int],
         raise ValueError("tile_px must be a power of two >= 2")
     zooms = sorted({int(z) for z in zooms}, reverse=True)
     zf = zooms[0]
+    # weights: NULL coalesces to 0 (an all-NULL pixel renders empty
+    # instead of poisoning the int64 cast with NaN); weights must be
+    # non-negative — the >=55 gray-ramp floor assumes counts-like input
     measure = (
         F.count(F.lit(1)) if weight_col is None
-        else F.sum(F.col(weight_col).cast("long"))
+        else F.sum(F.coalesce(F.col(weight_col).cast("long"), F.lit(0)))
     )
     pid = pixel_id_udf(zf, tile_px)(F.col("lon"), F.col("lat")).alias("pid")
     cols = [pid] if weight_col is None else [pid, weight_col]
@@ -197,6 +200,10 @@ def raster_heat_tiles(points: DataFrame, zooms: Sequence[int],
     ).alias("lv")
     levels = base.select(lv, "n").select("lv.z", "lv.x", "lv.y", "lv.pix", "n")
 
+    # (r6 audit: a collect_list(struct)+batched-pandas_udf render and a
+    # packed-int64 variant were measured against this grouped form —
+    # all three within noise at ~5.4k tiles, so the simplest shape
+    # stays; the grouped pandas path batches groups efficiently.)
     def render(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         z, tx, ty = int(key[0]), int(key[1]), int(key[2])
         blob = render_heat_tile(
