@@ -13,8 +13,8 @@ Scale shape: render is one groupBy(host) aggregate over codegen-built
 entry strings (array_sort for byte determinism); parse is 100%
 Catalyst regexp over the XML (entry split, then per-entry field
 extraction — one map stage, no Python); the frontier reconciliation is
-ONE full-outer join on url followed by a per-host aggregate, and both
-sides carry (host, url, lastmod) only — never page bodies.
+ONE full-outer join on (host, url) followed by a per-host aggregate,
+and both sides carry (host, url, lastmod) only — never page bodies.
 """
 
 from __future__ import annotations
