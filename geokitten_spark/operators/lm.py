@@ -185,8 +185,9 @@ def lm_train(
     )
     toks = _tokens(tok)
 
+    word_counts = toks.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("cnt"))
     vocab_c = _prune_topk(
-        toks.groupBy("grp", "w").agg(F.count(F.lit(1)).alias("cnt")),
+        word_counts,
         [F.desc("cnt"), F.asc("w")],
         vocab_size,
         F.pmod(F.xxhash64("w"), F.lit(64)),
@@ -196,15 +197,14 @@ def lm_train(
     # Canonicalized unigram counts WITHOUT re-counting the corpus: every
     # in-vocab word keeps its count from the vocab top-K pass, and the
     # <unk> bucket is (total tokens) − (sum of in-vocab counts). The
-    # per-group total folds map-side from the per-doc token arrays — at
-    # most n_partitions × n_groups partial rows cross that exchange —
-    # so the only corpus-wide count shuffles left are vocab and bigrams.
-    totals = tok.groupBy("grp").agg(
-        F.sum(
-            F.when(F.col("ws").isNotNull(), F.size("ws")).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("tot")
+    # per-group total is the SUM of the word-count table the vocab pass
+    # already built (identical subtree — the exchange is reused, so no
+    # second corpus pass; the r3-r5 form re-folded per-doc array sizes
+    # over the token stage, one extra corpus-wide aggregate per run).
+    # A group whose docs have zero tokens has no word_counts row and no
+    # vocab either, so the downstream inner join drops it in both forms.
+    totals = word_counts.groupBy("grp").agg(
+        F.sum("cnt").cast("long").alias("tot")
     )
     invocab_stats = vocab_c.groupBy("grp").agg(
         F.count(F.lit(1)).alias("vsize"), F.sum("cnt").alias("in_cnt")
