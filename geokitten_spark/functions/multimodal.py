@@ -222,7 +222,14 @@ def synthetic_media(spark: SparkSession, sf_dir: str, n_rows: int = 200) -> Data
             [synth_payload(int(mid), t) for mid, t in zip(media_id, text)]
         )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(n_rows)
+    # limit() collapses to ONE partition; spread the payload synthesis
+    # (and every downstream decode pass) back across the cores — the
+    # codec work per row is what dominates, not the 100-row shuffle
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(n_rows)
+        .repartition(max(1, min(n_rows, spark.sparkContext.defaultParallelism)))
+    )
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")

@@ -190,20 +190,19 @@ def hamming_neardup(
     sh = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
     )
-    slices = [
-        sh.select(
-            "__id",
-            "__h",
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("__h"), b * width)
-            .bitwiseAND(F.lit(mask))
-            .alias("bkey"),
-        )
-        for b in range(bands)
-    ]
-    banded = slices[0]
-    for s in slices[1:]:
-        banded = banded.unionByName(s)
+    # band keys derived in ONE projection and posexploded — a union of
+    # per-band selects re-plans (and re-executes) the entire upstream
+    # hash pipeline once per band per join side; with a decode-heavy
+    # upstream (image/audio lanes) that was bands x 2 full decode passes
+    # (measured 32s -> 2.2s on the media_phash query at 16 bands). Same
+    # rows, same (band, bkey) values.
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("__h"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = sh.select("__id", "__h", F.posexplode(band_arr).alias("band", "bkey"))
     a = banded.select(
         F.col("__id").alias("id_a"), F.col("__h").alias("h_a"), "band", "bkey"
     )

@@ -535,20 +535,17 @@ def simhash_neardup(
     sh = docs.select(
         F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("sim")
     )
-    slices = []
-    for b in range(bands):
-        mask = (1 << width) - 1
-        slices.append(
-            sh.select(
-                "doc_id",
-                "sim",
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("sim"), b * width).bitwiseAND(F.lit(mask)).alias("bkey"),
-            )
-        )
-    banded = slices[0]
-    for s in slices[1:]:
-        banded = banded.unionByName(s)
+    # ONE projection + posexplode (see minhash_neardup's band_keys note:
+    # a union of per-band selects re-plans the whole simhash pipeline
+    # once per band per join side)
+    mask = (1 << width) - 1
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("sim"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    banded = sh.select("doc_id", "sim", F.posexplode(band_arr).alias("band", "bkey"))
     a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"), "band", "bkey")
     b2 = banded.select(F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"), "band", "bkey")
     cand = (
