@@ -850,21 +850,17 @@ def embedding_neardup_lsh(
     ).withColumn("sig", signature(F.col("v")))
 
     mask = (1 << rows_per_band) - 1
-    slices = []
-    for bnd in range(bands):
-        slices.append(
-            v.select(
-                "vid",
-                "v",
-                F.lit(bnd).alias("band"),
-                F.shiftright(F.col("sig"), bnd * rows_per_band)
-                .bitwiseAND(F.lit(mask))
-                .alias("bkey"),
-            )
-        )
-    banded = slices[0]
-    for s in slices[1:]:
-        banded = banded.unionByName(s)
+    # ONE projection + posexplode: the per-band-union form re-planned
+    # the signature pandas UDF once per band per join side — bands x 2
+    # Python passes over the embedding table (same fix as
+    # simhash_neardup / functions/phash.py hamming_neardup)
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("sig"), bnd * rows_per_band).bitwiseAND(F.lit(mask))
+            for bnd in range(bands)
+        ]
+    )
+    banded = v.select("vid", "v", F.posexplode(band_arr).alias("band", "bkey"))
     a = banded.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), "band", "bkey")
     b = banded.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), "band", "bkey")
     cand = (

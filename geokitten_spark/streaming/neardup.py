@@ -46,18 +46,18 @@ def simhash_banded_stream(
     sh = docs.select(
         F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("sim")
     )
-    banded = None
-    for b in range(bands):
-        s = sh.select(
-            "doc_id",
-            "sim",
-            F.lit(b).cast("int").alias("band"),
-            F.shiftright(F.col("sim"), b * width)
-            .bitwiseAND(F.lit(mask))
-            .alias("bkey"),
-        )
-        banded = s if banded is None else banded.unionByName(s)
-    return banded
+    # ONE projection + posexplode: a union of per-band selects re-plans
+    # (and per micro-batch re-executes) the simhash expression once per
+    # band (see operators/dedup.py simhash_neardup)
+    band_arr = F.array(
+        *[
+            F.shiftright(F.col("sim"), b * width).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+    )
+    return sh.select(
+        "doc_id", "sim", F.posexplode(band_arr).alias("band", "bkey")
+    )
 
 
 def neardup_flags_stream(
