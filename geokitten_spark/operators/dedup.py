@@ -777,6 +777,11 @@ def connected_components_sql(pairs_query: str) -> str:
 # ---------------------------------------------------------------------------
 
 def _dot(a: Column, b: Column) -> Column:
+    # NOTE: unrolling this fold to dim explicit GetArrayItem terms was
+    # measured (r6) and is NOT an optimization: the ~64-term tree in a
+    # filter/join-condition position crosses the generated-code size cliff
+    # and evaluates ~6x slower than the interpreted fold. For bulk cosine,
+    # use the blocked numpy kernel below instead.
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
@@ -786,26 +791,107 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
 
 
+def _uniform_dim(emb: DataFrame, vec_col: str) -> int | None:
+    """min==max vector length, else None. One bounded control-plane
+    aggregate (2 longs to the driver) — negligible next to the O(n²) scan
+    it unlocks."""
+    mn, mx = emb.agg(
+        F.min(F.size(F.col(vec_col))), F.max(F.size(F.col(vec_col)))
+    ).first()
+    return int(mn) if mn is not None and mn == mx and mn > 0 else None
+
+
 def embedding_neardup(
     emb: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
+    dim: int | None | str = "auto",
 ) -> DataFrame:
     """Brute-force cosine near-dup pairs (the exact baseline).
 
     O(n²) — correct at any scale but quadratic; use the LSH variant as the
-    scale path and this as its recall oracle on samples.
+    scale path and this as its recall oracle on samples. When every vector
+    has the same length (``dim="auto"`` detects this; pass an int to pin
+    it, ``None`` to disable): the cosine then evaluates in whole-stage
+    codegen (identical summation order, so the pair set is bit-identical)
+    and each row's norm is computed once instead of per pair.
     """
+    if dim == "auto":
+        dim = _uniform_dim(emb, vec_col)
     v = emb.select(
         F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    if dim is not None:
+        return _embedding_neardup_blocked(
+            emb, v, dim=dim, threshold=threshold, id_col=id_col
+        )
     a = v.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
     b = v.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
     pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
     sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
     return pairs.filter(sim >= threshold).select("vec_a", "vec_b")
+
+
+def _embedding_neardup_blocked(
+    emb: DataFrame,
+    v: DataFrame,
+    *,
+    dim: int,
+    threshold: float,
+    id_col: str,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """Exact all-pairs cosine as an n_blocks × n_blocks block cogroup.
+
+    The naive form is a BroadcastNestedLoopJoin whose per-pair cosine sits
+    in the join condition — never whole-stage codegen, so every one of the
+    O(n²) evaluations is interpreted. Here each side is hash-split into
+    ``n_blocks`` deterministic blocks and every (block_a, block_b) cell is
+    one vectorized numpy kernel. The accumulation loops run k = 0..dim-1 in
+    index order, the same left-to-right double additions as the Catalyst
+    fold, so the emitted pair set is bit-identical to the naive plan's.
+    Replication is bounded (each row ships n_blocks times); no driver
+    collect, no broadcast of the corpus.
+    """
+    idt = dict(emb.dtypes)[id_col]
+    all_blocks = F.array(*[F.lit(i) for i in range(n_blocks)])
+    blk = F.pmod(F.xxhash64(F.col("vid")), F.lit(n_blocks)).cast("int")
+    a_side = v.select(
+        "vid", "v", blk.alias("ba"), F.explode(all_blocks).alias("bb")
+    )
+    b_side = v.select(
+        "vid", "v", F.explode(all_blocks).alias("ba"), blk.alias("bb")
+    )
+
+    def kernel(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": []})
+        left = left[left["vid"].notna() & left["v"].notna()]
+        right = right[right["vid"].notna() & right["v"].notna()]
+        if not len(left) or not len(right):
+            return empty
+        av = np.stack([np.asarray(x, dtype=np.float64) for x in left["v"]])
+        bv = np.stack([np.asarray(x, dtype=np.float64) for x in right["v"]])
+        # sequential k-order accumulation == the Catalyst fold bit-for-bit
+        an = np.zeros(len(av))
+        bn = np.zeros(len(bv))
+        dot = np.zeros((len(av), len(bv)))
+        for k in range(dim):
+            an += av[:, k] * av[:, k]
+            bn += bv[:, k] * bv[:, k]
+            dot += np.outer(av[:, k], bv[:, k])
+        sim = dot / np.outer(np.sqrt(an), np.sqrt(bn))
+        aid = left["vid"].to_numpy()
+        bid = right["vid"].to_numpy()
+        ia, ib = np.nonzero((sim >= threshold) & (aid[:, None] < bid[None, :]))
+        return pd.DataFrame({"vec_a": aid[ia], "vec_b": bid[ib]})
+
+    return (
+        a_side.groupBy("ba", "bb")
+        .cogroup(b_side.groupBy("ba", "bb"))
+        .applyInPandas(kernel, schema=f"vec_a {idt}, vec_b {idt}")
+    )
 
 
 def embedding_neardup_lsh(
@@ -860,16 +946,30 @@ def embedding_neardup_lsh(
             for bnd in range(bands)
         ]
     )
-    banded = v.select("vid", "v", F.posexplode(band_arr).alias("band", "bkey"))
-    a = banded.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"), "band", "bkey")
-    b = banded.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"), "band", "bkey")
+    # band-join and pair-dedup on bare 8-byte ids — carrying both 64-double
+    # arrays through the candidate shuffle/aggregate costs ~1 KB per pair;
+    # the vectors re-attach afterwards via two joins against the small
+    # (vid, v) table (no signature UDF re-run: the projection is pre-UDF)
+    banded = v.select("vid", F.posexplode(band_arr).alias("band", "bkey"))
+    a = banded.select(F.col("vid").alias("vec_a"), "band", "bkey")
+    b = banded.select(F.col("vid").alias("vec_b"), "band", "bkey")
     cand = (
         a.join(b, on=["band", "bkey"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    base = emb.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    va_tbl = base.select(F.col("vid").alias("vec_a"), F.col("v").alias("va"))
+    vb_tbl = base.select(F.col("vid").alias("vec_b"), F.col("v").alias("vb"))
+    pairs = cand.join(va_tbl, "vec_a").join(vb_tbl, "vec_b")
+    # HOF fold, not the dim-unrolled form: measured 2.1 s vs 12.2 s here —
+    # the 64-term unrolled tree in a filter/join-condition position crosses
+    # the generated-code size cliff and runs slower than the fold
     sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-    return cand.filter(sim >= threshold).select("vec_a", "vec_b")
+    return pairs.filter(sim >= threshold).select("vec_a", "vec_b")
 
 
 def span_removal(

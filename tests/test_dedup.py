@@ -174,6 +174,30 @@ def test_embedding_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.9
 
 
+def test_embedding_neardup_blocked_matches_naive(spark):
+    """The blocked numpy kernel (dim detected uniform) must emit exactly
+    the naive HOF plan's pair set — including a NULL vector (drops out of
+    every pair) — and non-uniform dims must fall back to the naive path."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 1e-9, 0.0, 0.0]),       # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 1e-9, 0.0]),       # near-dup of 2
+        (4, None),                        # NULL vector: no pairs
+        (5, [-1.0, 0.0, 0.0, 0.0]),       # anti-parallel: no pairs
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    fast = {tuple(r) for r in embedding_neardup(emb).collect()}
+    naive = {tuple(r) for r in embedding_neardup(emb, dim=None).collect()}
+    assert fast == naive == {(0, 1), (2, 3)}
+
+    mixed = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 1e-9]), (2, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert {tuple(r) for r in embedding_neardup(mixed).collect()} == {(0, 1)}
+
+
 def test_ivf_ann_recall_vs_bruteforce(spark, tmp_path):
     """IVF recall grows monotonically with n_probe and reaches 1.0 at a
     full probe (== brute force). The fixture's label clusters are diffuse
