@@ -426,19 +426,73 @@ REP_MAX_RUN = 3
 REP_MIN_WORDS = 20
 
 
+def _rep_signals_udf():
+    """Arrow-batched per-doc repetition counters.
+
+    The pure-Catalyst form (two ``array_sort`` + three interpreted
+    ``aggregate`` folds per doc) measured ~8 s over a 1.5 MB corpus — HOF
+    lambdas never reach whole-stage codegen. Every output is an exact
+    integer (multiplicities, lengths, run lengths), so the Python
+    computation is bit-identical by construction: ``split(text, ' ')`` on a
+    literal space == ``str.split(' ')``, max unigram multiplicity ==
+    longest equal run of the sorted array, adjacent-pair tuples can't
+    alias since words contain no spaces."""
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "n_words long, n_distinct long, top_unigram long, top_bigram long,"
+        " n_bigrams long, max_run long"
+    )
+    def rep_signals(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            if t is None:
+                rows.append((None,) * 6)
+                continue
+            ws = [w for w in t.split(" ") if w != ""]
+            n = len(ws)
+            if n == 0:
+                rows.append((0, 0, 0, 0, 0, 0))
+                continue
+            cnt = Counter(ws)
+            if n >= 2:
+                bg = Counter(zip(ws, ws[1:]))
+                top_big, n_big = max(bg.values()), n - 1
+            else:
+                top_big, n_big = 0, 0
+            best = run = 1
+            for i in range(1, n):
+                run = run + 1 if ws[i] == ws[i - 1] else 1
+                if run > best:
+                    best = run
+            rows.append((n, len(cnt), max(cnt.values()), top_big, n_big, best))
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_words", "n_distinct", "top_unigram",
+                "top_bigram", "n_bigrams", "max_run",
+            ],
+        )
+
+    return rep_signals
+
+
 def repetition_cols(text: Column) -> dict:
     """Per-doc repetition signals as named Columns.
 
     Keys: ``n_words``, ``n_distinct``, ``top_unigram``, ``top_bigram``,
-    ``n_bigrams``, ``max_run``, ``rep_flagged``."""
-    ws = split_words(text)
-    bg = word_bigrams(ws)
-    n = F.size(ws).cast("long")
-    n_big = F.size(bg).cast("long")
-    n_distinct = F.size(F.array_distinct(ws)).cast("long")
-    top_uni = longest_equal_run(F.array_sort(ws))
-    top_big = longest_equal_run(F.array_sort(bg))
-    max_run = longest_equal_run(ws)
+    ``n_bigrams``, ``max_run``, ``rep_flagged``. The integer counters come
+    from one Arrow-batched pandas UDF (see :func:`_rep_signals_udf` for the
+    exactness argument); the float threshold flag stays in Catalyst so its
+    arithmetic is the oracle-pinned double division it always was."""
+    s = _rep_signals_udf()(text)
+    n = s["n_words"]
+    n_distinct = s["n_distinct"]
+    top_uni = s["top_unigram"]
+    max_run = s["max_run"]
     flagged = (n >= REP_MIN_WORDS) & (
         (top_uni.cast("double") / n > REP_TOP_UNIGRAM_MAX)
         | (n_distinct.cast("double") / n < REP_TTR_MIN)
@@ -448,8 +502,8 @@ def repetition_cols(text: Column) -> dict:
         "n_words": n,
         "n_distinct": n_distinct,
         "top_unigram": top_uni,
-        "top_bigram": top_big,
-        "n_bigrams": n_big,
+        "top_bigram": s["top_bigram"],
+        "n_bigrams": s["n_bigrams"],
         "max_run": max_run,
         "rep_flagged": flagged,
     }

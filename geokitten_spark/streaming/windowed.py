@@ -190,16 +190,41 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
 
 
 def run_to_memory(stream_df: DataFrame, name: str, checkpoint_dir: str,
-                  output_mode: str = "complete"):
+                  output_mode: str = "complete",
+                  shuffle_partitions: int | None = None):
     """Drain the stream with availableNow into an in-memory table; returns
-    the finished query (caller reads ``spark.table(name)``)."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    the finished query (caller reads ``spark.table(name)``).
+
+    ``shuffle_partitions`` sets the stream's state-partition count (pinned
+    into the new checkpoint at first start, then restored on the session).
+    Stateful operators pay a per-partition-per-microbatch state-store
+    open/commit cost, so this should track expected state volume, not the
+    batch shuffle width: measured at sf0.1, the stream-stream interval join
+    drains in 4.3 s at 8 partitions vs 28.2 s at the session's 64 (identical
+    results). Default: ``SPARK_GRAFT_STREAM_PARTITIONS`` env, else
+    max(8, cores // 4); raise it on real clusters where per-key state is
+    large enough to amortize the store overhead.
+    """
+    import os
+
+    spark = stream_df.sparkSession
+    if shuffle_partitions is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", max(8, cpus // 4))
+        )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return q
