@@ -187,8 +187,14 @@ def hamming_neardup(
         raise ValueError("bands must divide bits")
     width = bits // bands
     mask = (1 << width) - 1
-    sh = hashes.filter(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("__id"), F.col(hash_col).alias("__h")
+    # lazy localCheckpoint: the banded self-join below reads this table on
+    # BOTH sides, and without a materialization barrier the whole upstream
+    # fingerprint pipeline (image/audio decode passes) executes once per
+    # side. The checkpoint is (id, hash) rows only — 16 bytes/row.
+    sh = (
+        hashes.filter(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("__id"), F.col(hash_col).alias("__h"))
+        .localCheckpoint(eager=False)
     )
     # band keys derived in ONE projection and posexploded — a union of
     # per-band selects re-plans (and re-executes) the entire upstream

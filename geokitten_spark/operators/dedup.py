@@ -182,6 +182,10 @@ def minhash_neardup(
             F.transform(F.col("sh"), hash60).alias("shh"),
             *minhash_signature(F.col("sh"), n_hashes),
         )
+        # lazy localCheckpoint: the banded self-join reads sig on both
+        # sides — without the barrier the shingle + n_hashes minhash-fold
+        # pipeline runs once per side (the dominant cost of this operator)
+        .localCheckpoint(eager=False)
     )
 
     # band keys derived from the computed signature IN ONE projection and
@@ -532,9 +536,12 @@ def simhash_neardup(
     """
     assert max_hamming < bands, "pigeonhole requires bands > max_hamming"
     width = SIM_BITS // bands
+    # lazy localCheckpoint: both sides of the banded self-join read this
+    # table — without the barrier the simhash fold over every word hash
+    # runs once per join side. 16 bytes/row materialized.
     sh = docs.select(
         F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("sim")
-    )
+    ).localCheckpoint(eager=False)
     # ONE projection + posexplode (see minhash_neardup's band_keys note:
     # a union of per-band selects re-plans the whole simhash pipeline
     # once per band per join side)
