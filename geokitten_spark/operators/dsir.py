@@ -121,17 +121,23 @@ def _pool_scored(
     for r in rows:
         ct[r.b], cr[r.b] = r.c_t, r.c_r
     T, R = sum(ct), sum(cr)
-    lit_t, lit_r = F.lit(ct), F.lit(cr)
-    # per-gram: ln(ct[b]+1) - ln(cr[b]+1); constant normalizer folded in
-    # ONE trailing add so the DuckDB twin can match association order
+    # per-gram: ln(ct[b]+1) - ln(cr[b]+1), summed left-to-right; constant
+    # normalizer folded in ONE trailing add so the DuckDB twin can match
+    # association order. The per-bucket log-ratio is precomputed into ONE
+    # literal double array (B values), so the interpreted fold does a
+    # single element_at per gram instead of two element_at + two ln calls
+    # — the same addends in the same order (ln is a pure function of the
+    # bucket's counts; parity with the oracle is on the 6-decimal-rounded
+    # weight, which absorbs the <=1-ulp libm difference of computing the
+    # per-bucket log driver-side).
+    import math
+
+    lw = [math.log(ct[b] + 1.0) - math.log(cr[b] + 1.0) for b in range(B)]
+    lit_lw = F.lit(lw)
     per_gram = F.aggregate(
         F.col("bkts"),
         F.lit(0.0),
-        lambda acc, b: acc
-        + (
-            F.log(F.element_at(lit_t, (b + 1).cast("int")).cast("double") + 1.0)
-            - F.log(F.element_at(lit_r, (b + 1).cast("int")).cast("double") + 1.0)
-        ),
+        lambda acc, b: acc + F.element_at(lit_lw, (b + 1).cast("int")),
     )
     norm = F.size("bkts") * (
         F.log(F.lit(float(R + B))) - F.log(F.lit(float(T + B)))
